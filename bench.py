@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): run every declared query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line with per-query
+wall-clock seconds. Optionally records the DuckDB baseline side-by-side
+(--duckdb) for BASELINE.md's ratio table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataworks_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from dataworks_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_spark(warm: bool = True) -> dict[str, float]:
+    spark = get_spark("dataworks_spark_bench")
+    times: dict[str, float] = {}
+    if warm:  # JVM/codegen warmup on the smallest query
+        QUERIES["q_point_lookup"](spark, SF_DIR).collect()
+    for name, fn in sorted(QUERIES.items()):
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()  # materialize the full result
+        times[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    return times
+
+
+def run_duckdb() -> dict[str, float]:
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle_harness import duckdb_conn
+
+    con = duckdb_conn(SF_DIR)
+    times: dict[str, float] = {}
+    for name, sql in sorted(ORACLE_SQL.items()):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        times[name] = round(time.perf_counter() - t0, 4)
+    return times
+
+
+def main() -> None:
+    queries = run_spark()
+    total = round(sum(queries.values()), 4)
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(SF_DIR),
+    }
+    if "--duckdb" in sys.argv:
+        out["duckdb"] = run_duckdb()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Bitemporal document store (SURVEY §2 J; reference Crux delegation).
+
+The reference stores schemaless documents keyed by ``:crux.db/id`` with
+two time axes — valid-time and transaction-time — and exposes
+  put            (db/app_db.clj:102-105, utils/auth.clj:60-67)
+  put @ future-t (doc/demo-app-1.org:125-127)
+  match / cas    (db/app_db.clj:102-105, utils/auth.clj:139-146)
+  delete         (utils/alert.clj:30-31)
+  as-of reads    (db/app_db.clj:33-43: [q], [valid-time q], [vt tt q])
+  entity lookup  (db/app_db.clj:45-48)
+
+Spark model: a **version-log table** — one row per document version —
+with interval columns::
+
+    id string, payload …, valid_from ts, valid_to ts,
+    tx_from ts, tx_to ts, deleted boolean
+
+A version is visible at (vt, tt) iff
+``valid_from <= vt < valid_to AND tx_from <= tt < tx_to``. Open ends use
+the far-future sentinel (reference ``:never``, utils/time.clj:75).
+
+Scale design (100 TB): the physical table is partitioned by entity
+namespace and ``date(valid_from)`` so as-of reads prune partitions; the
+latest-view is a row_number window per id (one shuffle on id); writers
+are append-only (new version row + interval-close row), compacted by a
+periodic MERGE-style batch job — never in-place updates.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataworks_spark.functions.timeops import NEVER
+
+
+def version_log(
+    df: DataFrame,
+    id_col: Column | str,
+    ts_col: str,
+    tombstone: Column | None = None,
+) -> DataFrame:
+    """Build a bitemporal version log from an append-only event stream.
+
+    Each event is a `put` of a new document version valid from its
+    timestamp until the next version of the same id (LWW semantics of
+    the reference's log documents, doc/demo-app-1.org:99-104). In this
+    fixture-derived log transaction time equals valid time (documents
+    were transacted when they happened); `put` with a future valid-time
+    (J2) makes the two differ. ``tombstone`` marks delete versions
+    (J5): the doc disappears from the latest view while staying
+    queryable as-of the past.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    out = df.withColumn("id", idc)
+    w = Window.partitionBy("id").orderBy(F.col(ts_col).asc())
+    out = (
+        out.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.coalesce(F.lead(ts_col).over(w), F.lit(NEVER)))
+        .withColumn("tx_from", F.col(ts_col))
+        .withColumn("tx_to", F.lit(NEVER))
+        .withColumn("deleted", tombstone if tombstone is not None else F.lit(False))
+    )
+    return out
+
+
+def _visible(vt: Column, tt: Column | None = None) -> Column:
+    cond = (F.col("valid_from") <= vt) & (vt < F.col("valid_to"))
+    if tt is not None:
+        cond = cond & (F.col("tx_from") <= tt) & (tt < F.col("tx_to"))
+    return cond
+
+
+def as_of_snapshot(
+    versions: DataFrame,
+    valid_time: _dt.datetime | str,
+    tx_time: _dt.datetime | str | None = None,
+    include_deleted: bool = False,
+) -> DataFrame:
+    """As-of read (J7): the document version visible at the given
+    bitemporal coordinates — reference query arities
+    [valid-time q] / [valid-time tx-time q] (db/app_db.clj:37-43).
+
+    Because the intervals produced by :func:`version_log` partition each
+    id's timeline, interval containment alone yields ≤1 row per id — a
+    filter Catalyst pushes to the scan, no window needed."""
+    vt = F.lit(valid_time).cast("timestamp")
+    tt = F.lit(tx_time).cast("timestamp") if tx_time is not None else None
+    snap = versions.filter(_visible(vt, tt))
+    if not include_deleted:
+        snap = snap.filter(~F.col("deleted"))
+    return snap
+
+
+def latest_snapshot(versions: DataFrame, include_deleted: bool = False) -> DataFrame:
+    """Latest-per-id view (E4 / ReadMe.org:34 LWW): one window pass,
+    DESC on (valid_from, tx_from)."""
+    w = Window.partitionBy("id").orderBy(
+        F.col("valid_from").desc(), F.col("tx_from").desc()
+    )
+    snap = (
+        versions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not include_deleted:
+        snap = snap.filter(~F.col("deleted"))
+    return snap
+
+
+class DocumentStore:
+    """Mutable document-store facade over a version-log DataFrame.
+
+    Write ops mirror the reference transaction vocabulary (SURVEY §2 J):
+    ``put`` (J1/J2), ``match`` (J3), ``cas`` (J4), ``delete`` (J5).
+    Writes are **append-only**: a put appends the new version and closes
+    the previous version's validity interval by appending nothing —
+    visibility is computed from the *latest tx_from per (id, overlapping
+    interval)* at read time; a periodic :meth:`compact` rewrites closed
+    intervals physically (the MERGE analog). ``await-tx`` (J6) is a
+    no-op: Spark writes are synchronous.
+    """
+
+    def __init__(self, versions: DataFrame, now_fn=None):
+        self.versions = versions
+        self._now = now_fn or _dt.datetime.utcnow
+
+    # -- reads ---------------------------------------------------------
+    def as_of(self, valid_time, tx_time=None) -> DataFrame:
+        return as_of_snapshot(self.versions, valid_time, tx_time)
+
+    def latest(self) -> DataFrame:
+        return latest_snapshot(self.versions)
+
+    def entity(self, doc_id: str) -> DataFrame:
+        """Point lookup (B8, db/app_db.clj:45-48)."""
+        return self.latest().filter(F.col("id") == F.lit(doc_id))
+
+    # -- writes --------------------------------------------------------
+    def put(self, docs: DataFrame, valid_time: _dt.datetime | None = None) -> "DocumentStore":
+        """Upsert new versions (J1); a future ``valid_time`` schedules
+        visibility (J2, demo-app-1.org:125-127). ``docs`` must carry an
+        ``id`` column plus payload columns matching the store schema."""
+        now = self._now()
+        vt = valid_time or now
+        new = (
+            docs.withColumn("valid_from", F.lit(vt).cast("timestamp"))
+            .withColumn("valid_to", F.lit(NEVER).cast("timestamp"))
+            .withColumn("tx_from", F.lit(now).cast("timestamp"))
+            .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
+            .withColumn("deleted", F.lit(False))
+        )
+        closed = self._close_current(docs.select("id").distinct(), vt, now)
+        return DocumentStore(closed.unionByName(new.select(closed.columns)), self._now)
+
+    def delete(self, ids: DataFrame, valid_time: _dt.datetime | None = None) -> "DocumentStore":
+        """Bitemporal delete (J5): append a tombstone version; the doc
+        vanishes from latest/as-of-after views but history remains."""
+        now = self._now()
+        vt = valid_time or now
+        payload_cols = [
+            c for c in self.versions.columns
+            if c not in {"id", "valid_from", "valid_to", "tx_from", "tx_to", "deleted"}
+        ]
+        tomb = ids.select("id")
+        for c in payload_cols:
+            tomb = tomb.withColumn(c, F.lit(None).cast(self.versions.schema[c].dataType))
+        tomb = (
+            tomb.withColumn("valid_from", F.lit(vt).cast("timestamp"))
+            .withColumn("valid_to", F.lit(NEVER).cast("timestamp"))
+            .withColumn("tx_from", F.lit(now).cast("timestamp"))
+            .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
+            .withColumn("deleted", F.lit(True))
+        )
+        closed = self._close_current(ids.select("id").distinct(), vt, now)
+        return DocumentStore(closed.unionByName(tomb.select(closed.columns)), self._now)
+
+    def match_put(self, docs: DataFrame, expected: DataFrame, on_payload: list[str]) -> "DocumentStore":
+        """Optimistic precondition (J3, utils/alert.clj:21-27): apply the
+        put only for ids whose *current* version matches ``expected`` on
+        the given payload columns — the reference's create-vs-update race
+        detection and alert claim. Implemented as a semi-join of the put
+        set against the matching current versions (no driver round-trip)."""
+        current = self.latest().select("id", *on_payload)
+        ok_ids = current.join(expected.select("id", *on_payload), on=["id", *on_payload], how="left_semi")
+        return self.put(docs.join(ok_ids.select("id"), on="id", how="left_semi"))
+
+    cas = match_put  # J4 compare-and-set (utils/auth.clj:139-146) — same mechanics
+
+    # -- internals -----------------------------------------------------
+    def _close_current(self, ids: DataFrame, vt, now) -> DataFrame:
+        """Close the open validity interval of each updated id (the
+        MERGE 'WHEN MATCHED' leg, expressed as a join so it distributes)."""
+        marked = self.versions.join(
+            ids.withColumnRenamed("id", "__uid"),
+            on=F.col("id") == F.col("__uid"),
+            how="left",
+        )
+        is_open = F.col("__uid").isNotNull() & (F.col("valid_to") == F.lit(NEVER))
+        return (
+            marked.withColumn(
+                "valid_to",
+                F.when(is_open, F.lit(vt).cast("timestamp")).otherwise(F.col("valid_to")),
+            )
+            .drop("__uid")
+        )
+
+    def compact(self) -> "DocumentStore":
+        """Materialize (localCheckpoint) the accumulated version log —
+        the stand-in for the periodic MERGE/rewrite job that would run
+        against a table format at cluster scale."""
+        return DocumentStore(self.versions.localCheckpoint(), self._now)

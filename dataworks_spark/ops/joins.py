@@ -1,0 +1,105 @@
+"""Join operators (SURVEY §2 C).
+
+The reference joins only through Datalog unification (shared logic
+variables across :where triple patterns, e.g.
+src/dataworks/utils/alert.clj:10-15, db/app_db.clj:128-132); the
+physical join choice was Crux's. Here the logical plan is declared with
+DataFrame joins and Catalyst/AQE picks broadcast / shuffled-hash /
+sort-merge, splits skewed partitions, and reorders with CBO.
+
+Scale notes (100 TB):
+  - dimension tables (region/nation/customer at TPC-H shape) are
+    broadcast — no shuffle of the fact table for enrichment joins;
+  - fact⋈fact equi-joins shuffle on the key once; chained joins on the
+    same key reuse the exchange;
+  - as-of joins avoid a cross-product by computing validity intervals
+    with one window pass, then a range-predicate join that AQE can
+    still broadcast when the versioned side is small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def star_join(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column | str]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Chain fact ⋈ dim1 ⋈ dim2 … (reference: multi-entity unification,
+    db/app_db.clj:128-132). Dimensions are broadcast by default so the
+    fact side never shuffles for enrichment."""
+    out = fact
+    for dim, on in dims:
+        right = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(right, on=on, how="inner")
+    return out
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
+    """EXISTS — reference ``not-empty`` on a query result
+    (collector.clj:69-82)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column | str | list[str]) -> DataFrame:
+    """NOT EXISTS — reference uniqueness check before insert
+    (utils/auth.clj:90-100, db/app_db.clj:71-77)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def point_lookup(df: DataFrame, id_col: str, key) -> DataFrame:
+    """Entity point lookup, ``crux/entity db eid``
+    (reference db/app_db.clj:45-48). The literal equality predicate is
+    pushed into the parquet scan (min/max + dictionary pruning)."""
+    return df.filter(F.col(id_col) == F.lit(key))
+
+
+def range_join(
+    left: DataFrame, right: DataFrame, condition: Column, how: str = "inner"
+) -> DataFrame:
+    """Theta/range-predicate join (reference: alert due-check range
+    predicate, utils/alert.clj:33-42 + demo-app-1.org:125-127)."""
+    return left.join(right, on=condition, how=how)
+
+
+def versions_with_validity(
+    df: DataFrame, key: str, ts: str, end_name: str = "valid_to", start_name: str = "valid_from"
+) -> DataFrame:
+    """Turn an append-only version log into interval rows:
+    valid_from = ts, valid_to = next version's ts (open-ended NULL for
+    the latest). One window pass — no self-join."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    return df.withColumn(start_name, F.col(ts)).withColumn(
+        end_name, F.lead(F.col(ts)).over(w)
+    )
+
+
+def asof_join(
+    fact: DataFrame,
+    versions: DataFrame,
+    fact_key: str,
+    version_key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Temporal point (as-of) join: for each fact row pick the dimension
+    version whose validity interval contains the fact timestamp —
+    the bitemporal arity of reference queries (db/app_db.clj:37-43).
+
+    Implemented as an equi-join on the entity key (shuffle on key, AQE
+    may broadcast the versioned side) plus interval containment, which
+    selects exactly one version per fact row because intervals produced
+    by :func:`versions_with_validity` partition the timeline."""
+    cond = (
+        (fact[fact_key] == versions[version_key])
+        & (fact[fact_ts] >= versions[valid_from])
+        & (versions[valid_to].isNull() | (fact[fact_ts] < versions[valid_to]))
+    )
+    return fact.join(versions, on=cond, how=how)

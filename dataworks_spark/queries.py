@@ -1,0 +1,759 @@
+"""Oracle-matched query inventory (SURVEY §2 / §7.3 driver contract).
+
+Each ``q_*`` builder takes ``(spark, sf_dir)`` and returns a DataFrame;
+``ORACLE_SQL`` holds the ANSI-SQL equivalent DuckDB runs on the same
+parquet (views pre-registered per table name). Conventions keeping the
+order-insensitive value-hash comparable across engines:
+
+  - every computed column is aliased identically in both engines;
+  - order-dependent float reductions (sum/avg over groups, running
+    sums, cosine scores) are ROUNDed in BOTH engines — partial
+    aggregation order differs between Spark and DuckDB in the last
+    ulp; per-row arithmetic is left raw (bit-identical IEEE ops);
+  - window orderings always include a unique tiebreaker column;
+  - count()/year()/… integer outputs are cast so both engines emit the
+    same integer width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataworks_spark import ops
+from dataworks_spark.docs.store import as_of_snapshot, latest_snapshot, version_log
+from dataworks_spark.functions.arrays import cosine_similarity, dot
+from dataworks_spark.ops.joins import asof_join, versions_with_validity
+from dataworks_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A8 / B1 / B2 — scan, filter, project
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_project(spark, sf_dir):
+    """Filter+project pushed into the parquet scan (SURVEY B1/B2;
+    reference map/filter transducers, stream.clj:41-48)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+# B3 — implicit nil-drop (reference composes (filter some?), stream.clj:47)
+
+def q_nil_drop(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .transform(lambda df: ops.nil_drop(df, ["prev_value"]))
+        .select("event_id", "user_id", "value", "prev_value")
+    )
+
+
+# B8 — entity point lookup (db/app_db.clj:45-48)
+
+def q_point_lookup(spark, sf_dir):
+    return ops.point_lookup(_t(spark, sf_dir, "customer"), "c_custkey", 42)
+
+
+# B7 — Datalog predicate filter (utils/auth.clj:92-96 starts-with)
+
+def q_pred_startswith(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").startswith("Customer#000000")).select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2/C3 — star join (multi-entity Datalog unification, db/app_db.clj:128-132)
+# ---------------------------------------------------------------------------
+
+def q_join_star(spark, sf_dir):
+    """Flagship: revenue by region/nation for 1996 orders. Dimensions
+    broadcast; the lineitem⋈orders join is the only fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    joined = ops.star_join(
+        li,
+        [
+            (o, F.col("l_orderkey") == F.col("o_orderkey")),
+            (_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")),
+            (_t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey")),
+            (_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# C6 — semi/anti join (collector.clj:69-82 existence; auth.clj:90-100 uniqueness)
+
+def q_join_semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    on = F.col("c_custkey") == F.col("o_custkey")
+    with_orders = (
+        ops.semi_join(c, o, on)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("with_orders"))
+    )
+    without = (
+        ops.anti_join(c, o, on)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tag", F.lit("no_orders"))
+    )
+    return with_orders.unionByName(without).select("tag", "c_mktsegment", "n")
+
+
+# C8 — as-of (temporal point) join (db/app_db.clj:37-43 bitemporal arity)
+
+def q_join_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    versions = versions_with_validity(
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        key="user_id",
+        ts="ts",
+    ).select(
+        F.col("user_id").alias("v_user_id"),
+        "valid_from",
+        "valid_to",
+        F.col("value").alias("asof_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return asof_join(
+        clicks, versions, fact_key="user_id", version_key="v_user_id", fact_ts="ts"
+    ).select("event_id", "user_id", "ts", "asof_value")
+
+
+# C9 — range predicate (alert due-check, utils/alert.clj:33-42)
+
+def q_range_due(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    due = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return ev.filter((F.col("ts") <= due) & (F.col("event_type") == "error")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+# C7 — lookup enrichment, stream×dimension (collectors.clj:9-12; batch analog)
+
+def q_join_enrich(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D — aggregations
+# ---------------------------------------------------------------------------
+
+def q_agg_grouped(spark, sf_dir):
+    """TPC-H Q1 shape (SURVEY D5): map-side partial agg shrinks the
+    shuffle to |groups|×|partitions| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def q_agg_exists(spark, sf_dir):
+    """Per-group existence/universal folds (D1/D3: reference not-empty /
+    every?)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.bool_or(F.col("c_acctbal") < 0).alias("has_negative"),
+        F.bool_and(F.col("c_acctbal") < 9900).alias("all_below_9900"),
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_agg_approx(spark, sf_dir):
+    """Approximate aggregates (D7) — HLL++/quantile-sketch values are
+    engine-specific, so this entry is rows-only checked (no oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E — windows
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = ops.rank_in_group(
+        li,
+        partition_by=["l_suppkey"],
+        order_by=[F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        name="rn",
+    )
+    return ranked.filter(F.col("rn") <= 3).select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn"
+    )
+
+
+def q_window_lag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ops.lag_lead(
+        ev,
+        col="value",
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        lag_name="prev_value",
+        lead_name="next_value",
+    ).select("event_id", "user_id", "value", "prev_value", "next_value")
+
+
+def q_window_running(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ops.running_agg(
+        ev,
+        agg_col=F.sum("value"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        name="running_value",
+    ).select("event_id", "user_id", F.round(F.col("running_value"), 4).alias("running_value"))
+
+
+def q_latest_per_key(spark, sf_dir):
+    """LWW latest document per key (E4; reference per-entity latest doc,
+    demo-app-1.org:99-104)."""
+    ev = _t(spark, sf_dir, "events")
+    return ops.latest_per_key(
+        ev, key=["user_id"], order_by=[F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "event_type", "value", "ts")
+
+
+# ---------------------------------------------------------------------------
+# F — sort / top-k
+# ---------------------------------------------------------------------------
+
+def q_sort_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return ops.top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# G — set ops (stream.clj:77 union; auth.clj:53 intersection; stream.clj:78 diff)
+# ---------------------------------------------------------------------------
+
+def q_set_union_intersect_except(spark, sf_dir):
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    u = ops.union_distinct(cn, sn).withColumn("tag", F.lit("union"))
+    i = ops.intersect_rows(cn, sn).withColumn("tag", F.lit("intersect"))
+    e = cn.subtract(sn).withColumn("tag", F.lit("except"))
+    return u.unionByName(i).unionByName(e).select("tag", "nk")
+
+
+# ---------------------------------------------------------------------------
+# H — scalar function library
+# ---------------------------------------------------------------------------
+
+def q_scalar_strings(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.col("c_name").contains("99").alias("has_99"),
+        F.col("c_name").startswith("Customer#0000000").alias("low_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
+        F.substring("c_name", 10, 5).alias("key_digits"),
+        F.split("c_name", "#").getItem(1).alias("key_part"),
+    )
+
+
+def q_scalar_time(spark, sf_dir):
+    """consume-time surface (H3; utils/time.clj:11-94)."""
+    o = _t(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")  # parquet ms → NTZ; unix_millis wants LTZ
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (ts + F.expr("INTERVAL 3 DAYS")).alias("plus_3d"),
+        F.unix_millis(ts).alias("epoch_ms"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+def q_scalar_json(spark, sf_dir):
+    """JSON decode (H4; reference cheshire JSON wire format,
+    utils/kafka.clj:121-128)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+def q_scalar_array(spark, sf_dir):
+    """Array/higher-order ops (H9) on the embedding column — JVM-side
+    zip_with/aggregate, no Python boundary."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.round(dot(emb, emb), 6).alias("norm_sq"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+# K3 — UDTF-ish flatMap (transducer mapcat slot, stream.clj:41-48)
+
+def q_explode_flatmap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — bitemporal document store
+# ---------------------------------------------------------------------------
+
+def _docs_from_events(spark, sf_dir):
+    """FIXTURES.md §2: derive a version log from events —
+    id = 'app/<user_id>', one version per event at its ts; 'error'
+    events act as delete tombstones for the delete-view query."""
+    ev = _t(spark, sf_dir, "events")
+    return version_log(
+        ev.select("user_id", "ts", "event_type", "value"),
+        id_col=F.concat(F.lit("app/"), F.col("user_id").cast("string")),
+        ts_col="ts",
+        tombstone=F.col("event_type") == "error",
+    )
+
+
+def q_bitemporal_asof(spark, sf_dir):
+    """As-of read (J7) at 2024-01-15: the version of each doc visible
+    then (db/app_db.clj:33-43)."""
+    docs = _docs_from_events(spark, sf_dir)
+    return as_of_snapshot(docs, "2024-01-15 00:00:00", include_deleted=True).select(
+        "id", "event_type", "value", "valid_from"
+    )
+
+
+def q_doc_delete_view(spark, sf_dir):
+    """Latest view after tombstones (J5): docs whose last version is a
+    delete vanish (utils/alert.clj:30-31 delete semantics)."""
+    docs = _docs_from_events(spark, sf_dir)
+    return latest_snapshot(docs).select("id", "event_type", "value", "valid_from")
+
+
+# C5 — recursive rule / transitive closure (db/app_db.clj:121-126)
+
+def q_recursive_closure(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    edges = p.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"), F.expr("p_partkey DIV 2").alias("dst")
+    )
+    closure = ops.transitive_closure(edges, "src", "dst")
+    return closure.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_reachable"), F.min("dst").alias("min_dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L — LLM-data-pipeline extensions
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup (L1): keep lowest doc_id per identical text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (L3 baseline): query = vec_id 0.
+    Ordering is on the ROUNDED score + vec_id so both engines pick an
+    identical, deterministic top set."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    return ops.top_k(scored, order_by=[F.col("cos_sim").desc(), F.col("vec_id")], k=10)
+
+
+def q_text_stats(spark, sf_dir):
+    """Text-analysis stats per language (L4)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_token_join(spark, sf_dir):
+    """Similarity/text join (L6): token-overlap + Jaccard between
+    low-id document pairs via explode→equi-join→group."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).dropDuplicates()
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    a = tokens.select(F.col("doc_id").alias("doc_a"), "token")
+    b = tokens.select(F.col("doc_id").alias("doc_b"), "token")
+    overlap = (
+        a.join(b, on="token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb"))
+    return (
+        overlap.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("overlap") >= 5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            F.round(F.col("overlap") / (F.col("na") + F.col("nb") - F.col("overlap")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# I10 batch twin — tumbling event-time window
+
+def q_events_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "q_scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               l_extendedprice * (1 - l_discount) AS disc_price
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+    "q_nil_drop": """
+        SELECT event_id, user_id, value, prev_value FROM (
+          SELECT event_id, user_id, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+          FROM events) t
+        WHERE prev_value IS NOT NULL
+    """,
+    "q_point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
+    "q_pred_startswith": """
+        SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#000000%'
+    """,
+    "q_join_star": """
+        SELECT r_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY r_name, n_name
+    """,
+    "q_join_semi_anti": """
+        SELECT 'with_orders' AS tag, c_mktsegment, COUNT(*) AS n
+        FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'no_orders' AS tag, c_mktsegment, COUNT(*) AS n
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "q_join_asof": """
+        WITH v AS (
+          SELECT user_id AS v_user_id, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+                 value AS asof_value
+          FROM events WHERE event_type = 'purchase')
+        SELECT f.event_id, f.user_id, f.ts, v.asof_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') f
+        JOIN v ON f.user_id = v.v_user_id
+              AND f.ts >= v.valid_from
+              AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    """,
+    "q_range_due": """
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'error'
+    """,
+    "q_join_enrich": """
+        SELECT c_mktsegment, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+    """,
+    "q_agg_grouped": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_distinct": """
+        SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "q_agg_exists": """
+        SELECT c_nationkey, bool_or(c_acctbal < 0) AS has_negative,
+               bool_and(c_acctbal < 9900) AS all_below_9900
+        FROM customer GROUP BY c_nationkey
+    """,
+    "q_agg_rollup": """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_window_rank": """
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+          FROM lineitem) t
+        WHERE rn <= 3
+    """,
+    "q_window_lag": """
+        SELECT event_id, user_id, value,
+               lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        FROM events
+    """,
+    "q_window_running": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        FROM events
+    """,
+    "q_latest_per_key": """
+        SELECT user_id, event_id, event_type, value, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1
+    """,
+    "q_sort_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q_set_union_intersect_except": """
+        SELECT 'union' AS tag, nk FROM (
+          SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier) u
+        UNION ALL
+        SELECT 'intersect' AS tag, nk FROM (
+          SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier) i
+        UNION ALL
+        SELECT 'except' AS tag, nk FROM (
+          SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier) e
+    """,
+    "q_scalar_strings": """
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               LOWER(c_mktsegment) AS seg_lower,
+               CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+               c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key,
+               contains(c_name, '99') AS has_99,
+               c_name LIKE 'Customer#0000000%' AS low_key,
+               REPLACE(c_name, 'Customer', 'C') AS short_name,
+               SUBSTRING(c_name, 10, 5) AS key_digits,
+               string_split(c_name, '#')[2] AS key_part
+        FROM customer
+    """,
+    "q_scalar_time": """
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 3 DAY AS plus_3d,
+               epoch_ms(o_orderdate) AS epoch_ms,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER)
+                 AS days_to_y2k
+        FROM orders
+    """,
+    "q_scalar_json": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        FROM events
+    """,
+    "q_scalar_array": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               embedding[1] AS first_val,
+               ROUND(list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS norm_sq,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+        FROM embeddings
+    """,
+    "q_explode_flatmap": """
+        SELECT lang, token, COUNT(*) AS n FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY lang, token
+    """,
+    "q_bitemporal_asof": """
+        SELECT id, event_type, value, valid_from FROM (
+          SELECT 'app/' || CAST(user_id AS VARCHAR) AS id, event_type, value,
+                 ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+          FROM events) t
+        WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+    """,
+    "q_doc_delete_view": """
+        SELECT id, event_type, value, valid_from FROM (
+          SELECT 'app/' || CAST(user_id AS VARCHAR) AS id, event_type, value,
+                 ts AS valid_from,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "q_recursive_closure": """
+        WITH RECURSIVE e AS (
+          SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part WHERE p_partkey >= 2
+        ), c(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT c.src, e.dst FROM c JOIN e ON c.dst = e.src
+        )
+        SELECT src, COUNT(*) AS n_reachable, MIN(dst) AS min_dst FROM c GROUP BY src
+    """,
+    "q_dedup_exact": """
+        SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "q_cosine_topk": """
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               ROUND(
+                 list_aggregate(list_transform(list_zip(embedding, qvec),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (SQRT(list_aggregate(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * SQRT(list_aggregate(list_transform(qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "q_text_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 6) AS avg_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+    """,
+    "q_token_join": """
+        WITH tok AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id < 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+        overlap AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+          FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, overlap,
+               ROUND(overlap / (sa.n_tokens + sb.n_tokens - overlap), 6) AS jaccard
+        FROM overlap
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE overlap >= 5
+    """,
+    "q_events_tumbling": """
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,92 @@
+"""SparkSession factory and fixture loaders.
+
+Local test harness runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+configs below are chosen so the same code scales to a multi-executor
+cluster: AQE for runtime re-planning (skew joins, partition coalescing),
+shuffle partitions sized to the environment, Arrow enabled for the few
+Pandas-UDF code paths, and UTC session time so results are comparable
+with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+#: every fixture table (TESTDATA.md); one parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or get) the engine SparkSession.
+
+    At cluster scale the same settings apply; only ``master`` changes.
+    AQE is load-bearing for the 100 TB design: runtime skew-join
+    splitting and post-shuffle coalescing replace hand-tuned partition
+    counts.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan (SURVEY §2 A8): Catalyst pushes filters and
+    prunes columns, so callers should express predicates declaratively
+    rather than pre-materializing.
+
+    The events fixture stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and convert to a microsecond
+    TimestampType (same floor-truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay exact)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
