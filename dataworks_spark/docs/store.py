@@ -63,13 +63,17 @@ def version_log(
         .withColumn("tx_to", F.lit(NEVER))
         .withColumn("deleted", tombstone if tombstone is not None else F.lit(False))
     )
-    return out
+    return out.drop(ts_col)  # superseded by valid_from/tx_from
 
 
 def _visible(vt: Column, tt: Column | None = None) -> Column:
     cond = (F.col("valid_from") <= vt) & (vt < F.col("valid_to"))
     if tt is not None:
         cond = cond & (F.col("tx_from") <= tt) & (tt < F.col("tx_to"))
+    else:
+        # no tx coordinate = current knowledge: only rows never
+        # superseded by a later transaction
+        cond = cond & (F.col("tx_to") == F.lit(NEVER))
     return cond
 
 
@@ -101,7 +105,11 @@ def latest_snapshot(versions: DataFrame, include_deleted: bool = False) -> DataF
         F.col("valid_from").desc(), F.col("tx_from").desc()
     )
     snap = (
-        versions.withColumn("__rn", F.row_number().over(w))
+        versions.filter(
+            (F.col("tx_to") == F.lit(NEVER))  # current knowledge
+            & (F.col("valid_from") < F.col("valid_to"))  # non-degenerate interval
+        )
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -191,21 +199,40 @@ class DocumentStore:
 
     # -- internals -----------------------------------------------------
     def _close_current(self, ids: DataFrame, vt, now) -> DataFrame:
-        """Close the open validity interval of each updated id (the
-        MERGE 'WHEN MATCHED' leg, expressed as a join so it distributes)."""
+        """Close each updated id's open version bitemporally (the MERGE
+        'WHEN MATCHED' leg, expressed as joins so it distributes):
+
+        1. *retire* the old row — end its tx interval at ``now`` (what
+           we believed until this transaction stays queryable at
+           earlier tx coordinates, J7);
+        2. *re-assert* it with validity shortened to end at ``vt``,
+           known from ``now`` on.
+
+        This is what Crux's history index does implicitly; append-only
+        rows keep the 100 TB write path a blind append + periodic
+        compaction, never an in-place update."""
         marked = self.versions.join(
             ids.withColumnRenamed("id", "__uid"),
             on=F.col("id") == F.col("__uid"),
             how="left",
         )
-        is_open = F.col("__uid").isNotNull() & (F.col("valid_to") == F.lit(NEVER))
-        return (
-            marked.withColumn(
-                "valid_to",
-                F.when(is_open, F.lit(vt).cast("timestamp")).otherwise(F.col("valid_to")),
-            )
+        is_open = (
+            F.col("__uid").isNotNull()
+            & (F.col("valid_to") == F.lit(NEVER))
+            & (F.col("tx_to") == F.lit(NEVER))
+        )
+        retired = marked.withColumn(
+            "tx_to",
+            F.when(is_open, F.lit(now).cast("timestamp")).otherwise(F.col("tx_to")),
+        ).drop("__uid")
+        corrected = (
+            marked.filter(is_open)
+            .withColumn("valid_to", F.lit(vt).cast("timestamp"))
+            .withColumn("tx_from", F.lit(now).cast("timestamp"))
+            .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
             .drop("__uid")
         )
+        return retired.unionByName(corrected)
 
     def compact(self) -> "DocumentStore":
         """Materialize (localCheckpoint) the accumulated version log —

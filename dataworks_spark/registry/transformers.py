@@ -1,0 +1,99 @@
+"""Transformer registry — named pure functions, hot-swappable (SURVEY §2 K1/K2).
+
+Reference: a `transformer-map` atom of name → eval'd fn
+(src/dataworks/transformers.clj:13-40); the `transformers` macro splices
+named fns into any stored function's scope; updates swap the atom and
+propagate cluster-wide over the control topic
+(transformer.clj:31-46,82-100).
+
+Spark design: arbitrary remote `eval` is replaced by three function
+kinds, all registered under a name with a version counter (the control
+topic sequence analog):
+
+  column   — Column-expression builder (JVM-side, codegen'd; the fast
+             path the reference can't have)
+  pandas   — vectorized Arrow-batched Pandas UDF (the slow-path
+             escape hatch; ~10-100× faster than row-at-a-time)
+  python   — row-at-a-time Python UDF (discouraged; parity with the
+             reference's per-message fn)
+
+Hot-swap = re-register under the same name (K1: swap the atom); version
+bumps let running graphs detect staleness and restart (I7).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Transformer:
+    name: str
+    kind: str  # 'column' | 'pandas' | 'python'
+    fn: Callable
+    returns: str = "string"
+    version: int = 1
+
+
+class TransformerRegistry:
+    def __init__(self, spark=None):
+        self._spark = spark
+        self._fns: dict[str, Transformer] = {}
+        self._lock = threading.RLock()
+
+    # -- registration (transformer.clj:31-39 add-transformer!) ---------
+    def register_column(self, name: str, fn: Callable[..., Column]) -> Transformer:
+        """Register a Column-expression transformer: (Column…)→Column.
+        Stays inside whole-stage codegen — the preferred kind."""
+        return self._put(name, "column", fn)
+
+    def register_pandas(self, name: str, fn: Callable, returns: str) -> Transformer:
+        """Register a vectorized Pandas UDF ((pd.Series…)→pd.Series)."""
+        return self._put(name, "pandas", fn, returns)
+
+    def register_python(self, name: str, fn: Callable, returns: str) -> Transformer:
+        """Row-at-a-time Python UDF — parity with the reference's
+        per-message fns (K2); avoid in hot paths."""
+        return self._put(name, "python", fn, returns)
+
+    def _put(self, name: str, kind: str, fn: Callable, returns: str = "string") -> Transformer:
+        with self._lock:
+            version = self._fns[name].version + 1 if name in self._fns else 1
+            t = Transformer(name, kind, fn, returns, version)
+            self._fns[name] = t  # hot-swap: latest wins (ReadMe.org:64)
+            return t
+
+    # -- lookup / application (transformers.clj:16-24 transform) --------
+    def get(self, name: str) -> Transformer:
+        with self._lock:
+            if name not in self._fns:
+                raise KeyError(f"no transformer {name!r} registered")
+            return self._fns[name]
+
+    def version(self, name: str) -> int:
+        return self.get(name).version
+
+    def column(self, name: str, *cols: Column | str) -> Column:
+        """Resolve a transformer to a Column expression."""
+        t = self.get(name)
+        cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+        if t.kind == "column":
+            return t.fn(*cols)
+        if t.kind == "pandas":
+            udf = F.pandas_udf(t.fn, t.returns)
+            return udf(*cols)
+        udf = F.udf(t.fn, t.returns)
+        return udf(*cols)
+
+    def apply(self, df: DataFrame, name: str, out_col: str, *in_cols: str) -> DataFrame:
+        """Apply by name — `(transform :name …)` (transformers.clj:16-24)."""
+        return df.withColumn(out_col, self.column(name, *in_cols))
+
+    def names(self) -> list[str]:
+        with self._lock:
+            return sorted(self._fns)

@@ -1,0 +1,224 @@
+"""Stream graph: named nodes + edges + fan-out + hot-swap (SURVEY §2 I).
+
+Reference model (src/dataworks/streams.clj:15-19,
+utils/stream.clj:11-17,45-53,86-102): a `nodes` map (name → channel
+node with optional transducer), an `edges` vector of
+[upstream downstream] pairs, wiring by tapping the upstream's `mult`
+(fan-out without copy) into each downstream's input, and cluster-wide
+hot-swap of a node's transducer by re-publishing its stored-function
+document (stream.clj:117-152, app_graph.clj:21-51) with
+old-before/new-after message semantics (ReadMe.org:64).
+
+Spark mapping:
+  node           = a named OpChain (+ optional windowed aggregation)
+  edge           = DataFrame composition: downstream's input is the
+                   union of its upstreams' outputs
+  fan-out (I3)   = multiple downstreams referencing one node's output
+                   (one source, N independent sinks — in streaming each
+                   sink is its own query over the shared lineage)
+  error node(I5) = per-node quarantine predicate routing bad rows to a
+                   dead-letter sink instead of killing the query
+  hot-swap (I1/I7) = swap the node's OpChain in the registry, stop the
+                   affected queries at a batch boundary, restart from
+                   checkpoint — exactly the documented
+                   old-before/new-after boundary
+  delivery (I6)  = checkpointed source offsets + idempotent/
+                   transactional sinks = exactly-once within Spark, a
+                   strict upgrade over the reference's at-least-once
+                   auto-commit (utils/kafka.clj:84-85).
+
+Batch/stream duality: `build(name, inputs)` composes pure DataFrame
+transforms, so the same graph runs on static DataFrames (oracle tests)
+and on readStream sources (runtime).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataworks_spark.streaming.transforms import OpChain
+
+
+@dataclass
+class Node:
+    """A stream node (reference stream.clj:117-133 stored-function doc).
+
+    ``quarantine`` is the error-handler analog (I5): rows matching it
+    are diverted to the node's dead-letter output instead of flowing
+    downstream (the reference attaches an exception handler fn to the
+    channel, stream.clj:50-57 — with declarative chains, failures are
+    data-dependent and expressible as a predicate).
+    """
+
+    name: str
+    chain: OpChain = field(default_factory=OpChain)
+    upstreams: list[str] = field(default_factory=list)
+    quarantine: object | None = None  # Column predicate → dead-letter
+
+
+class StreamGraph:
+    """Registry of nodes + edges with hot-swap (SURVEY §3.3)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._nodes: dict[str, Node] = {}
+        self._sources: dict[str, Callable[[], DataFrame]] = {}
+        self._queries: dict[str, object] = {}  # name → StreamingQuery
+        self._dead_letters: dict[str, DataFrame] = {}
+        self._lock = threading.RLock()
+        self._epoch = 0  # bumped on every swap (control-topic analog)
+
+    # -- topology (stream.clj:117-152 create/update) -------------------
+    def add_source(self, name: str, df_factory: Callable[[], DataFrame]) -> None:
+        """A source node: kafka readStream, rate, file, or a static
+        DataFrame factory for batch twins (A1/A8)."""
+        with self._lock:
+            self._sources[name] = df_factory
+
+    def add_node(self, node: Node) -> None:
+        with self._lock:
+            self._nodes[node.name] = node
+
+    def swap_node(self, name: str, chain: OpChain, quarantine=None) -> int:
+        """Hot-swap a node's logic (I1/I7). Running queries over this
+        node must be restarted (see :meth:`restart`) — messages
+        processed before the restart batch boundary used the old chain,
+        after it the new one (ReadMe.org:64 semantics). Returns the new
+        epoch (the control-topic sequence number analog,
+        app_graph.clj:21-51).
+
+        Caveat: if the new chain changes the node's *output schema*,
+        restart against a fresh sink path (or a schema-evolving sink) —
+        appending a different schema to one parquet directory leaves
+        mixed footers that confuse later reads."""
+        with self._lock:
+            old = self._nodes[name]
+            self._nodes[name] = Node(name, chain, old.upstreams, quarantine)
+            self._epoch += 1
+            return self._epoch
+
+    def downstream_subgraph(self, name: str) -> set[str]:
+        """Nodes reachable from ``name`` (reference query-graph walk,
+        utils/stream.clj:26-43) — the set whose queries a swap must
+        restart."""
+        out: set[str] = set()
+        frontier = {name}
+        while frontier:
+            nxt = {
+                n.name
+                for n in self._nodes.values()
+                if any(u in frontier for u in n.upstreams)
+            } - out
+            out |= frontier
+            frontier = nxt
+        return out
+
+    # -- plan building (batch + streaming twins) ------------------------
+    def build(self, name: str, _visiting: frozenset = frozenset()) -> DataFrame:
+        """Compose the DataFrame for a node's output: union of upstream
+        outputs → quarantine split → op-chain. Pure; works on both
+        static and streaming inputs."""
+        if name in _visiting:
+            raise ValueError(f"cycle through node {name}")
+        with self._lock:
+            if name in self._sources and name not in self._nodes:
+                return self._sources[name]()
+            node = self._nodes[name]
+        ups = [self.build(u, _visiting | {name}) for u in (node.upstreams or [])]
+        if not ups:
+            raise ValueError(f"node {name} has no upstreams")
+        df = ups[0]
+        for other in ups[1:]:
+            df = df.unionByName(other)  # tap/mult merge (I3)
+        if node.quarantine is not None:
+            self._dead_letters[name] = df.filter(node.quarantine)
+            df = df.filter(~node.quarantine)
+        return node.chain(df)
+
+    def dead_letter(self, name: str) -> DataFrame | None:
+        """The node's dead-letter stream (I5) — route to a DLQ sink."""
+        return self._dead_letters.get(name)
+
+    # -- execution -------------------------------------------------------
+    def start(
+        self,
+        name: str,
+        sink_format: str = "memory",
+        output_mode: str = "append",
+        checkpoint: str | None = None,
+        query_name: str | None = None,
+        **sink_options,
+    ):
+        """Start a streaming query materializing node ``name`` (one
+        query per sink = reference fan-out where each tap is an
+        independent consumer, I3)."""
+        df = self.build(name)
+        writer = (
+            df.writeStream.format(sink_format)
+            .outputMode(output_mode)
+            .queryName(query_name or name)
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        for k, v in sink_options.items():
+            writer = writer.option(k, v)
+        q = writer.start()
+        with self._lock:
+            self._queries[name] = q
+        return q
+
+    def start_foreach_batch(self, name: str, fn, checkpoint: str | None = None):
+        """foreachBatch sink — the transactor attachment point (K4):
+        side effects happen per micro-batch, never inside column
+        expressions (reference transact! is async fire-and-forget,
+        transactors.clj:15-19)."""
+        df = self.build(name)
+        writer = df.writeStream.foreachBatch(fn)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        with self._lock:
+            self._queries[name] = q
+        return q
+
+    def restart(self, name: str, **start_kwargs):
+        """Stop at a batch boundary and restart from checkpoint — the
+        hot-swap activation step (I1). With a checkpointed source the
+        restarted query resumes at the exact offset the old logic
+        stopped, giving old-before/new-after semantics."""
+        with self._lock:
+            q = self._queries.pop(name, None)
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
+        return self.start(name, **start_kwargs)
+
+    def stop_all(self) -> None:
+        with self._lock:
+            qs = list(self._queries.values())
+            self._queries.clear()
+        for q in qs:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
+def tumbling_window_agg(ts_col: str, duration: str, keys: list[str], aggs: list, watermark: str | None = None):
+    """Graph-level event-time windowed aggregation step (I10): returns a
+    DataFrame→DataFrame stage for OpChain.then(). Late data beyond the
+    watermark is dropped (the reference is processing-time only and
+    captures-but-ignores event time, utils/kafka.clj:97-99 — this is the
+    mandated extension)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        if watermark and df.isStreaming:
+            df = df.withWatermark(ts_col, watermark)
+        return df.groupBy(F.window(ts_col, duration).alias("win"), *keys).agg(*aggs)
+
+    return stage

@@ -1,0 +1,100 @@
+"""Kafka source/sink builders (SURVEY §2 A1-A3, I6, I8).
+
+The reference consumes topics with group.id ``dataworks/<name>`` (work
+partitioning across nodes, utils/kafka.clj:81), offset=latest,
+at-least-once auto-commit (utils/kafka.clj:84-85,106-110), and produces
+EDN/JSON-serialized messages (utils/kafka.clj:140-149). Spark's Kafka
+source checkpoint gives exactly-once within the pipeline — a strict
+upgrade (SURVEY I6) — and Kafka partitions map to Spark tasks (I8).
+
+The test container has no Kafka broker or spark-sql-kafka jar, so these
+builders are exercised for their *plans/options* in unit tests and the
+full path is gated behind broker availability. The record schema the
+reference uses ({key value timestamp topic}, utils/kafka.clj:93-100) is
+near-isomorphic to Spark's fixed Kafka schema.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def kafka_source_options(
+    topic: str, brokers: str, group_prefix: str = "dataworks", starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """Reference consumer-instance config (utils/kafka.clj:72-91):
+    group.id dataworks/<name>, offset latest on (re)subscribe."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "kafka.group.id": f"{group_prefix}/{topic}",
+        "failOnDataLoss": "false",
+    }
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    brokers: str,
+    value_schema: StructType | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka topic → streaming DataFrame with the reference's message
+    shape {key value timestamp topic} (consume-record,
+    utils/kafka.clj:93-100). JSON values decode via from_json when a
+    schema is given. maxOffsetsPerTrigger is the backpressure analog of
+    the reference's channel buffers (I2) — bounded, but lossless."""
+    opts = kafka_source_options(topic, brokers)
+    reader = spark.readStream.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load()
+    out = raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("timestamp"),
+        F.col("topic").alias("topic"),
+    )
+    if value_schema is not None:
+        out = out.withColumn("value", F.from_json("value", value_schema))
+    return out
+
+
+def write_kafka_stream(
+    df: DataFrame, topic: str, brokers: str, checkpoint: str, key_col: str | None = None
+):
+    """Streaming sink → Kafka topic (produce! go-loop analog,
+    utils/stream.clj:80-85): serialize all non-key columns as a JSON
+    value (the reference's JSON wire format, utils/kafka.clj:121-128)."""
+    value_cols = [c for c in df.columns if c != key_col]
+    out = df.select(
+        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
+        F.to_json(F.struct(*value_cols)).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def topic_admin_config(partitions: int = 6, replication: int = 3) -> dict:
+    """Topic auto-create defaults (A3, utils/kafka.clj:58-70): 6
+    partitions / RF 3 in prod, 1/1 embedded. Control-plane concern —
+    returned as config for an external AdminClient."""
+    return {"num.partitions": partitions, "replication.factor": replication}
+
+
+def encode_json_value(record: dict) -> str:
+    """Driver-side JSON encoder matching the reference's cheshire
+    serializer with time encoders (utils/time.clj:8-9)."""
+    return json.dumps(record, default=str, separators=(",", ":"))

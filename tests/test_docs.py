@@ -1,0 +1,92 @@
+"""Bitemporal document-store tests (SURVEY §5.4): put / future-put /
+match / cas / delete / as-of / latest semantics against a brute-force
+timeline interpretation."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_spark.docs.store import DocumentStore, version_log
+from dataworks_spark.functions.timeops import NEVER
+
+
+def _store(spark, rows, now):
+    """Fresh store whose clock we control."""
+    df = spark.createDataFrame(rows, "id string, body string")
+    clock = {"now": now}
+    s = DocumentStore(
+        version_log(df.withColumn("ts", F.lit(now).cast("timestamp")), "id", "ts"),
+        now_fn=lambda: clock["now"],
+    )
+    return s, clock
+
+
+T0 = dt.datetime(2024, 1, 1)
+T1 = dt.datetime(2024, 2, 1)
+T2 = dt.datetime(2024, 3, 1)
+T3 = dt.datetime(2024, 4, 1)
+
+
+def test_put_lww_and_asof(spark):
+    """J1: a later put supersedes in latest view; as-of the past still
+    sees the old version (db/app_db.clj:33-43)."""
+    s, clock = _store(spark, [("user/alice", "v1")], T0)
+    clock["now"] = T1
+    docs = spark.createDataFrame([("user/alice", "v2")], "id string, body string")
+    s2 = s.put(docs)
+    assert s2.latest().select("body").collect()[0][0] == "v2"
+    assert s2.as_of(T0).select("body").collect()[0][0] == "v1"
+    assert s2.entity("user/alice").select("body").collect()[0][0] == "v2"
+
+
+def test_future_dated_put(spark):
+    """J2 (demo-app-1.org:125-127): a put with future valid-time is
+    invisible until that time arrives."""
+    s, clock = _store(spark, [("app/alert", "pending")], T0)
+    clock["now"] = T1
+    docs = spark.createDataFrame([("app/alert", "due!")], "id string, body string")
+    s2 = s.put(docs, valid_time=T2)  # visible only from T2
+    assert s2.as_of(T1).select("body").collect()[0][0] == "pending"
+    assert s2.as_of(T2).select("body").collect()[0][0] == "due!"
+
+
+def test_delete_tombstone(spark):
+    """J5: delete hides from latest but history survives as-of."""
+    s, clock = _store(spark, [("user/bob", "hello")], T0)
+    clock["now"] = T1
+    s2 = s.delete(spark.createDataFrame([("user/bob",)], "id string"))
+    assert s2.latest().count() == 0
+    assert s2.as_of(T0).select("body").collect()[0][0] == "hello"
+
+
+def test_match_put_optimistic_concurrency(spark):
+    """J3/J4: the put applies only where the current version matches
+    the expected payload (alert claim race, utils/alert.clj:20-31)."""
+    s, clock = _store(spark, [("a", "x"), ("b", "y")], T0)
+    clock["now"] = T1
+    new = spark.createDataFrame([("a", "x2"), ("b", "y2")], "id string, body string")
+    expected = spark.createDataFrame([("a", "x"), ("b", "WRONG")], "id string, body string")
+    s2 = s.match_put(new, expected, on_payload=["body"])
+    latest = {r.id: r.body for r in s2.latest().collect()}
+    assert latest == {"a": "x2", "b": "y"}  # b's match failed → untouched
+
+
+def test_bitemporal_tx_vs_valid_time(spark):
+    """J7: retroactive put — valid-time in the past, tx-time now. As-of
+    (vt=T0, tt=T0) shows the original; (vt=T0, tt=now) shows the
+    correction."""
+    s, clock = _store(spark, [("doc", "original")], T0)
+    clock["now"] = T2
+    correction = spark.createDataFrame([("doc", "corrected")], "id string, body string")
+    s2 = s.put(correction, valid_time=T0 + dt.timedelta(days=1))
+    # at tx-time T0 the correction hadn't been transacted yet
+    assert s2.as_of(T1, tx_time=T0).select("body").collect()[0][0] == "original"
+    # at tx-time now, valid-time T1 sees the correction
+    assert s2.as_of(T1, tx_time=T2).select("body").collect()[0][0] == "corrected"
+
+
+def test_version_log_never_sentinel(spark):
+    s, _ = _store(spark, [("x", "v")], T0)
+    row = s.versions.collect()[0]
+    assert row.valid_to == NEVER and row.tx_to == NEVER

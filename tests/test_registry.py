@@ -1,0 +1,86 @@
+"""Registry tests (SURVEY §2 K1/K2/K4, I9): transformer hot-swap,
+column/pandas/python kinds, transactor fire-and-forget, alert
+scheduler claim→fire→delete."""
+
+import datetime as dt
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dataworks_spark.docs.store import DocumentStore, version_log
+from dataworks_spark.registry.alerts import AlertScheduler
+from dataworks_spark.registry.transactors import TransactorRegistry
+from dataworks_spark.registry.transformers import TransformerRegistry
+from dataworks_spark.streaming.transforms import OpChain
+
+
+def test_transformer_kinds_and_hot_swap(spark):
+    reg = TransformerRegistry(spark)
+    df = spark.range(3).withColumnRenamed("id", "x")
+
+    reg.register_column("inc", lambda c: c + 1)  # ReadMe.org:44 (map inc)
+    assert sorted(r.y for r in reg.apply(df, "inc", "y", "x").collect()) == [1, 2, 3]
+    assert reg.version("inc") == 1
+
+    # hot-swap: same name, new logic (transformers.clj:31-40 swap)
+    reg.register_column("inc", lambda c: c + 10)
+    assert sorted(r.y for r in reg.apply(df, "inc", "y", "x").collect()) == [10, 11, 12]
+    assert reg.version("inc") == 2
+
+    reg.register_pandas("double", lambda s: s * 2, "long")
+    assert sorted(r.y for r in reg.apply(df, "double", "y", "x").collect()) == [0, 2, 4]
+
+    reg.register_python("as_str", lambda v: f"v{v}", "string")
+    assert sorted(r.y for r in reg.apply(df, "as_str", "y", "x").collect()) == ["v0", "v1", "v2"]
+
+
+def test_opchain_udf_resolves_lazily(spark):
+    """An OpChain referencing a named transformer picks up the
+    hot-swapped definition on rebuild (I7 re-eval on change)."""
+    reg = TransformerRegistry(spark)
+    reg.register_column("score", lambda c: c * 1)
+    df = spark.range(2).withColumnRenamed("id", "x")
+    chain = OpChain().udf(reg, "score", "s", "x")
+    assert sorted(r.s for r in chain(df).collect()) == [0, 1]
+    reg.register_column("score", lambda c: c * 100)
+    assert sorted(r.s for r in chain(df).collect()) == [0, 100]
+
+
+def test_transactor_fire_and_forget():
+    reg = TransactorRegistry()
+    fired = []
+    reg.register("notify", lambda *a: fired.append(a))  # Twilio demo analog
+    fut = reg.transact("notify", "hello", 42)
+    fut.result(timeout=5)
+    assert fired == [("hello", 42)]
+    assert reg.log == [("notify", ("hello", 42))]
+
+
+def test_alert_scheduler_claim_fire_delete(spark):
+    """I9 (utils/alert.clj:9-51): due alerts are claimed, handlers
+    fired, docs deleted; not-yet-due alerts stay."""
+    t0 = dt.datetime(2024, 1, 1)
+    t_due = dt.datetime(2024, 1, 2)
+    t_future = dt.datetime(2024, 6, 1)
+    rows = [
+        ("alert/1", "alert", "notify", "params-1", False, t0),
+        ("alert/2", "alert", "notify", "params-2", False, t_future),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, doc_type string, handler string, params string, claimed boolean, ts timestamp"
+    )
+    store = DocumentStore(version_log(df, "id", "ts"), now_fn=lambda: t_due)
+    trans = TransactorRegistry()
+    fired = []
+    trans.register("notify", lambda p: fired.append(p))
+
+    sched = AlertScheduler(store, trans, now_fn=lambda: t_due)
+    assert sched.tick() == 1
+    time.sleep(0.2)
+    assert fired == ["params-1"]
+    # alert/1 deleted; alert/2 not yet visible (future valid-time J2)
+    remaining = {r.id for r in sched.store.latest().collect()}
+    assert "alert/1" not in remaining
+    # second tick fires nothing (claim-once)
+    assert sched.tick() == 0

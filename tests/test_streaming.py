@@ -1,0 +1,168 @@
+"""Streaming-runtime tests (SURVEY §5.3): op-chains, graph wiring,
+fan-out, dead-letter, hot-swap boundary semantics (old-before /
+new-after, ReadMe.org:64), nil-drop, event-time windows."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_spark.session import load_table
+from dataworks_spark.streaming.graph import Node, StreamGraph, tumbling_window_agg
+from dataworks_spark.streaming.kafka import encode_json_value, kafka_source_options
+from dataworks_spark.streaming.transforms import OpChain
+
+
+@pytest.fixture
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_opchain_map_filter_nil_drop(spark):
+    """The ReadMe's canonical pipeline: (comp (map :value) (map inc))
+    with implicit (filter some?) (ReadMe.org:44-45, stream.clj:47)."""
+    df = spark.createDataFrame([(1,), (2,), (None,)], "value int")
+    chain = OpChain().map(incremented=F.col("value") + 1).select("incremented")
+    out = chain(df).collect()
+    assert sorted(r.incremented for r in out) == [2, 3]  # nil dropped
+
+
+def test_opchain_flatmap(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    chain = OpChain().map(tokens=F.split("text", " ")).flatmap(F.col("tokens"), "token")
+    assert sorted(r.token for r in chain(df).collect()) == ["a", "b"]
+
+
+def test_graph_batch_twin_and_fanout(spark, events):
+    """One source, two downstream nodes (mult/tap fan-out, I3)."""
+    g = StreamGraph(spark)
+    g.add_source("ingest", lambda: events)
+    g.add_node(Node("errors", OpChain().filter(F.col("event_type") == "error"), ["ingest"]))
+    g.add_node(Node("purchases", OpChain().filter(F.col("event_type") == "purchase"), ["ingest"]))
+    n_err = g.build("errors").count()
+    n_pur = g.build("purchases").count()
+    total = events.count()
+    assert 0 < n_err < total and 0 < n_pur < total
+
+
+def test_graph_dead_letter(spark, events):
+    """Error-handler quarantine (I5): bad rows diverted, not dropped."""
+    g = StreamGraph(spark)
+    g.add_source("ingest", lambda: events)
+    g.add_node(
+        Node(
+            "clean",
+            OpChain().select("event_id", "value"),
+            ["ingest"],
+            quarantine=F.col("value") < 0,
+        )
+    )
+    ok = g.build("clean").count()
+    dlq = g.dead_letter("clean")
+    bad = dlq.count() if dlq is not None else 0
+    assert ok + bad == events.count()
+
+
+def test_graph_downstream_subgraph(spark):
+    g = StreamGraph(spark)
+    g.add_source("src", lambda: None)
+    g.add_node(Node("a", OpChain(), ["src"]))
+    g.add_node(Node("b", OpChain(), ["a"]))
+    g.add_node(Node("c", OpChain(), ["b"]))
+    g.add_node(Node("other", OpChain(), ["src"]))
+    assert g.downstream_subgraph("a") == {"a", "b", "c"}
+
+
+def test_graph_cycle_detection(spark):
+    g = StreamGraph(spark)
+    g.add_node(Node("x", OpChain(), ["y"]))
+    g.add_node(Node("y", OpChain(), ["x"]))
+    with pytest.raises(ValueError, match="cycle"):
+        g.build("x")
+
+
+def test_streaming_query_and_hot_swap(spark, events, tmp_path):
+    """Run the graph as a real streaming query (file source), then
+    hot-swap the node's chain and restart from checkpoint: messages
+    before the boundary processed by old logic, after by new
+    (ReadMe.org:64)."""
+    src_dir = tmp_path / "stream_src"
+    ckpt = tmp_path / "ckpt"
+    first_half = events.filter(F.col("event_id") < 500)
+    second_half = events.filter(F.col("event_id") >= 500)
+    first_half.write.mode("overwrite").parquet(str(src_dir))
+
+    schema = events.schema
+    g = StreamGraph(spark)
+    g.add_source(
+        "ingest",
+        lambda: spark.readStream.schema(schema).parquet(str(src_dir)),
+    )
+    g.add_node(Node("scored", OpChain().map(score=F.col("value") * 1), ["ingest"]))
+
+    out_dir = tmp_path / "out"
+    sink = dict(sink_format="parquet", checkpoint=str(ckpt / "scored"), path=str(out_dir))
+    q = g.start("scored", query_name="scored_v1", **sink)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    n_v1 = spark.read.parquet(str(out_dir)).count()
+    assert n_v1 == first_half.count()
+
+    # hot-swap: new logic doubles the score (I1/I7), restart from the
+    # same checkpoint — resumes at the exact offset the old logic
+    # stopped (exactly-once, an upgrade over at-least-once I6)
+    epoch = g.swap_node("scored", OpChain().map(score=F.col("value") * 2))
+    assert epoch == 1
+    second_half.write.mode("append").parquet(str(src_dir))
+    q2 = g.start("scored", query_name="scored_v2", **sink)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    vals = {r.event_id: r.value for r in events.collect()}
+    got = {r.event_id: r.score for r in spark.read.parquet(str(out_dir)).collect()}
+    assert len(got) == len(vals)  # every event exactly once across the swap
+    first_ids = {r.event_id for r in first_half.select("event_id").collect()}
+    for k, score in got.items():
+        expected = vals[k] if k in first_ids else 2 * vals[k]  # old-before/new-after
+        assert abs(score - expected) < 1e-9
+
+
+def test_event_time_tumbling_window_stream(spark, events, tmp_path):
+    """I10: watermarked tumbling window over a streaming source matches
+    the batch twin (q_events_tumbling's shape)."""
+    src_dir = tmp_path / "win_src"
+    events.write.mode("overwrite").parquet(str(src_dir))
+    schema = events.schema
+
+    g = StreamGraph(spark)
+    g.add_source("ev", lambda: spark.readStream.schema(schema).parquet(str(src_dir)))
+    stage = tumbling_window_agg(
+        "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")], watermark="1 hour"
+    )
+    g.add_node(Node("win", OpChain().then(stage), ["ev"]))
+    q = g.start("win", output_mode="complete", query_name="win_out")
+    q.processAllAvailable()
+    got = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    q.stop()
+
+    expect = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_kafka_builders():
+    opts = kafka_source_options("clicks", "broker:9092")
+    assert opts["kafka.group.id"] == "dataworks/clicks"  # utils/kafka.clj:81
+    assert opts["startingOffsets"] == "latest"  # utils/kafka.clj:84-85
+    assert encode_json_value({"a": 1}) == '{"a":1}'
