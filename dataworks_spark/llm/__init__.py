@@ -1,0 +1,41 @@
+"""LLM-data-pipeline operators (SURVEY §2 L; BASELINE.json mandate).
+
+Everything here is designed scale-first: exact dedup is a hash
+aggregate; near-dup avoids the O(n²) pair space via MinHash banding /
+SimHash buckets; similarity search has a brute-force baseline and an
+LSH-bucketed scale path; text analysis stays in JVM expressions;
+multimodal decode is the one place Pandas UDFs are warranted (opaque
+binary payloads), with the decode kernel stubbed where codecs aren't
+installed.
+"""
+
+from dataworks_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dataworks_spark.llm.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from dataworks_spark.llm.text import (
+    document_fingerprint,
+    language_scores,
+    quality_features,
+    token_count,
+    tokens,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "brute_force_cosine_topk",
+    "lsh_cosine_topk",
+    "tokens",
+    "token_count",
+    "language_scores",
+    "quality_features",
+    "document_fingerprint",
+]

@@ -1,0 +1,214 @@
+"""Deduplication operators (SURVEY §2 L1/L2).
+
+Four tiers, all pure DataFrame expressions (no Python row boundary):
+
+  exact         — hash groupBy on content (L1)
+  n-gram Jaccard— exact set-overlap join on word n-grams; the
+                  verification kernel for the approximate tiers
+  MinHash + LSH — shingle→minhash→band→bucket-join; candidate pairs
+                  only where a band collides, so the pair space is
+                  ~|collisions|, not O(n²) — the 100 TB path
+  SimHash       — 64-bit near-dup fingerprint; Hamming-near buckets
+
+Determinism: hashes are Spark's xxhash64 (seeded), so results are
+stable across runs/partitions; band hashing never depends on row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """L1: one row per distinct content, keeping the lowest id (a
+    deterministic survivor, unlike dropDuplicates' arbitrary pick).
+    Map-side partial agg → shuffle is |distinct| not |rows|."""
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (JVM higher-order fns).
+    Guarded: F.sequence(1, 0) would generate a *descending* [1, 0], so
+    texts shorter than n tokens yield an empty shingle set."""
+    toks = F.split(text, " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: explode distinct shingles,
+    equi-join on shingle, group pair, |A∩B| / (|A|+|B|-|A∩B|).
+
+    Scale note: exact pairwise Jaccard is only run on candidate sets
+    (or bounded subsets); at 100 TB the candidate generation is
+    :func:`minhash_near_dup_pairs` and this is the verify kernel."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    ).dropDuplicates()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """MinHash signature: for permutation i, min over shingles of
+    xxhash64(i, shingle). array<long> of length n_hashes, computed with
+    higher-order functions inside codegen — no UDF, no shuffle."""
+    shingles = F.array_distinct(word_ngrams(text, shingle_n))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """L2 at scale: MinHash LSH banding.
+
+    signature(n_hashes) → split into ``bands`` bands of r = n/bands
+    rows → hash each band → explode (doc, band_idx, band_hash) →
+    self-join on (band_idx, band_hash) = candidate pairs → estimate
+    similarity as the fraction of matching minhashes.
+
+    Collision probability for true Jaccard s is 1-(1-s^r)^b — with
+    64/16 the S-curve centers near s≈0.5. The only shuffle is the
+    bucket join on band hashes; no O(n²) comparisons."""
+    r = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
+                    ))).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bhash")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bhash")
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(n_hashes),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("doc_a", "doc_b", "est_jaccard")
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash: per token hash, vote +1/-1 on each bit position
+    weighted by occurrence; fingerprint bit i set iff vote > 0.
+    Expressed as nested higher-order functions (aggregate over tokens)
+    — one pass, no explode, no UDF."""
+    toks = F.split(text, " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # votes[i] = Σ_tok (bit_i(hash) ? 1 : -1); the bit positions are
+    # unrolled in Python (shift amounts must be static ints)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # fingerprint = Σ_{i: votes[i]>0} 2^i — zip votes with a literal
+    # power array so the (expensive) votes fold appears once in the plan
+    # bit 63 as a signed long is -2^63 (two's complement)
+    powers = F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(bits)]
+    )
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+) -> DataFrame:
+    """SimHash bucket candidates: near-dup docs almost always share at
+    least one 16-bit quarter of the 64-bit fingerprint (≤3 bit flips) —
+    join on (quarter_idx, quarter_value) buckets, then exact Hamming
+    distance via bit_count(xor)."""
+    f = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp"))
+    mask = (1 << band_bits) - 1
+    quarters = f.select(
+        "doc",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("q"),
+                        F.shiftright(F.col("fp"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("qv"),
+                    )
+                    for i in range(64 // band_bits)
+                ]
+            )
+        ).alias("qq"),
+    ).select("doc", "fp", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
+    a = quarters.select(F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a"), "q", "qv")
+    b = quarters.select(F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b"), "q", "qv")
+    return (
+        a.join(b, ["q", "qv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .select("doc_a", "doc_b", "hamming")
+    )

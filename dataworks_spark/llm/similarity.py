@@ -1,0 +1,101 @@
+"""Embedding similarity search (SURVEY §2 L3).
+
+Two tiers:
+  brute force — exact cosine against every row; fine as the verify
+                kernel and for re-ranking a candidate set
+  LSH         — random-hyperplane signatures bucket vectors so the
+                scan touches ~1/2^planes of the data; the 100 TB path
+                (partition-prunable when the table is written
+                partitioned by bucket)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataworks_spark.functions.arrays import cosine_similarity
+
+
+def brute_force_cosine_topk(
+    df: DataFrame, vec_col: str, query_vec: list[float], k: int = 10, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact top-k by cosine: per-partition heap via orderBy+limit
+    (TakeOrderedAndProject — only k rows per partition move)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        *(id_cols or df.columns),
+        cosine_similarity(F.col(vec_col), q).alias("cos_sim"),
+    )
+    order = [F.col("cos_sim").desc(), *(F.col(c) for c in (id_cols or []))]
+    return scored.orderBy(*order).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (public LSH construction:
+    Charikar, STOC'02 random-hyperplane rounding)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Signature = int whose bit i is sign(v·plane_i) — JVM-side dot
+    via zip_with/aggregate against literal plane arrays."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, p, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return bucket
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: restrict the exact scan to the query's hyperplane bucket
+    (expected recall grows with candidate multiplicity; production use
+    would probe multi-bucket / multi-table — this is the single-probe
+    core). At scale, write the table partitioned by ``lsh_bucket`` so
+    the filter prunes partitions at the source."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+    bucketed = df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes))
+    cands = bucketed.filter(F.col("lsh_bucket") == qsig)
+    return brute_force_cosine_topk(cands.drop("lsh_bucket"), vec_col, query_vec, k, id_cols)
+
+
+def cosine_pairs_above(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, n_planes: int = 0, seed: int = 42
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (L2 variant). n_planes=0 does the
+    exact O(n²) join (verify kernel / small candidate sets); n_planes>0
+    first buckets by hyperplane signature so only same-bucket pairs are
+    compared (the scale path — near-identical vectors collide with
+    probability ≈ (1-θ/π)^planes)."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if n_planes:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes, seed)
+        left = left.withColumn("b", lsh_bucket(F.col("v_a"), planes))
+        right = right.withColumn("b", lsh_bucket(F.col("v_b"), planes))
+        pairs = left.join(right, "b").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

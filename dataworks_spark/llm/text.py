@@ -1,0 +1,93 @@
+"""Text analysis operators (SURVEY §2 L4): tokenization, token counts,
+language-ID heuristic, quality scoring, document fingerprinting.
+Everything is JVM-side column expressions — at 100 TB these run inside
+whole-stage codegen over the scan, no Python boundary."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword-ratio
+#: language heuristic (real deployments plug in full lists; the
+#: operator structure — score per language, argmax — is the point).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "zu", "ist"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(text, r"\s+")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: letter runs, digit runs, single
+    punctuation — the classic pre-tokenizer split."""
+    return F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+
+
+def token_count(text: Column, bpe: bool = False) -> Column:
+    return F.size(bpe_ish_tokens(text) if bpe else tokens(text))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens in the language's stopword list."""
+    toks = tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_scores(text: Column) -> Column:
+    """Language-ID heuristic: per-language stopword-hit score as a map;
+    argmax is the guess. Deterministic, shippable as a single projection."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in STOPWORDS]),
+        F.array(*[stopword_ratio(text, lang) for lang in STOPWORDS]),
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features (length / punctuation / stopword
+    ratios) + a combined score in [0,1] — the standard pretraining
+    corpus filter shape."""
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    mean_tok_len = (n_chars - (n_toks - 1)) / F.greatest(n_toks, F.lit(1))
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ) / F.greatest(n_chars, F.lit(1))
+    sw_ratio = stopword_ratio(text)
+    score = (
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1 - punct_ratio) * 0.3
+        + F.least(sw_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+    )
+    return {
+        "n_tokens": n_toks,
+        "mean_token_len": mean_tok_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": sw_ratio,
+        "quality_score": score,
+    }
+
+
+def document_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — identical under token reordering/duplication, so it
+    catches shuffled near-copies exact hashing misses. md5 (not
+    xxhash64) keeps it reproducible by any engine."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
+    return F.md5(canon)
+
+
+def rolling_hash_shingle_min(text: Column, shingle_n: int = 3) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over word shingles —
+    one long per doc, stable under small edits away from the minimum."""
+    from dataworks_spark.llm.dedup import word_ngrams
+
+    return F.array_min(F.transform(word_ngrams(text, shingle_n), lambda s: F.xxhash64(s)))

@@ -488,6 +488,123 @@ def q_token_join(spark, sf_dir):
     )
 
 
+def q_dedup_ngram(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (L2 verify kernel)."""
+    from dataworks_spark.llm.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
+    return pairs.select(
+        "doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (L2 scale path) — xxhash64-based,
+    engine-specific hashes → rows-only check; the exact-Jaccard twin
+    q_dedup_ngram is the hash-matched oracle."""
+    from dataworks_spark.llm.dedup import minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        d, "doc_id", "text", n_hashes=64, bands=16, threshold=0.3
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (L2) — rows-only (xxhash64-based)."""
+    from dataworks_spark.llm.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_near_dup_pairs(d, "doc_id", "text").filter(F.col("hamming") <= 16)
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (L2 embedding variant), exact
+    kernel on a bounded id range."""
+    from dataworks_spark.llm.similarity import cosine_pairs_above
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = cosine_pairs_above(e, "vec_id", "embedding", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_embed_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k (L3 scale path) — hyperplane buckets are
+    implementation-defined → rows-only; the exact twin q_cosine_topk is
+    the hash-matched oracle."""
+    from dataworks_spark.llm.similarity import lsh_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_cosine_topk(
+        e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10, n_planes=4,
+        id_cols=["vec_id", "label"],
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (L4): per-language stopword scores,
+    argmax guess, counted per true lang label."""
+    from dataworks_spark.llm.text import stopword_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    s_en, s_de, s_es = (stopword_ratio(F.col("text"), lang) for lang in ("en", "de", "es"))
+    guess = (
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+    )
+    return (
+        d.withColumn("guess", guess)
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features per document (L4)."""
+    from dataworks_spark.llm.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["quality_score"], 6).alias("quality_score"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting (L4): md5 over the sorted distinct token
+    set — catches token-shuffled near-copies."""
+    from dataworks_spark.llm.text import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", document_fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (L5): documents→binary payload → mapInPandas
+    feature extraction (deterministic stub kernel; codec libs absent).
+    Rows-only: the Arrow batch path itself is what's under test."""
+    from dataworks_spark.llm.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(d)
+    return feats.select("media_id", "n_bytes", "sha256", "feature_0", "feature_1")
+
+
 # I10 batch twin — tumbling event-time window
 
 def q_events_tumbling(spark, sf_dir):
@@ -743,6 +860,83 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE overlap >= 5
+    """,
+    "q_dedup_ngram": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                        i -> array_to_string(w[i:i+2], ' '))) AS shingle
+          FROM t),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ov AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, inter,
+               ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM ov JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.3
+    """,
+    "q_embed_neardup": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        pr AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                 / (SQRT(list_aggregate(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * SQRT(list_aggregate(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cs
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM pr WHERE cs >= 0.35
+    """,
+    "q_lang_id": """
+        WITH s AS (
+          SELECT lang,
+            len(list_filter(string_split(lower(text), ' '),
+                t -> list_contains(['the','a','of','and','to','in','is'], t)))
+              / greatest(len(string_split(lower(text), ' ')), 1) AS s_en,
+            len(list_filter(string_split(lower(text), ' '),
+                t -> list_contains(['der','die','das','und','zu','ist'], t)))
+              / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
+            len(list_filter(string_split(lower(text), ' '),
+                t -> list_contains(['el','la','de','que','y','es'], t)))
+              / greatest(len(string_split(lower(text), ' ')), 1) AS s_es
+          FROM documents)
+        SELECT lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS guess,
+               COUNT(*) AS n
+        FROM s GROUP BY 1, 2
+    """,
+    "q_text_quality": """
+        WITH f AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_toks,
+                 LENGTH(text) AS n_chars,
+                 (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / greatest(LENGTH(text), 1) AS punct_ratio,
+                 len(list_filter(string_split(lower(text), ' '),
+                     t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                   / greatest(len(string_split(lower(text), ' ')), 1) AS sw_ratio
+          FROM documents)
+        SELECT doc_id,
+               CAST(n_toks AS INTEGER) AS n_tokens,
+               ROUND((n_chars - (n_toks - 1)) / greatest(n_toks, 1), 6) AS mean_token_len,
+               ROUND(punct_ratio, 6) AS punct_ratio,
+               ROUND(sw_ratio, 6) AS stopword_ratio,
+               ROUND(least(n_toks / 100.0, 1.0) * 0.4
+                     + (1 - punct_ratio) * 0.3
+                     + least(sw_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
+        FROM f
+    """,
+    "q_fingerprint": """
+        SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id FROM (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          FROM documents) t
+        GROUP BY fp
     """,
     "q_events_tumbling": """
         SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -1,0 +1,133 @@
+"""LLM-pipeline operator tests (SURVEY §2 L): approximate tiers
+validated against their exact kernels."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_spark.llm.dedup import (
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_ngrams,
+)
+from dataworks_spark.llm.multimodal import extract_features, frame_sample
+from dataworks_spark.llm.similarity import (
+    brute_force_cosine_topk,
+    cosine_pairs_above,
+    lsh_cosine_topk,
+)
+from dataworks_spark.llm.text import document_fingerprint, language_scores, token_count
+from dataworks_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_word_ngrams_short_text(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(F.size(word_ngrams(F.col("text"), 3)).alias("n")).collect()
+    assert sorted(r.n for r in out) == [0, 2]  # shorter than n → empty
+
+
+def test_minhash_recalls_true_near_dups(docs):
+    """MinHash banding (64 hashes / 16 bands) must recall the clearly
+    near-duplicate pairs the exact n-gram kernel finds at jaccard≥0.5."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    assert exact, "fixture should contain strong near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} strong pairs"
+
+
+def test_simhash_separates_dup_from_random(spark, docs):
+    """Near-identical texts get near-identical simhash fingerprints."""
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("today", "tomorrow")  # one-token edit
+    c = "completely different words about spark shuffles and parquet footers here"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(df, "doc_id", "text").collect()
+    }
+    assert pairs.get((1, 2), 64) <= 12
+    assert all(h > 12 for k, h in pairs.items() if k != (1, 2))
+
+
+def test_lsh_topk_subset_of_bruteforce_order(emb):
+    """Single-probe LSH returns true cosine scores (a subset of the
+    exact ranking, from the query's bucket)."""
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = brute_force_cosine_topk(rest, "embedding", qvec, 50, ["vec_id", "label"]).collect()
+    approx = lsh_cosine_topk(rest, "embedding", qvec, 10, n_planes=4, id_cols=["vec_id", "label"]).collect()
+    assert approx, "query bucket should not be empty"
+    exact_scores = {r.vec_id: r.cos_sim for r in exact}
+    for r in approx:
+        if r.vec_id in exact_scores:
+            assert abs(r.cos_sim - exact_scores[r.vec_id]) < 1e-9
+
+
+def test_cosine_pairs_lsh_bucketing_consistent(emb):
+    """Bucketed near-dup pairs ⊆ exact pairs, with identical scores."""
+    sub = emb.filter(F.col("vec_id") < 100)
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_pairs_above(sub, "vec_id", "embedding", 0.3).collect()
+    }
+    bucketed = cosine_pairs_above(sub, "vec_id", "embedding", 0.3, n_planes=2).collect()
+    for r in bucketed:
+        assert abs(exact[(r.id_a, r.id_b)] - r.cos_sim) < 1e-12
+
+
+def test_text_functions(docs):
+    row = docs.select(
+        token_count(F.col("text")).alias("n"),
+        language_scores(F.col("text")).alias("scores"),
+        document_fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    assert row.n > 0 and set(row.scores) == {"en", "de", "es"} and len(row.fp) == 32
+
+
+def test_fingerprint_token_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta beta")], "id long, text string"
+    )
+    fps = [r.fp for r in df.select(document_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    media = docs.limit(50).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(0.0 <= r.feature_0 <= 1.0 and len(r.sha256) == 64 for r in rows)
+    # deterministic: same payload → same features
+    again = {r.media_id: r.feature_0 for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature_0 for r in rows)
+
+
+def test_multimodal_frame_sample(spark):
+    df = spark.createDataFrame([(1, b"x" * 5000), (2, b"y" * 100)], "media_id long, payload binary")
+    rows = frame_sample(df, every_n=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert by_id[1] == [0, 2] and by_id[2] == [0]  # 5000B → 4 fake frames
