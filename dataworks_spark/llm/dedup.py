@@ -72,15 +72,33 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text: Column, n_hashes: int = 64, shingle_n: int = 3) -> Column:
-    """MinHash signature: for permutation i, min over shingles of
-    xxhash64(i, shingle). array<long> of length n_hashes, computed with
-    higher-order functions inside codegen — no UDF, no shuffle."""
-    shingles = F.array_distinct(word_ngrams(text, shingle_n))
+def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
+    """xxhash64 of each distinct word shingle — array<long>. Hash the
+    (expensive, string-building) shingles exactly once per row; the 64
+    permutation minima then run over cheap fixed-width hashes."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+        F.array_distinct(word_ngrams(text, shingle_n)), lambda s: F.xxhash64(s)
     )
+
+
+def minhash_from_hashes(hashes: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature from a *materialized* shingle-hash column:
+    sig[i] = min over shingles of xxhash64(i, h). ``hashes`` must be a
+    plain column reference (not the shingle expression itself) or each
+    of the n_hashes minima re-evaluates the shingle construction —
+    measured 25× slower at sf0.1."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, lambda h, i=i: F.xxhash64(F.lit(i), h)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """One-expression convenience form (prefer the two-step
+    shingle_hashes → minhash_from_hashes inside queries)."""
+    return minhash_from_hashes(shingle_hashes(text, shingle_n), n_hashes)
 
 
 def minhash_near_dup_pairs(
@@ -105,8 +123,8 @@ def minhash_near_dup_pairs(
     r = n_hashes // bands
     sig = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
-    )
+        shingle_hashes(F.col(text_col), shingle_n).alias("hs"),
+    ).select("doc", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig"))
     banded = sig.select(
         "doc",
         "sig",

@@ -2,21 +2,28 @@
 
 The reference exposes recursive Datalog rules through Crux
 (`(depends d1 d2)` over stored-function dependency edges,
-db/app_db.clj:121-126). Spark has no recursive CTE, so this is a
-driver-side **semi-naive fixpoint**: each iteration joins only the
-frontier (paths discovered last round) against the edge set, unions
-into the closure, and stops when the frontier is empty.
+db/app_db.clj:121-126). Spark has no recursive CTE, so closure is a
+driver-side fixpoint loop. Two strategies:
 
-Scale notes (100 TB):
-  - semi-naive (frontier ⋈ edges, not closure ⋈ edges) keeps each
-    iteration's join input minimal;
-  - `localCheckpoint()` per iteration truncates the lineage so the plan
-    doesn't grow exponentially with depth;
-  - edges are re-used across iterations → cache them;
-  - max_iterations caps runaway recursion (the reference ships cycle
-    detection for the same reason, utils/common.clj:461-484); cycle
-    safety itself comes from the anti-join of new paths against the
-    closure (a revisited pair produces no new frontier row).
+  doubling (default) — path doubling / repeated squaring:
+      R ← R ∪ (R ∘ R)
+    reaches paths of length 2^k after k rounds, so a depth-d graph
+    needs ⌈log₂ d⌉ driver round-trips instead of d. Each round is one
+    self-join + anti-join + union. At 100 TB scale, driver round-trips
+    (scheduler barriers, lineage checkpoints) dominate over join work,
+    so log-depth wins decisively for deep graphs.
+
+  semi_naive — classic frontier ⋈ edges per round; minimal per-round
+    join input, d rounds. Better when the closure is shallow but huge
+    (doubling's R∘R join quadratically exceeds frontier⋈edges).
+
+Shared mechanics:
+  - `localCheckpoint()` per round truncates lineage so the plan doesn't
+    grow exponentially;
+  - cycle safety: the anti-join against the accumulated closure means a
+    revisited pair never re-enters the frontier (the reference ships
+    cycle detection for the same reason, utils/common.clj:461-484);
+  - `max_iterations` caps runaway recursion.
 """
 
 from __future__ import annotations
@@ -29,13 +36,33 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    method: str = "doubling",
 ) -> DataFrame:
     """All (src, dst) pairs connected by ≥1 edge-hops."""
+    if method == "doubling":
+        return _doubling(edges, src, dst, max_iterations)
+    return _semi_naive(edges, src, dst, max_iterations)
+
+
+def _doubling(edges: DataFrame, src: str, dst: str, max_iterations: int) -> DataFrame:
+    closure = edges.select(src, dst).dropDuplicates().localCheckpoint()
+    for _ in range(max_iterations):
+        # R ∘ R: (s, m) ⋈ (m, d) → (s, d)
+        left = closure.withColumnRenamed(dst, "__mid")
+        right = closure.withColumnRenamed(src, "__mid")
+        grown = left.join(right, on="__mid").select(src, dst).dropDuplicates()
+        new = grown.join(closure, on=[src, dst], how="left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint()
+    return closure
+
+
+def _semi_naive(edges: DataFrame, src: str, dst: str, max_iterations: int) -> DataFrame:
     edges = edges.select(src, dst).dropDuplicates().cache()
     closure = edges
     frontier = edges
     for _ in range(max_iterations):
-        # extend each frontier path by one edge: (s, m) ⋈ (m, d) → (s, d)
         grown = (
             frontier.withColumnRenamed(dst, "__mid")
             .join(edges.withColumnRenamed(src, "__mid"), on="__mid")
