@@ -1,0 +1,139 @@
+"""Safe EDN decode (SURVEY §2 H5).
+
+The reference's wire format is EDN read with a *safe* reader — no eval,
+time-literal tagged readers only (src/dataworks/utils/common.clj:112-118
+``read-string-safely``; serializers utils/kafka.clj:76-78). Spark has no
+EDN builtin, so this is a small recursive-descent parser used ONLY at
+the Kafka boundary (default wire format is JSON).
+
+The parser is built by a closure factory: locally-defined functions are
+cloudpickled **by value**, so the UDF works on executor Python workers
+that cannot import this package (the same constraint as
+llm/multimodal's kernels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _build_parser():
+    """Return a self-contained parse(s) → Python data function.
+    Maps→dict, vectors/lists→list, sets→sorted list (deterministic),
+    keywords→':name' strings, tagged literals (#inst …)→their value.
+    No code evaluation anywhere."""
+
+    def tokenize(s):
+        out, i, n = [], 0, len(s)
+        while i < n:
+            c = s[i]
+            if c.isspace() or c == ",":
+                i += 1
+            elif c in "[](){}":
+                out.append(c)
+                i += 1
+            elif c == "#" and i + 1 < n and s[i + 1] == "{":
+                out.append("#{")
+                i += 2
+            elif c == "#":  # tagged literal, e.g. #inst, #time/instant
+                j = i + 1
+                while j < n and not s[j].isspace() and s[j] not in '[](){}"':
+                    j += 1
+                out.append(s[i:j])
+                i = j
+            elif c == '"':
+                j, buf = i + 1, []
+                while j < n and s[j] != '"':
+                    if s[j] == "\\" and j + 1 < n:
+                        esc = s[j + 1]
+                        buf.append(
+                            {"n": "\n", "t": "\t", '"': '"', "\\": "\\", "r": "\r"}.get(esc, esc)
+                        )
+                        j += 2
+                    else:
+                        buf.append(s[j])
+                        j += 1
+                if j >= n:
+                    raise ValueError("unterminated string")
+                out.append('"' + "".join(buf))
+                i = j + 1
+            else:
+                j = i
+                while j < n and not s[j].isspace() and s[j] not in '[](){},"':
+                    j += 1
+                out.append(s[i:j])
+                i = j
+        return out
+
+    def parse_at(tokens, pos):
+        if pos >= len(tokens):
+            raise ValueError("unexpected end of input")
+        t = tokens[pos]
+        if t in ("[", "("):
+            close = "]" if t == "[" else ")"
+            out, pos = [], pos + 1
+            while tokens[pos] != close:
+                v, pos = parse_at(tokens, pos)
+                out.append(v)
+            return out, pos + 1
+        if t == "#{":
+            out, pos = [], pos + 1
+            while tokens[pos] != "}":
+                v, pos = parse_at(tokens, pos)
+                out.append(v)
+            return sorted(out, key=repr), pos + 1
+        if t == "{":
+            out, pos = {}, pos + 1
+            while tokens[pos] != "}":
+                k, pos = parse_at(tokens, pos)
+                v, pos = parse_at(tokens, pos)
+                out[k if isinstance(k, (str, int, float, bool)) else repr(k)] = v
+            return out, pos + 1
+        if t.startswith("#"):  # tagged: keep the tagged value
+            return parse_at(tokens, pos + 1)
+        if t.startswith('"'):
+            return t[1:], pos + 1
+        if t == "nil":
+            return None, pos + 1
+        if t == "true":
+            return True, pos + 1
+        if t == "false":
+            return False, pos + 1
+        if t.startswith(":"):
+            return t, pos + 1  # keyword kept as ':name'
+        try:
+            return (float(t) if ("." in t or "e" in t or "E" in t) else int(t)), pos + 1
+        except ValueError:
+            return t, pos + 1  # bare symbol → string
+
+    def parse(s):
+        tokens = tokenize(s)
+        value, pos = parse_at(tokens, 0)
+        if pos != len(tokens):
+            raise ValueError(f"trailing tokens at {pos}")
+        return value
+
+    return parse
+
+
+#: driver-side parser instance
+parse_edn = _build_parser()
+
+
+def edn_to_json_udf() -> Column:
+    """UDF decoding an EDN string column to a JSON string (row-level
+    Python — Kafka-boundary only, never a hot-path op)."""
+    parse = _build_parser()  # local closure → cloudpickled by value
+
+    def decode(s):
+        if s is None:
+            return None
+        import json as _json
+
+        try:
+            return _json.dumps(parse(s), default=str, sort_keys=True)
+        except Exception:
+            return None
+
+    return F.udf(decode, "string")

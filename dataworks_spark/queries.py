@@ -605,6 +605,22 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "sha256", "feature_0", "feature_1")
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization (I10 session-window batch twin): a >30 min gap
+    starts a new session — lag + running count of session starts, the
+    batch expression of F.session_window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    is_new = F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), 1).otherwise(0)
+    sessions = ev.withColumn("session_id", F.sum(is_new).over(w))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 # I10 batch twin — tumbling event-time window
 
 def q_events_tumbling(spark, sf_dir):
@@ -937,6 +953,23 @@ ORACLE_SQL: dict[str, str] = {
                  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
           FROM documents) t
         GROUP BY fp
+    """,
+    "q_events_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 epoch_ms(ts) - epoch_ms(lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms
+          FROM events),
+        s AS (
+          SELECT user_id, event_id, ts, value,
+                 SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(ts) AS session_start,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM s GROUP BY user_id, session_id
     """,
     "q_events_tumbling": """
         SELECT date_trunc('hour', ts) AS win_start, event_type,

@@ -1,0 +1,110 @@
+"""Scalar function library tests (SURVEY §2 H): consume_time cases,
+case conversion, EDN decode, array math."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_spark.functions.arrays import cosine_similarity, dot
+from dataworks_spark.functions.edn import edn_to_json_udf, parse_edn
+from dataworks_spark.functions.strings import (
+    camel_case_keys,
+    kebab_case_keys,
+    snake_case_keys,
+    to_camel,
+    to_kebab,
+    to_snake,
+)
+from dataworks_spark.functions.timeops import NEVER, consume_time, millis_between
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_consume_time_instant(spark):
+    t = dt.datetime(2024, 5, 1, 12, 30)
+    assert _one(spark, consume_time(t)) == t
+
+
+def test_consume_time_date_promotes_to_midnight(spark):
+    # time.clj:61-64 date → midnight instant
+    assert _one(spark, consume_time(dt.date(2024, 5, 1))) == dt.datetime(2024, 5, 1)
+
+
+def test_consume_time_never_sentinel(spark):
+    assert _one(spark, consume_time(":never")) == NEVER
+
+
+def test_consume_time_duration_and_millis_offset(spark):
+    # duration → now + d (time.clj:66-68); int millis offset (time.clj:74)
+    now = _one(spark, F.current_timestamp())
+    plus = _one(spark, consume_time(dt.timedelta(hours=2)))
+    assert dt.timedelta(hours=1, minutes=55) < (plus - now) < dt.timedelta(hours=2, minutes=5)
+    plus_ms = _one(spark, consume_time(5000))
+    assert dt.timedelta(seconds=2) < (plus_ms - now) < dt.timedelta(seconds=8)
+
+
+def test_consume_time_unit_keyword(spark):
+    # :days → tomorrow at midnight (time.clj:76-86)
+    got = _one(spark, consume_time(":days"))
+    assert got.time() == dt.time(0, 0) and got.date() > dt.date.today() - dt.timedelta(days=1)
+
+
+def test_consume_time_string_parse(spark):
+    assert _one(spark, consume_time("2024-01-02 03:04:05")) == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_millis_between(spark):
+    a = consume_time(dt.datetime(2024, 1, 1))
+    b = consume_time(dt.datetime(2024, 1, 1, 0, 0, 1))
+    assert _one(spark, millis_between(a, b)) == 1000
+
+
+def test_case_conversions():
+    # camel-snake-kebab surface (streams.clj:3-4 imports)
+    assert to_snake("helloWorldFoo") == "hello_world_foo"
+    assert to_kebab("hello_world_foo") == "hello-world-foo"
+    assert to_camel("hello-world-foo") == "helloWorldFoo"
+
+
+def test_case_conversion_on_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["userId", "eventCount"])
+    assert snake_case_keys(df).columns == ["user_id", "event_count"]
+    assert kebab_case_keys(df).columns == ["user-id", "event-count"]
+    assert camel_case_keys(snake_case_keys(df)).columns == ["userId", "eventCount"]
+
+
+def test_parse_edn_values():
+    assert parse_edn('{:a 1 :b "x" :c [1 2 3] :d nil :e true}') == {
+        ":a": 1,
+        ":b": "x",
+        ":c": [1, 2, 3],
+        ":d": None,
+        ":e": True,
+    }
+    assert parse_edn("#{3 1 2}") == [1, 2, 3]
+    assert parse_edn('#inst "2024-01-01T00:00:00Z"') == "2024-01-01T00:00:00Z"
+    assert parse_edn("(:a :b)") == [":a", ":b"]
+    assert parse_edn("1.5e3") == 1500.0
+    with pytest.raises(ValueError):
+        parse_edn('"unterminated')
+
+
+def test_edn_udf_on_column(spark):
+    df = spark.createDataFrame(
+        [('{:k 87 :tags [:a :b]}',), (None,), ("{bad",)], "props string"
+    )
+    out = [r.j for r in df.select(edn_to_json_udf()(F.col("props")).alias("j")).collect()]
+    assert out[0] == '{":k": 87, ":tags": [":a", ":b"]}'
+    assert out[1] is None and out[2] == "{}" or out[2] is None
+
+
+def test_array_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>")
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine_similarity(F.col("a"), F.col("a")).alias("c"),
+    ).first()
+    assert row.d == 11.0 and abs(row.c - 1.0) < 1e-12
