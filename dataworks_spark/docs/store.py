@@ -151,23 +151,11 @@ class DocumentStore:
         """Upsert new versions (J1); a future ``valid_time`` schedules
         visibility (J2, demo-app-1.org:125-127). ``docs`` must carry an
         ``id`` column plus payload columns matching the store schema."""
-        now = self._now()
-        vt = valid_time or now
-        new = (
-            docs.withColumn("valid_from", F.lit(vt).cast("timestamp"))
-            .withColumn("valid_to", F.lit(NEVER).cast("timestamp"))
-            .withColumn("tx_from", F.lit(now).cast("timestamp"))
-            .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
-            .withColumn("deleted", F.lit(False))
-        )
-        closed = self._close_current(docs.select("id").distinct(), vt, now)
-        return DocumentStore(closed.unionByName(new.select(closed.columns)), self._now)
+        return self._apply_write(docs, valid_time, tombstone=False)
 
     def delete(self, ids: DataFrame, valid_time: _dt.datetime | None = None) -> "DocumentStore":
         """Bitemporal delete (J5): append a tombstone version; the doc
         vanishes from latest/as-of-after views but history remains."""
-        now = self._now()
-        vt = valid_time or now
         payload_cols = [
             c for c in self.versions.columns
             if c not in {"id", "valid_from", "valid_to", "tx_from", "tx_to", "deleted"}
@@ -175,15 +163,7 @@ class DocumentStore:
         tomb = ids.select("id")
         for c in payload_cols:
             tomb = tomb.withColumn(c, F.lit(None).cast(self.versions.schema[c].dataType))
-        tomb = (
-            tomb.withColumn("valid_from", F.lit(vt).cast("timestamp"))
-            .withColumn("valid_to", F.lit(NEVER).cast("timestamp"))
-            .withColumn("tx_from", F.lit(now).cast("timestamp"))
-            .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
-            .withColumn("deleted", F.lit(True))
-        )
-        closed = self._close_current(ids.select("id").distinct(), vt, now)
-        return DocumentStore(closed.unionByName(tomb.select(closed.columns)), self._now)
+        return self._apply_write(tomb, valid_time, tombstone=True)
 
     def match_put(self, docs: DataFrame, expected: DataFrame, on_payload: list[str]) -> "DocumentStore":
         """Optimistic precondition (J3, utils/alert.clj:21-27): apply the
@@ -198,41 +178,70 @@ class DocumentStore:
     cas = match_put  # J4 compare-and-set (utils/auth.clj:139-146) — same mechanics
 
     # -- internals -----------------------------------------------------
-    def _close_current(self, ids: DataFrame, vt, now) -> DataFrame:
-        """Close each updated id's open version bitemporally (the MERGE
-        'WHEN MATCHED' leg, expressed as joins so it distributes):
+    def _apply_write(self, docs: DataFrame, valid_time, tombstone: bool) -> "DocumentStore":
+        """Bitemporal upsert of one version per id at valid-time ``vt``
+        (Crux put semantics, the MERGE analog expressed as joins so it
+        distributes):
 
-        1. *retire* the old row — end its tx interval at ``now`` (what
-           we believed until this transaction stays queryable at
-           earlier tx coordinates, J7);
-        2. *re-assert* it with validity shortened to end at ``vt``,
-           known from ``now`` on.
+        1. the current version *covering* vt (valid_from <= vt <
+           valid_to, tx-current) is retired (tx_to = now — the old
+           belief stays queryable at earlier tx coordinates, J7) and
+           re-asserted with validity shortened to end at vt;
+        2. the new version's validity runs from vt to the *next* known
+           version's valid_from (a put earlier in valid-time than an
+           existing future-dated version must NOT override it —
+           property-tested against the brute-force interpreter);
+        3. versions entirely before or after vt are untouched.
 
-        This is what Crux's history index does implicitly; append-only
-        rows keep the 100 TB write path a blind append + periodic
-        compaction, never an in-place update."""
+        Append-only rows keep the 100 TB write path a blind append +
+        periodic compaction, never an in-place update."""
+        now = self._now()
+        vt = valid_time or now
+        vtl = F.lit(vt).cast("timestamp")
+        nowl = F.lit(now).cast("timestamp")
+        ids = docs.select("id").distinct()
+
         marked = self.versions.join(
             ids.withColumnRenamed("id", "__uid"),
             on=F.col("id") == F.col("__uid"),
             how="left",
         )
-        is_open = (
+        covering = (
             F.col("__uid").isNotNull()
-            & (F.col("valid_to") == F.lit(NEVER))
             & (F.col("tx_to") == F.lit(NEVER))
+            & (F.col("valid_from") <= vtl)
+            & (vtl < F.col("valid_to"))
         )
         retired = marked.withColumn(
-            "tx_to",
-            F.when(is_open, F.lit(now).cast("timestamp")).otherwise(F.col("tx_to")),
+            "tx_to", F.when(covering, nowl).otherwise(F.col("tx_to"))
         ).drop("__uid")
         corrected = (
-            marked.filter(is_open)
-            .withColumn("valid_to", F.lit(vt).cast("timestamp"))
-            .withColumn("tx_from", F.lit(now).cast("timestamp"))
+            marked.filter(covering)
+            .withColumn("valid_to", vtl)
+            .withColumn("tx_from", nowl)
             .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
             .drop("__uid")
         )
-        return retired.unionByName(corrected)
+
+        # the new version holds until the next future version, if any
+        next_vf = (
+            self.versions.filter(F.col("tx_to") == F.lit(NEVER))
+            .join(ids, on="id", how="left_semi")
+            .filter(F.col("valid_from") > vtl)
+            .groupBy("id")
+            .agg(F.min("valid_from").alias("__next_vf"))
+        )
+        new = (
+            docs.join(next_vf, on="id", how="left")
+            .withColumn("valid_from", vtl)
+            .withColumn("valid_to", F.coalesce(F.col("__next_vf"), F.lit(NEVER).cast("timestamp")))
+            .drop("__next_vf")
+            .withColumn("tx_from", nowl)
+            .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
+            .withColumn("deleted", F.lit(tombstone))
+        )
+        merged = retired.unionByName(corrected).unionByName(new.select(retired.columns))
+        return DocumentStore(merged, self._now)
 
     def compact(self) -> "DocumentStore":
         """Materialize (localCheckpoint) the accumulated version log —

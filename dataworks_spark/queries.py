@@ -216,6 +216,27 @@ def q_agg_rollup(spark, sf_dir):
     )
 
 
+def q_agg_cube(spark, sf_dir):
+    """CUBE multi-level aggregate (D6 twin of rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Pivot (wide aggregate) — groupBy returnflag, one column per
+    linestatus value."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
 def q_agg_approx(spark, sf_dir):
     """Approximate aggregates (D7) — HLL++/quantile-sketch values are
     engine-specific, so this entry is rows-only checked (no oracle)."""
@@ -240,6 +261,20 @@ def q_window_rank(spark, sf_dir):
     )
     return ranked.filter(F.col("rn") <= 3).select(
         "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn"
+    )
+
+
+def q_window_ntile(spark, sf_dir):
+    """ntile + dense_rank analytics (E1 variants)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
     )
 
 
@@ -488,6 +523,29 @@ def q_token_join(spark, sf_dir):
     )
 
 
+def q_datalog_join(spark, sf_dir):
+    """A query routed through the Datalog-lite front-end (§4 #1): the
+    multi-entity unification shape of db/app_db.clj:128-132, compiled
+    to DataFrame joins and hash-checked against plain SQL."""
+    from dataworks_spark.docs.datalog import DatalogDB
+
+    db = DatalogDB(spark)
+    db.register("customer", _t(spark, sf_dir, "customer"), "c_custkey")
+    db.register("nation", _t(spark, sf_dir, "nation"), "n_nationkey")
+    out = db.q(
+        find=["?c", "?name", "?nname"],
+        where=[
+            ("?c", "customer/c_mktsegment", "BUILDING"),
+            ("?c", "customer/c_name", "?name"),
+            ("?c", "customer/c_nationkey", "?nk"),
+            ("?n", "nation/n_nationkey", "?nk"),
+            ("?n", "nation/n_name", "?nname"),
+            ("starts-with?", "?name", "Customer#0000"),
+        ],
+    )
+    return out.withColumnsRenamed({"c": "custkey", "name": "cust_name", "nname": "nation_name"})
+
+
 def q_dedup_ngram(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (L2 verify kernel)."""
     from dataworks_spark.llm.dedup import ngram_jaccard_pairs
@@ -724,6 +782,30 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
                COUNT(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_pivot": """
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_window_ntile": """
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
+               dense_rank() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS price_dense_rank
+        FROM orders
+    """,
+    "q_datalog_join": """
+        SELECT DISTINCT c_custkey AS custkey, c_name AS cust_name, n_name AS nation_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING' AND c_name LIKE 'Customer#0000%'
     """,
     "q_window_rank": """
         SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (

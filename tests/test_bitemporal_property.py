@@ -1,0 +1,131 @@
+"""Property-based bitemporal tests (SURVEY §5.4): random put/delete
+sequences checked against a brute-force Python interpretation of the
+document timeline (the reference's semantics per db/app_db.clj:33-43,
+demo-app-1.org:125-127)."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_SETTINGS = dict(
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic examples: CI stability over novelty
+)
+
+from pyspark.sql import functions as F
+
+from dataworks_spark.docs.store import DocumentStore, version_log
+
+BASE = dt.datetime(2024, 1, 1)
+IDS = ["a", "b", "c"]
+
+# an op: (kind, id, body, valid_offset_days or None)
+op_st = st.tuples(
+    st.sampled_from(["put", "put_future", "delete"]),
+    st.sampled_from(IDS),
+    st.integers(min_value=0, max_value=99),
+    st.integers(min_value=1, max_value=30),
+)
+ops_st = st.lists(op_st, min_size=1, max_size=6)
+
+
+class BruteForce:
+    """Reference interpreter: explicit (tx_time, valid_time, id, body,
+    deleted) journal; visibility scan per query."""
+
+    def __init__(self):
+        self.journal = []  # (tx, vt, id, body, deleted)
+
+    def apply(self, kind, doc_id, body, vt_off, tx):
+        if kind == "put":
+            self.journal.append((tx, tx, doc_id, body, False))
+        elif kind == "put_future":
+            self.journal.append((tx, tx + dt.timedelta(days=vt_off), doc_id, body, False))
+        else:
+            self.journal.append((tx, tx, doc_id, None, True))
+
+    def as_of(self, vt, tt=None):
+        out = {}
+        for doc_id in IDS:
+            # versions transacted by tt, ordered by valid time then tx
+            vers = [
+                (v, tx, body, deleted)
+                for (tx, v, i, body, deleted) in self.journal
+                if i == doc_id and (tt is None or tx <= tt) and v <= vt
+            ]
+            if not vers:
+                continue
+            vers.sort()  # latest valid_from wins; tx breaks ties
+            v, tx, body, deleted = vers[-1]
+            if not deleted:
+                out[doc_id] = body
+        return out
+
+
+def _build_store(spark, ops):
+    """Apply ops through the DocumentStore at strictly increasing tx
+    times (one day apart)."""
+    seed = spark.createDataFrame(
+        [(i, -1, BASE - dt.timedelta(days=400)) for i in IDS],
+        "id string, body int, ts timestamp",
+    )
+    clock = {"now": BASE - dt.timedelta(days=400)}
+    store = DocumentStore(version_log(seed, "id", "ts"), now_fn=lambda: clock["now"])
+    brute = BruteForce()
+    brute.apply("put", "a", -1, 0, BASE - dt.timedelta(days=400))
+    brute.apply("put", "b", -1, 0, BASE - dt.timedelta(days=400))
+    brute.apply("put", "c", -1, 0, BASE - dt.timedelta(days=400))
+
+    for i, (kind, doc_id, body, vt_off) in enumerate(ops):
+        tx = BASE + dt.timedelta(days=i)
+        clock["now"] = tx
+        if kind == "put":
+            docs = spark.createDataFrame([(doc_id, body)], "id string, body int")
+            store = store.put(docs)
+        elif kind == "put_future":
+            docs = spark.createDataFrame([(doc_id, body)], "id string, body int")
+            store = store.put(docs, valid_time=tx + dt.timedelta(days=vt_off))
+        else:
+            ids = spark.createDataFrame([(doc_id,)], "id string")
+            store = store.delete(ids)
+        brute.apply(kind, doc_id, body, vt_off, tx)
+    return store.compact(), brute
+
+
+@settings(max_examples=8, **_SETTINGS)
+@given(ops=ops_st, probe_day=st.integers(min_value=0, max_value=40))
+def test_asof_matches_bruteforce(spark_global, ops, probe_day):
+    spark = spark_global
+    store, brute = _build_store(spark, ops)
+    vt = BASE + dt.timedelta(days=probe_day, hours=12)
+    got = {r.id: r.body for r in store.as_of(vt).collect()}
+    assert got == brute.as_of(vt)
+
+
+@settings(max_examples=5, **_SETTINGS)
+@given(ops=ops_st, probe_day=st.integers(min_value=0, max_value=40), tx_day=st.integers(min_value=0, max_value=10))
+def test_bitemporal_asof_matches_bruteforce(spark_global, ops, probe_day, tx_day):
+    spark = spark_global
+    store, brute = _build_store(spark, ops)
+    vt = BASE + dt.timedelta(days=probe_day, hours=12)
+    tt = BASE + dt.timedelta(days=tx_day, hours=12)
+    got = {r.id: r.body for r in store.as_of(vt, tx_time=tt).collect()}
+    assert got == brute.as_of(vt, tt)
+
+
+# hypothesis needs a non-function-scoped fixture workaround: reuse the
+# session fixture through a module-level holder
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def _spark_holder(spark):
+    global _SPARK
+    _SPARK = spark
+    return spark
+
+
+@pytest.fixture
+def spark_global(_spark_holder):
+    return _spark_holder
