@@ -1,0 +1,63 @@
+"""Streaming ingest into the bitemporal document store (SURVEY §3.2,
+§2 A5/J1): the rebuild of "collector → submit-tx → Crux" as
+Kafka/stream → foreachBatch → version-log append.
+
+Each micro-batch becomes one document-store transaction: rows are
+turned into (id, payload, valid_from=event-ts) versions and appended
+via :meth:`DocumentStore.put` mechanics — per-batch, so delivery is
+exactly-once relative to the checkpoint (an upgrade over the
+reference's at-least-once, I6). The reference's ``await-tx`` barrier
+(J6, db/app_db.clj:106-108) is implicit: foreachBatch returns only
+after the write completes.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataworks_spark.docs.store import DocumentStore
+
+
+class DocStoreSink:
+    """foreachBatch sink appending each micro-batch to a DocumentStore.
+
+    Thread-safe holder: streaming worker threads swap the store
+    reference under a lock; readers grab the current snapshot
+    (``store`` property). At cluster scale the store would be a table
+    format (Delta/Iceberg MERGE) — the holder stands in for the table
+    commit protocol."""
+
+    def __init__(self, store: DocumentStore, id_col: Column | str, ts_col: str):
+        self._store = store
+        self._id_col = id_col
+        self._ts_col = ts_col
+        self._lock = threading.Lock()
+        self.batches_applied = 0
+
+    @property
+    def store(self) -> DocumentStore:
+        with self._lock:
+            return self._store
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idc = F.col(self._id_col) if isinstance(self._id_col, str) else self._id_col
+        drop = [self._id_col] if isinstance(self._id_col, str) else []
+        rows = batch_df.withColumn("id", idc).drop(*drop).localCheckpoint()
+        with self._lock:
+            # set-based bulk append: every row becomes a version at its
+            # own event-ts in ONE put_log pass (no per-ts transactions)
+            self._store = self._store.put_log(rows, ts_col=self._ts_col).compact()
+            self.batches_applied += 1
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        """Start the streaming query writing into this store."""
+        return (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

@@ -243,6 +243,43 @@ class DocumentStore:
         merged = retired.unionByName(corrected).unionByName(new.select(retired.columns))
         return DocumentStore(merged, self._now)
 
+    def put_log(self, df: DataFrame, ts_col: str = "ts") -> "DocumentStore":
+        """Bulk-append an event-log batch: one version per row at its
+        own timestamp (the streaming-ingest write shape, §3.2). ``df``
+        carries ``id`` + payload + ``ts_col``.
+
+        Set-based, no per-timestamp loop: intervals are computed within
+        the batch by one window pass; each id's previously-open version
+        is retired (tx_to = now) and re-asserted closed at the batch's
+        first timestamp for that id. Precondition: batch timestamps are
+        ≥ the id's current open valid_from (monotonic log append — the
+        Kafka-ingest case); out-of-order corrections go through
+        :meth:`put` row-transactions instead."""
+        now = self._now()
+        nowl = F.lit(now).cast("timestamp")
+        new = version_log(df, "id", ts_col).withColumn(
+            "tx_from", nowl
+        )
+        firsts = df.groupBy("id").agg(F.min(ts_col).alias("__first_ts"))
+        marked = self.versions.join(firsts, on="id", how="left")
+        open_cur = (
+            F.col("__first_ts").isNotNull()
+            & (F.col("tx_to") == F.lit(NEVER))
+            & (F.col("valid_to") == F.lit(NEVER))
+        )
+        retired = marked.withColumn(
+            "tx_to", F.when(open_cur, nowl).otherwise(F.col("tx_to"))
+        ).drop("__first_ts")
+        corrected = (
+            marked.filter(open_cur)
+            .withColumn("valid_to", F.col("__first_ts"))
+            .withColumn("tx_from", nowl)
+            .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
+            .drop("__first_ts")
+        )
+        merged = retired.unionByName(corrected).unionByName(new.select(retired.columns))
+        return DocumentStore(merged, self._now)
+
     def compact(self) -> "DocumentStore":
         """Materialize (localCheckpoint) the accumulated version log —
         the stand-in for the periodic MERGE/rewrite job that would run

@@ -1,0 +1,124 @@
+"""Control-topic hot-swap propagation (I7) and streaming doc-store
+ingest (§3.2) tests."""
+
+import threading
+
+from pyspark.sql import functions as F
+
+from dataworks_spark.docs.sink import DocStoreSink
+from dataworks_spark.docs.store import DocumentStore
+from dataworks_spark.functions.timeops import NEVER
+from dataworks_spark.registry.transformers import TransformerRegistry
+from dataworks_spark.session import load_table
+from dataworks_spark.streaming.control import ControlListener, FileControlBus, FunctionChanged
+from dataworks_spark.streaming.graph import Node, StreamGraph
+from dataworks_spark.streaming.transforms import OpChain
+
+
+def test_control_bus_broadcast_to_all_nodes(spark, tmp_path):
+    """Two independent 'drivers' (graph+registry pairs) both receive and
+    apply a transformer change — the random-UUID-group broadcast
+    semantics (app_graph.clj:29)."""
+    bus = FileControlBus(str(tmp_path / "control.log"))
+
+    drivers = []
+    for _ in range(2):
+        reg = TransformerRegistry(spark)
+        reg.register_column("score", lambda c: c * 1)
+
+        def make_handler(reg=reg):
+            def on_transformer(msg: FunctionChanged):
+                factor = msg.spec["factor"]
+                reg.register_column(msg.name, lambda c, f=factor: c * f)
+
+            return on_transformer
+
+        listener = ControlListener(bus, {"transformer": make_handler()})
+        drivers.append((reg, listener))
+
+    # publish a change once; both listeners consume it
+    bus.publish(FunctionChanged("transformer", "score", {"factor": 10}))
+    for reg, listener in drivers:
+        assert listener.poll() == 1
+        df = spark.range(3).withColumnRenamed("id", "x")
+        assert sorted(r.s for r in reg.apply(df, "score", "s", "x").collect()) == [0, 10, 20]
+        assert reg.version("score") == 2  # hot-swapped on every node
+
+
+def test_control_listener_replays_log_on_restart(spark, tmp_path):
+    """A restarted driver replays the function log from offset 0 (the
+    reference re-reads stored-function docs from its replica)."""
+    bus = FileControlBus(str(tmp_path / "control.log"))
+    bus.publish(FunctionChanged("transformer", "a", {"factor": 2}))
+    bus.publish(FunctionChanged("transformer", "a", {"factor": 3}))
+
+    reg = TransformerRegistry(spark)
+    reg.register_column("a", lambda c: c)
+    listener = ControlListener(
+        bus,
+        {"transformer": lambda m: reg.register_column(m.name, lambda c, f=m.spec["factor"]: c * f)},
+    )
+    assert listener.poll() == 2  # both messages applied in order
+    df = spark.range(2).withColumnRenamed("id", "x")
+    assert sorted(r.s for r in reg.apply(df, "a", "s", "x").collect()) == [0, 3]
+
+
+def test_control_poll_loop_applies_async(spark, tmp_path):
+    bus = FileControlBus(str(tmp_path / "control.log"))
+    seen = []
+    listener = ControlListener(bus, {"stream": seen.append})
+    stop = threading.Event()
+    t = threading.Thread(target=listener.poll_loop, args=(stop, 0.02), daemon=True)
+    t.start()
+    bus.publish(FunctionChanged("stream", "node1", {"steps": []}))
+    import time
+
+    for _ in range(100):
+        if seen:
+            break
+        time.sleep(0.02)
+    stop.set()
+    t.join(timeout=2)
+    assert seen and seen[0].name == "node1"
+
+
+def test_streaming_ingest_into_doc_store(spark, sf_dir, tmp_path):
+    """§3.2: events stream → foreachBatch → bitemporal store; the
+    resulting latest view equals the batch LWW answer."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    src = tmp_path / "src"
+    events.filter(F.col("event_id") < 100).write.mode("overwrite").parquet(str(src))
+
+    empty = spark.createDataFrame(
+        [], "id string, event_type string, value double, valid_from timestamp, "
+        "valid_to timestamp, tx_from timestamp, tx_to timestamp, deleted boolean"
+    )
+    store = DocumentStore(empty, now_fn=None)
+    sink = DocStoreSink(
+        store, id_col=F.concat(F.lit("app/"), F.col("user_id").cast("string")), ts_col="ts"
+    )
+    q = sink.attach(
+        spark.readStream.schema(events.schema).parquet(str(src))
+        .select("user_id", "ts", "event_type", "value"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    events.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200)).write.mode(
+        "append"
+    ).parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    assert sink.batches_applied >= 2
+    latest = sink.store.latest().select("id", "value").collect()
+    from dataworks_spark.ops import latest_per_key
+
+    expect = {
+        "app/" + str(r.user_id): r.value
+        for r in latest_per_key(
+            events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+        ).collect()
+    }
+    got = {r.id: r.value for r in latest}
+    assert got == expect
