@@ -398,6 +398,18 @@ def q_scalar_array(spark, sf_dir):
     )
 
 
+def q_scalar_map(spark, sf_dir):
+    """Map construction/extraction (H9: the reference's assoc/get over
+    document maps, utils/common.clj:505-533)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.map_from_arrays(F.array("event_type"), F.array("value"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, F.col("event_type")).alias("mapped_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
 # K3 — UDTF-ish flatMap (transducer mapcat slot, stream.clj:41-48)
 
 def q_explode_flatmap(spark, sf_dir):
@@ -886,6 +898,12 @@ ORACLE_SQL: dict[str, str] = {
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS norm_sq,
                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
         FROM embeddings
+    """,
+    "q_scalar_map": """
+        SELECT event_id,
+               map([event_type], [value])[event_type][1] AS mapped_value,
+               CAST(cardinality(map([event_type], [value])) AS INTEGER) AS n_keys
+        FROM events
     """,
     "q_explode_flatmap": """
         SELECT lang, token, COUNT(*) AS n FROM (

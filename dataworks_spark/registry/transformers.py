@@ -61,6 +61,14 @@ class TransformerRegistry:
         per-message fns (K2); avoid in hot paths."""
         return self._put(name, "python", fn, returns)
 
+    def register_pandas_agg(self, name: str, fn: Callable, returns: str) -> Transformer:
+        """Register a grouped-aggregate UDAF (K5 — absent in the
+        reference): (pd.Series…)→scalar, applied inside groupBy().agg().
+        Arrow-batched; partial aggregation is not available for Python
+        UDAFs, so each group's values ship to one worker — keep groups
+        bounded or prefer built-in aggregates."""
+        return self._put(name, "pandas_agg", fn, returns)
+
     def _put(self, name: str, kind: str, fn: Callable, returns: str = "string") -> Transformer:
         with self._lock:
             version = self._fns[name].version + 1 if name in self._fns else 1
@@ -87,12 +95,21 @@ class TransformerRegistry:
         if t.kind == "pandas":
             udf = F.pandas_udf(t.fn, t.returns)
             return udf(*cols)
+        if t.kind == "pandas_agg":
+            udf = F.pandas_udf(t.fn, t.returns, F.PandasUDFType.GROUPED_AGG)
+            return udf(*cols)
         udf = F.udf(t.fn, t.returns)
         return udf(*cols)
 
     def apply(self, df: DataFrame, name: str, out_col: str, *in_cols: str) -> DataFrame:
         """Apply by name — `(transform :name …)` (transformers.clj:16-24)."""
         return df.withColumn(out_col, self.column(name, *in_cols))
+
+    def apply_agg(
+        self, df: DataFrame, name: str, out_col: str, group_by: list[str], *in_cols: str
+    ) -> DataFrame:
+        """Apply a registered UDAF per group (K5)."""
+        return df.groupBy(*group_by).agg(self.column(name, *in_cols).alias(out_col))
 
     def names(self) -> list[str]:
         with self._lock:
