@@ -1,0 +1,52 @@
+"""Engine configuration source (SURVEY §2 A7).
+
+The reference slurps ``config.edn`` for Kafka brokers, ports, and
+secrets (utils/kafka.clj:15-24; example-config.edn:1-27). Here config
+is a JSON or EDN file merged over defaults; ``spark.*`` keys are
+applied to the session builder/conf, the rest (kafka brokers, collector
+port, spool dirs) feed the runtime components."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+DEFAULTS: dict[str, Any] = {
+    "kafka.brokers": "localhost:9092",
+    "collector.port": 0,  # 0 = ephemeral
+    "collector.spool": "/tmp/dataworks_spool",
+    "control.log": "/tmp/dataworks_control.log",
+    "spark.sql.shuffle.partitions": None,  # None = cpu count
+    "alert.poll.ms": 1000,  # utils/alert.clj:36
+}
+
+
+def load_config(path: str | None = None) -> dict[str, Any]:
+    """Merge a config file (JSON, or EDN via the safe parser) over
+    DEFAULTS. Missing file → defaults (the reference requires the file;
+    we degrade gracefully for dev)."""
+    cfg = dict(DEFAULTS)
+    if path and os.path.exists(path):
+        with open(path) as f:
+            text = f.read()
+        if path.endswith(".edn"):
+            from dataworks_spark.functions.edn import parse_edn
+
+            raw = parse_edn(text)
+            # EDN keyword keys ':a/b' → 'a.b'
+            parsed = {
+                (k[1:].replace("/", ".") if isinstance(k, str) and k.startswith(":") else k): v
+                for k, v in raw.items()
+            }
+        else:
+            parsed = json.loads(text)
+        cfg.update(parsed)
+    return cfg
+
+
+def apply_spark_conf(cfg: dict[str, Any], spark) -> None:
+    """Apply runtime-settable spark.* keys."""
+    for k, v in cfg.items():
+        if k.startswith("spark.") and v is not None:
+            spark.conf.set(k, str(v))

@@ -1,0 +1,111 @@
+"""Scale-tool tests: validation pipeline (B9), config source (A7),
+salted join correctness, bucketed join shuffle elimination."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from dataworks_spark.config import DEFAULTS, apply_spark_conf, load_config
+from dataworks_spark.ops.scale import (
+    bucketed_join_plan_has_no_exchange,
+    salted_join,
+    write_bucketed,
+)
+from dataworks_spark.registry.validation import (
+    Invalid,
+    blank_field,
+    function_already_exists,
+    missing_field,
+    parseable_steps,
+    thread_checks,
+    valid_name,
+    validate_buffer,
+)
+from dataworks_spark.session import load_table
+
+
+def test_validation_chain_short_circuits():
+    """->? semantics (utils/common.clj:8-27): first failure wins."""
+    doc = {"name": "my-stream", "steps": [{"op": "map"}], "buffer": 5}
+    ok = thread_checks(
+        doc,
+        missing_field("name", "steps"),
+        blank_field("name"),
+        valid_name(),
+        parseable_steps(),
+        validate_buffer(),
+        function_already_exists(lambda n: False),
+    )
+    assert ok == doc
+
+    bad = thread_checks(
+        {"steps": []},
+        missing_field("name", "steps"),
+        valid_name(),  # never reached
+    )
+    assert isinstance(bad, Invalid) and bad.message == "missing-field"
+    assert bad.details == {"fields": ["name"]}
+
+    assert thread_checks({"name": "BadName", "steps": []}, valid_name()).message == "invalid-name"
+    assert (
+        thread_checks({"name": "x", "steps": [{"op": "evil"}]}, parseable_steps()).message
+        == "unparseable-step"
+    )
+    dup = thread_checks({"name": "x"}, function_already_exists(lambda n: n == "x"))
+    assert dup.message == "function-already-exists"
+
+
+def test_lossy_buffer_rejected_as_documented_non_goal():
+    out = thread_checks({"buffer": {"kind": "sliding", "n": 5}}, validate_buffer())
+    assert isinstance(out, Invalid) and out.message == "lossy-buffer-unsupported"
+    assert thread_checks({"buffer": 10}, validate_buffer()) == {"buffer": 10}
+
+
+def test_config_json_and_edn(tmp_path):
+    assert load_config(None) == DEFAULTS
+    j = tmp_path / "c.json"
+    j.write_text(json.dumps({"kafka.brokers": "b1:9092", "alert.poll.ms": 500}))
+    cfg = load_config(str(j))
+    assert cfg["kafka.brokers"] == "b1:9092" and cfg["alert.poll.ms"] == 500
+    e = tmp_path / "c.edn"
+    e.write_text('{:kafka/brokers "b2:9092" :collector/port 8080}')
+    cfg = load_config(str(e))
+    assert cfg["kafka.brokers"] == "b2:9092" and cfg["collector.port"] == 8080
+
+
+def test_apply_spark_conf(spark):
+    apply_spark_conf({"spark.sql.shuffle.partitions": 7, "kafka.brokers": "x"}, spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # restore test default
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics."""
+    ev = load_table(spark, sf_dir, "events")  # user_id is skew-shaped enough
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(cust, on="user_id").groupBy("c_mktsegment").count()
+    salted = salted_join(ev, cust, "user_id", n_salts=8).groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange —
+    the co-location play for recurring 100 TB fact joins."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+        )
+        write_bucketed(li, "t_li_bucketed", "l_orderkey", 8)
+        write_bucketed(o, "t_o_bucketed", "l_orderkey", 8)
+        assert bucketed_join_plan_has_no_exchange(spark, "t_li_bucketed", "t_o_bucketed", "l_orderkey")
+        # sanity: the join actually returns rows
+        n = spark.table("t_li_bucketed").join(spark.table("t_o_bucketed"), "l_orderkey").count()
+        assert n == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")

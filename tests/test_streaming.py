@@ -5,6 +5,7 @@ new-after, ReadMe.org:64), nil-drop, event-time windows."""
 import tempfile
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dataworks_spark.session import load_table
@@ -159,6 +160,44 @@ def test_event_time_tumbling_window_stream(spark, events, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_event_time_session_window_stream(spark, events, tmp_path):
+    """I10: session_window over a streaming source — session count per
+    user matches the batch lag+cumsum sessionization (q_events_sessionize
+    uses a 30-min gap; F.session_window uses the same gap semantics)."""
+    src_dir = tmp_path / "sess_src"
+    events.write.mode("overwrite").parquet(str(src_dir))
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    q.processAllAvailable()
+    got = (
+        spark.sql("SELECT user_id, count(*) AS n_sessions FROM sess_out GROUP BY user_id")
+        .collect()
+    )
+    q.stop()
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    is_new = F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), 1).otherwise(0)
+    expect = {
+        r.user_id: r.n_sessions
+        for r in events.withColumn("s", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"))
+        .collect()
+    }
+    assert {r.user_id: r.n_sessions for r in got} == expect
 
 
 def test_kafka_builders():
