@@ -106,8 +106,14 @@ class DatalogDB:
         bound: DataFrame | None = None
         filters: list[tuple] = []
 
+        negations: list[tuple] = []
         for clause in where:
             head = clause[0]
+            if isinstance(head, str) and head == "not":
+                # Datalog negation → anti-join (SURVEY §2 C-notes:
+                # "negation/option compiles to anti/outer")
+                negations.append(clause[1])
+                continue
             if isinstance(head, str) and (head in _PREDICATES or head in rule_map) or callable(head):
                 if isinstance(head, str) and head in rule_map:
                     bound = self._apply_rule(bound, rule_map[head], clause[1], clause[2])
@@ -115,6 +121,11 @@ class DatalogDB:
                 filters.append(clause)
                 continue
             bound = self._apply_triple(bound, clause, args)
+
+        for triple in negations:
+            if bound is None:
+                raise ValueError("negation requires a positive pattern first")
+            bound = self._apply_negation(bound, triple, args)
 
         if bound is None:
             raise ValueError("query has no triple patterns")
@@ -154,6 +165,27 @@ class DatalogDB:
             # unification = equi-join on shared vars (C1/C2)
             return bound.join(proj, on=shared, how="inner")
         return bound.crossJoin(proj)
+
+    def _apply_negation(self, bound: DataFrame, triple: tuple, args: dict) -> DataFrame:
+        """``("not", (e, attr, v))`` keeps bindings with NO matching
+        triple — left_anti on the shared variables."""
+        evar, attr, *rest = triple
+        value = rest[0] if rest else None
+        ns, field = attr.split("/", 1)
+        df, id_col = self.table(ns)
+        cols = [F.col(id_col).alias(_vcol(evar))]
+        proj = df
+        if value is None:
+            proj = proj.filter(F.col(field).isNotNull())
+        elif _is_var(value):
+            cols.append(F.col(field).alias(_vcol(value)))
+        else:
+            proj = proj.filter(F.col(field) == F.lit(args.get(value, value)))
+        proj = proj.select(*cols)
+        shared = [c for c in proj.columns if c in bound.columns]
+        if not shared:
+            raise ValueError("negation pattern shares no variables with the query")
+        return bound.join(proj, on=shared, how="left_anti")
 
     # -- predicates (B7, utils/auth.clj:92-96) ---------------------------
     def _predicate(self, clause: tuple, args: dict) -> Column:

@@ -95,6 +95,28 @@ def test_recursive_rule(db, spark):
     assert sorted(r.d2 for r in out.collect()) == ["b", "c", "d"]
 
 
+def test_negation_anti_join(db, spark, sf_dir):
+    """Datalog `not` → anti-join: nations with NO customer."""
+    db.register("customer2", load_table(spark, sf_dir, "customer"), "c_custkey")
+    out = db.q(
+        find=["?n", "?nname"],
+        where=[
+            ("?n", "nation/n_name", "?nname"),
+            ("not", ("?c", "customer2/c_nationkey", "?n")),
+        ],
+    )
+    cust_nations = {
+        r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").select("c_nationkey").distinct().collect()
+    }
+    got = {r.n for r in out.collect()}
+    all_nations = {
+        r.n_nationkey
+        for r in load_table(spark, sf_dir, "nation").select("n_nationkey").collect()
+    }
+    assert got == all_nations - cust_nations
+
+
 def test_callable_predicate(db):
     out = db.q(
         find=["?id"],

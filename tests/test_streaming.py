@@ -200,6 +200,59 @@ def test_event_time_session_window_stream(spark, events, tmp_path):
     assert {r.user_id: r.n_sessions for r in got} == expect
 
 
+def test_stream_stream_interval_join(spark, events, tmp_path):
+    """Stream-stream join with watermarks (beyond the reference's
+    surface; the Spark-native form of correlating two live topics):
+    each click joins purchases by the same user within the next hour."""
+    src = tmp_path / "ss_src"
+    events.write.mode("overwrite").parquet(str(src))
+
+    def read():
+        return spark.readStream.schema(events.schema).parquet(str(src))
+
+    clicks = (
+        read().filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read().filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_out")
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("SELECT c_id, p_id FROM ss_out").count()
+    q.stop()
+
+    ev_c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    ev_p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    expect = ev_c.join(
+        ev_p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).count()
+    assert got == expect
+
+
 def test_kafka_builders():
     opts = kafka_source_options("clicks", "broker:9092")
     assert opts["kafka.group.id"] == "dataworks/clicks"  # utils/kafka.clj:81
