@@ -15,7 +15,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataworks_spark.functions.arrays import cosine_similarity
+from dataworks_spark.functions.arrays import cosine_similarity, norm
 
 
 def brute_force_cosine_topk(
@@ -74,6 +74,69 @@ def lsh_cosine_topk(
     bucketed = df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes))
     cands = bucketed.filter(F.col("lsh_bucket") == qsig)
     return brute_force_cosine_topk(cands.drop("lsh_bucket"), vec_col, query_vec, k, id_cols)
+
+
+def ivf_build_centroids(
+    df: DataFrame, vec_col: str, n_centroids: int = 16, sample: int = 2048,
+    iterations: int = 5, seed: int = 42,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a driver-side sample (numpy,
+    seeded — deterministic). At 100 TB the sample is still thousands of
+    rows; training cost is O(sample), independent of table size."""
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iterations):
+        # cosine assignment
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id as a JVM expression (argmax of cosine against
+    literal centroid arrays). At scale the table is written partitioned
+    by this column → the query probes 1/n_centroids of the data via
+    partition pruning."""
+    best_id = F.lit(0)
+    best_score = F.lit(float("-inf"))
+    for i, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(v)) for v in cent])
+        score = F.aggregate(
+            F.zip_with(vec, c, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / (norm(vec) * float(np.linalg.norm(cent)))
+        best_id = F.when(score > best_score, F.lit(i)).otherwise(best_id)
+        best_score = F.greatest(best_score, score)
+    return best_id
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: restrict the exact scan to the query's ``n_probe``
+    nearest inverted lists, then brute-force within them."""
+    cents = ivf_build_centroids(df, vec_col, n_centroids, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probes = np.argsort(-(cn @ (q / np.linalg.norm(q))))[:n_probe].tolist()
+    assigned = df.withColumn("__ivf", ivf_assign(F.col(vec_col), cents))
+    cands = assigned.filter(F.col("__ivf").isin(probes)).drop("__ivf")
+    return brute_force_cosine_topk(cands, vec_col, query_vec, k, id_cols)
 
 
 def cosine_pairs_above(

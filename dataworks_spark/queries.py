@@ -291,6 +291,31 @@ def q_pivot(spark, sf_dir):
     )
 
 
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (D6 family) through the SQL surface."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Unpivot / melt (wide→long) via stack."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'quantity', l_quantity, 'price', l_extendedprice) AS (measure, val)"
+        ),
+    )
+
+
 def q_agg_approx(spark, sf_dir):
     """Approximate aggregates (D7) — HLL++/quantile-sketch values are
     engine-specific, so this entry is rows-only checked (no oracle)."""
@@ -353,6 +378,22 @@ def q_window_running(spark, sf_dir):
         order_by=["ts", "event_id"],
         name="running_value",
     ).select("event_id", "user_id", F.round(F.col("running_value"), 4).alias("running_value"))
+
+
+def q_window_range(spark, sf_dir):
+    """RANGE-frame window (E3 variant): per user, sum of value over the
+    trailing hour by event time."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3600_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_hour_value"),
+    )
 
 
 def q_latest_per_key(spark, sf_dir):
@@ -667,6 +708,20 @@ def q_embed_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-k (L3 scale path #2) — centroids are
+    implementation-defined → rows-only; q_cosine_topk is the exact
+    hash-matched twin."""
+    from dataworks_spark.llm.similarity import ivf_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_cosine_topk(
+        e.filter(F.col("vec_id") != 0), "embedding", qvec, k=10,
+        n_centroids=8, n_probe=2, id_cols=["vec_id", "label"],
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (L4): per-language stopword scores,
     argmax guess, counted per true lang label."""
@@ -902,6 +957,26 @@ ORACLE_SQL: dict[str, str] = {
         SELECT DISTINCT c_custkey AS custkey, c_name AS cust_name, n_name AS nation_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'BUILDING' AND c_name LIKE 'Customer#0000%'
+    """,
+    "q_window_range": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4)
+                 AS trailing_hour_value
+        FROM events
+    """,
+    "q_agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q_unpivot": """
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS val
+        FROM lineitem
     """,
     "q_window_rank": """
         SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (

@@ -82,6 +82,29 @@ def test_lsh_topk_subset_of_bruteforce_order(emb):
             assert abs(r.cos_sim - exact_scores[r.vec_id]) < 1e-9
 
 
+def test_ivf_topk_scores_exact_within_probed_lists(emb):
+    """IVF ANN returns true cosine scores; with enough probes the top-1
+    matches brute force (the nearest vector's list is almost always
+    probed)."""
+    from dataworks_spark.llm.similarity import ivf_cosine_topk
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = brute_force_cosine_topk(rest, "embedding", qvec, 5, ["vec_id", "label"]).collect()
+    approx = ivf_cosine_topk(
+        rest, "embedding", qvec, 5, n_centroids=4, n_probe=4, id_cols=["vec_id", "label"]
+    ).collect()
+    # probing ALL lists == exact search: same answer, proves correctness
+    assert [r.vec_id for r in approx] == [r.vec_id for r in exact]
+    few = ivf_cosine_topk(
+        rest, "embedding", qvec, 5, n_centroids=4, n_probe=1, id_cols=["vec_id", "label"]
+    ).collect()
+    exact_scores = {r.vec_id: r.cos_sim for r in exact}
+    for r in few:  # scores are true cosines even in the pruned search
+        if r.vec_id in exact_scores:
+            assert abs(r.cos_sim - exact_scores[r.vec_id]) < 1e-9
+
+
 def test_cosine_pairs_lsh_bucketing_consistent(emb):
     """Bucketed near-dup pairs ⊆ exact pairs, with identical scores."""
     sub = emb.filter(F.col("vec_id") < 100)
