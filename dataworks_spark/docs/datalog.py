@@ -109,6 +109,20 @@ class DatalogDB:
         negations: list[tuple] = []
         for clause in where:
             head = clause[0]
+            if isinstance(head, str) and head == "or":
+                # or-clause → union of the branch bindings (each branch
+                # is a triple binding the same variables)
+                branches = [self._apply_triple(None, t, args) for t in clause[1:]]
+                proj = branches[0]
+                for b in branches[1:]:
+                    proj = proj.unionByName(b)
+                proj = proj.dropDuplicates()
+                if bound is None:
+                    bound = proj
+                else:
+                    shared = [c for c in proj.columns if c in bound.columns]
+                    bound = bound.join(proj, on=shared) if shared else bound.crossJoin(proj)
+                continue
             if isinstance(head, str) and head == "not":
                 # Datalog negation → anti-join (SURVEY §2 C-notes:
                 # "negation/option compiles to anti/outer")

@@ -326,6 +326,45 @@ def q_agg_approx(spark, sf_dir):
     )
 
 
+def q_agg_having(spark, sf_dir):
+    """Grouped aggregate + HAVING filter (post-aggregation predicate)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .filter(F.col("n_orders") >= 20)
+    )
+
+
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery through the SQL surface — Catalyst
+    decorrelates it to a join (the reference delegates the equivalent
+    unification to Crux): customers holding their nation's max balance."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM v_customer c
+        WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM v_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join with a range predicate inside,
+    counted per priority."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-08-01")
+    return (
+        ops.semi_join(o, li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # E — windows
 # ---------------------------------------------------------------------------
@@ -465,6 +504,16 @@ def q_scalar_time(spark, sf_dir):
         F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_y2k"
         ),
+    )
+
+
+def q_scalar_nextday(spark, sf_dir):
+    """next-day-of-week promotion (H3; reference consume-time DayOfWeek
+    case, utils/time.clj:70-73)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey", F.next_day(d, "Mon").alias("next_monday")
     )
 
 
@@ -918,6 +967,32 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_having": """
+        SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+    """,
+    "q_correlated_subquery": """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    "q_tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > TIMESTAMP '1996-08-01')
+        GROUP BY o_orderpriority
+    """,
+    "q_scalar_nextday": """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE)
+                 + CAST(((1 - isodow(o_orderdate) + 6) % 7) + 1 AS INTEGER) AS next_monday
+        FROM orders
     """,
     "q_agg_distinct": """
         SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,

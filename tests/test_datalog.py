@@ -117,6 +117,25 @@ def test_negation_anti_join(db, spark, sf_dir):
     assert got == all_nations - cust_nations
 
 
+def test_or_clause_union(db, spark, sf_dir):
+    """`or` → union of branch bindings: customers in BUILDING or
+    MACHINERY segments."""
+    out = db.q(
+        find=["?c"],
+        where=[
+            ("or",
+             ("?c", "customer/c_mktsegment", "BUILDING"),
+             ("?c", "customer/c_mktsegment", "MACHINERY")),
+        ],
+    )
+    expect = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .count()
+    )
+    assert out.count() == expect
+
+
 def test_callable_predicate(db):
     out = db.q(
         find=["?id"],

@@ -57,6 +57,36 @@ def test_transactor_fire_and_forget():
     assert reg.log == [("notify", ("hello", 42))]
 
 
+def test_transactor_foreach_batch_streaming(spark, sf_dir, tmp_path):
+    """K4 streaming attachment: a transactor fires per micro-batch with
+    the batch's rows (the demo app's alert/notification shape)."""
+    from dataworks_spark.session import load_table
+    from dataworks_spark.streaming.graph import Node, StreamGraph
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "src"
+    events.filter(F.col("event_type") == "error").limit(20).write.parquet(str(src))
+
+    reg = TransactorRegistry()
+    notified = []
+    reg.register("page_oncall", lambda rows, epoch: notified.extend(rows))
+
+    g = StreamGraph(spark)
+    g.add_source("errors", lambda: spark.readStream.schema(events.schema).parquet(str(src)))
+    g.add_node(Node("alerts", OpChain().select("event_id", "user_id", "value"), ["errors"]))
+    q = g.start_foreach_batch(
+        "alerts", reg.foreach_batch_sink("page_oncall"), checkpoint=str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    import time
+
+    time.sleep(0.3)  # transactor is async fire-and-forget
+    assert len(notified) == 20
+    assert reg.log and reg.log[0][0] == "page_oncall"
+
+
 def test_alert_scheduler_claim_fire_delete(spark):
     """I9 (utils/alert.clj:9-51): due alerts are claimed, handlers
     fired, docs deleted; not-yet-due alerts stay."""
