@@ -617,10 +617,9 @@ def q_recursive_closure(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup (L1): keep lowest doc_id per identical text."""
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
-    )
+    from dataworks_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def q_cosine_topk(spark, sf_dir):

@@ -147,6 +147,24 @@ def test_multimodal_feature_extraction(spark, docs):
     assert all(again[r.media_id] == r.feature_0 for r in rows)
 
 
+def test_multimodal_binary_file_ingest(spark, tmp_path):
+    """A5/L5 ingest: spark.read.format('binaryFile') → media schema →
+    feature extraction over real files."""
+    from dataworks_spark.llm.multimodal import read_binary_dir
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    (media_dir / "a.png").write_bytes(b"\x89PNG fake image bytes " * 10)
+    (media_dir / "b.png").write_bytes(b"\x89PNG other bytes " * 5)
+    df = read_binary_dir(spark, str(media_dir))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {r.meta.format for r in rows} == {"png"}
+    assert all(r.meta.n_bytes == len(r.payload) for r in rows)
+    feats = extract_features(df).collect()
+    assert len(feats) == 2 and all(len(r.sha256) == 64 for r in feats)
+
+
 def test_multimodal_frame_sample(spark):
     df = spark.createDataFrame([(1, b"x" * 5000), (2, b"y" * 100)], "media_id long, payload binary")
     rows = frame_sample(df, every_n=2).collect()
