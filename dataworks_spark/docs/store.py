@@ -285,3 +285,22 @@ class DocumentStore:
         the stand-in for the periodic MERGE/rewrite job that would run
         against a table format at cluster scale."""
         return DocumentStore(self.versions.localCheckpoint(), self._now)
+
+    # -- persistence (A5 document-store sink) ---------------------------
+    def save(self, path: str, partition_by_date: bool = False) -> None:
+        """Persist the version log as parquet. At 100 TB the layout is
+        partitioned by date(valid_from) (plus entity namespace) so as-of
+        reads prune partitions (SURVEY §4 #3)."""
+        writer = self.versions.write.mode("overwrite")
+        if partition_by_date:
+            writer = (
+                self.versions.withColumn("valid_date", F.to_date("valid_from"))
+                .write.mode("overwrite")
+                .partitionBy("valid_date")
+            )
+        writer.parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str, now_fn=None) -> "DocumentStore":
+        df = spark.read.parquet(path)
+        return cls(df.drop("valid_date"), now_fn)

@@ -152,6 +152,23 @@ def q_range_due(spark, sf_dir):
     )
 
 
+def q_join_salted(spark, sf_dir):
+    """Skew-salted equi-join (brief: "salting for skew") — identical
+    semantics to the plain join, hash-checked against it; the salt
+    spreads hot keys over n reducers at scale."""
+    from dataworks_spark.ops.scale import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, c, "user_id", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 # C7 — lookup enrichment, stream×dimension (collectors.clj:9-12; batch analog)
 
 def q_join_enrich(spark, sf_dir):
@@ -793,11 +810,14 @@ def q_text_quality(spark, sf_dir):
     """Quality-scoring features per document (L4)."""
     from dataworks_spark.llm.text import quality_features
 
+    from dataworks_spark.llm.text import bpe_ish_tokens
+
     d = _t(spark, sf_dir, "documents")
     feats = quality_features(F.col("text"))
     return d.select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
         F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
@@ -918,6 +938,11 @@ ORACLE_SQL: dict[str, str] = {
     "q_range_due": """
         SELECT event_id, user_id, ts, value FROM events
         WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'error'
+    """,
+    "q_join_salted": """
+        SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     "q_join_enrich": """
         SELECT c_mktsegment, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
@@ -1261,7 +1286,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_text_quality": """
         WITH f AS (
-          SELECT doc_id,
+          SELECT doc_id, text,
                  len(string_split(text, ' ')) AS n_toks,
                  LENGTH(text) AS n_chars,
                  (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
@@ -1272,6 +1297,8 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents)
         SELECT doc_id,
                CAST(n_toks AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS INTEGER) AS n_bpe_tokens,
                ROUND((n_chars - (n_toks - 1)) / greatest(n_toks, 1), 6) AS mean_token_len,
                ROUND(punct_ratio, 6) AS punct_ratio,
                ROUND(sw_ratio, 6) AS stopword_ratio,

@@ -86,6 +86,18 @@ def test_bitemporal_tx_vs_valid_time(spark):
     assert s2.as_of(T1, tx_time=T2).select("body").collect()[0][0] == "corrected"
 
 
+def test_store_save_load_roundtrip(spark, tmp_path):
+    """A5 persistence: the saved+reloaded store answers as-of queries
+    identically (partitioned by valid date for scan pruning)."""
+    s, clock = _store(spark, [("u/1", "v1"), ("u/2", "w1")], T0)
+    clock["now"] = T1
+    s2 = s.put(spark.createDataFrame([("u/1", "v2")], "id string, body string"))
+    s2.save(str(tmp_path / "docs"), partition_by_date=True)
+    loaded = DocumentStore.load(spark, str(tmp_path / "docs"))
+    assert {r.id: r.body for r in loaded.latest().collect()} == {"u/1": "v2", "u/2": "w1"}
+    assert {r.id: r.body for r in loaded.as_of(T0).collect()} == {"u/1": "v1", "u/2": "w1"}
+
+
 def test_version_log_never_sentinel(spark):
     s, _ = _store(spark, [("x", "v")], T0)
     row = s.versions.collect()[0]
