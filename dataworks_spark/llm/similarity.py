@@ -60,19 +60,27 @@ def lsh_cosine_topk(
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
+    n_probe: int = 1,
     id_cols: list[str] | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN: restrict the exact scan to the query's hyperplane bucket
-    (expected recall grows with candidate multiplicity; production use
-    would probe multi-bucket / multi-table — this is the single-probe
-    core). At scale, write the table partitioned by ``lsh_bucket`` so
-    the filter prunes partitions at the source."""
+    """ANN: restrict the exact scan to the query's hyperplane bucket(s).
+
+    Multi-probe: beyond the query's own bucket, probe the buckets
+    reached by flipping the bits whose hyperplane margin |q·plane| is
+    smallest — the neighbors most likely to hold near-misses (public
+    multi-probe LSH construction, Lv et al. VLDB'07). ``n_probe`` = 1 +
+    number of flipped-bit buckets. At scale, write the table
+    partitioned by ``lsh_bucket`` so the IN-filter prunes partitions at
+    the source."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
-    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+    margins = planes @ np.asarray(query_vec, dtype=np.float64)
+    qsig = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
+    weakest = np.argsort(np.abs(margins)).tolist()
+    probes = [qsig] + [qsig ^ (1 << b) for b in weakest[: max(n_probe - 1, 0)]]
     bucketed = df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes))
-    cands = bucketed.filter(F.col("lsh_bucket") == qsig)
+    cands = bucketed.filter(F.col("lsh_bucket").isin(probes))
     return brute_force_cosine_topk(cands.drop("lsh_bucket"), vec_col, query_vec, k, id_cols)
 
 

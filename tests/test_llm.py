@@ -82,6 +82,22 @@ def test_lsh_topk_subset_of_bruteforce_order(emb):
             assert abs(r.cos_sim - exact_scores[r.vec_id]) < 1e-9
 
 
+def test_multiprobe_lsh_improves_recall(emb):
+    """Multi-probe candidates ⊇ single-probe; probing every bucket
+    (n_probe = 2^planes) recovers the exact top-k."""
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact5 = {r.vec_id for r in brute_force_cosine_topk(rest, "embedding", qvec, 5, ["vec_id", "label"]).collect()}
+    single = {r.vec_id for r in lsh_cosine_topk(rest, "embedding", qvec, 500, n_planes=4, n_probe=1, id_cols=["vec_id", "label"]).collect()}
+    multi = {r.vec_id for r in lsh_cosine_topk(rest, "embedding", qvec, 500, n_planes=4, n_probe=5, id_cols=["vec_id", "label"]).collect()}
+    # single-bit flips reach n_planes+1 of the 2^n buckets: candidates
+    # strictly grow, and recall of the exact top-5 must not decrease
+    assert single <= multi
+    assert len(exact5 & single) <= len(exact5 & multi)
+    # candidate coverage grows ~n_probe/2^planes (5/16 here)
+    assert len(multi) > len(single)
+
+
 def test_ivf_topk_scores_exact_within_probed_lists(emb):
     """IVF ANN returns true cosine scores; with enough probes the top-1
     matches brute force (the nearest vector's list is almost always
