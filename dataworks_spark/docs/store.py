@@ -146,6 +146,17 @@ class DocumentStore:
         """Point lookup (B8, db/app_db.clj:45-48)."""
         return self.latest().filter(F.col("id") == F.lit(doc_id))
 
+    def history(self, doc_id: str, with_corrections: bool = False) -> DataFrame:
+        """Entity history (Crux `entity-history` — the reference's
+        bitemporal audit surface): every version of the doc ordered by
+        valid_from then tx_from. By default only current knowledge
+        (latest correction per valid interval); ``with_corrections``
+        includes superseded tx rows for a full audit trail."""
+        h = self.versions.filter(F.col("id") == F.lit(doc_id))
+        if not with_corrections:
+            h = h.filter(F.col("tx_to") == F.lit(NEVER))
+        return h.orderBy(F.col("valid_from").asc(), F.col("tx_from").asc())
+
     # -- writes --------------------------------------------------------
     def put(self, docs: DataFrame, valid_time: _dt.datetime | None = None) -> "DocumentStore":
         """Upsert new versions (J1); a future ``valid_time`` schedules

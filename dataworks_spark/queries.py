@@ -615,6 +615,32 @@ def q_doc_delete_view(spark, sf_dir):
     return latest_snapshot(docs).select("id", "event_type", "value", "valid_from")
 
 
+def q_doc_history(spark, sf_dir):
+    """Entity-history read (Crux entity-history analog): full ordered
+    version trail of one document id."""
+    docs = _docs_from_events(spark, sf_dir)
+    return (
+        docs.filter(F.col("id") == "app/3")
+        .select("id", "event_type", "value", "valid_from", "valid_to")
+    )
+
+
+def q_window_first_last(spark, sf_dir):
+    """first/last frame values (E2 family)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+    )
+
+
 # C5 — recursive rule / transitive closure (db/app_db.clj:121-126)
 
 def q_recursive_closure(spark, sf_dir):
@@ -1184,6 +1210,23 @@ ORACLE_SQL: dict[str, str] = {
                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
           FROM events) t
         WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "q_doc_history": """
+        SELECT id, event_type, value, valid_from, valid_to FROM (
+          SELECT 'app/' || CAST(user_id AS VARCHAR) AS id, event_type, value,
+                 ts AS valid_from,
+                 COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                          TIMESTAMP '9999-12-31') AS valid_to
+          FROM events) t
+        WHERE id = 'app/3'
+    """,
+    "q_window_first_last": """
+        SELECT event_id, user_id,
+               first_value(value) OVER w AS first_value,
+               last_value(value)  OVER w AS last_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     "q_recursive_closure": """
         WITH RECURSIVE e AS (

@@ -98,6 +98,19 @@ def test_store_save_load_roundtrip(spark, tmp_path):
     assert {r.id: r.body for r in loaded.as_of(T0).collect()} == {"u/1": "v1", "u/2": "w1"}
 
 
+def test_entity_history(spark):
+    """Crux entity-history analog: ordered version trail, corrections
+    visible only on request."""
+    s, clock = _store(spark, [("doc", "v1")], T0)
+    clock["now"] = T1
+    s2 = s.put(spark.createDataFrame([("doc", "v2")], "id string, body string"))
+    hist = s2.history("doc").collect()
+    assert [r.body for r in hist] == ["v1", "v2"]
+    assert hist[0].valid_to == T1  # closed by the v2 put
+    full = s2.history("doc", with_corrections=True).collect()
+    assert len(full) == 3  # retired original + corrected + new
+
+
 def test_version_log_never_sentinel(spark):
     s, _ = _store(spark, [("x", "v")], T0)
     row = s.versions.collect()[0]
