@@ -333,6 +333,25 @@ def q_unpivot(spark, sf_dir):
     )
 
 
+def q_agg_median(spark, sf_dir):
+    """Exact interpolated quantiles (the D7 sketches' exact twin)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+def q_agg_collect(spark, sf_dir):
+    """Ordered set collection (D2 distinct-set fold surfaced as a
+    value: `(into #{} …)` rendered deterministically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
 def q_agg_approx(spark, sf_dir):
     """Approximate aggregates (D7) — HLL++/quantile-sketch values are
     engine-specific, so this entry is rows-only checked (no oracle)."""
@@ -1053,6 +1072,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_nationkey, bool_or(c_acctbal < 0) AS has_negative,
                bool_and(c_acctbal < 9900) AS all_below_9900
         FROM customer GROUP BY c_nationkey
+    """,
+    "q_agg_median": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_collect": """
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+               COUNT(DISTINCT l_linestatus) AS n_statuses
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q_agg_rollup": """
         SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,

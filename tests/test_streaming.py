@@ -200,6 +200,49 @@ def test_event_time_session_window_stream(spark, events, tmp_path):
     assert {r.user_id: r.n_sessions for r in got} == expect
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """I10 late-data semantics: an event older than the watermark is
+    dropped from the windowed aggregate; the finalized window emits
+    without it (the reference has no event-time handling at all —
+    utils/kafka.clj:97-99 captures but ignores it)."""
+    import datetime as dt
+
+    src = tmp_path / "late_src"
+    schema = "k string, ts timestamp"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(str(src))
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    write_batch([("a", T(10, 15)), ("a", T(10, 45)), ("a", T(12, 0))], "overwrite")
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()  # watermark now 11:30
+    # batch 2: one LATE row (10:30 < watermark) + one on-time row
+    write_batch([("a", T(10, 30)), ("a", T(13, 0))], "append")
+    q.processAllAvailable()
+    write_batch([("a", T(15, 0))], "append")  # push watermark → finalize
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    out = {r["w"]["start"].hour: r["n"] for r in spark.sql("SELECT * FROM late_out").collect()}
+    assert out[10] == 2  # the 10:30 late row was DROPPED (else 3)
+    assert out[12] == 1
+
+
 def test_stream_stream_interval_join(spark, events, tmp_path):
     """Stream-stream join with watermarks (beyond the reference's
     surface; the Spark-native form of correlating two live topics):
