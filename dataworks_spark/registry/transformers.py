@@ -114,3 +114,20 @@ class TransformerRegistry:
     def names(self) -> list[str]:
         with self._lock:
             return sorted(self._fns)
+
+    def register_sql(self, name: str) -> None:
+        """Expose a registered python/pandas transformer to the SQL
+        surface (`spark.udf.register` — SURVEY K1's "named-UDF
+        registry"), so `spark.sql("SELECT name(x) …")` works like the
+        reference's transformers-in-scope macro. Column-kind
+        transformers are Catalyst expressions and need no registration
+        — use them via :meth:`column`."""
+        if self._spark is None:
+            raise ValueError("registry has no SparkSession")
+        t = self.get(name)
+        if t.kind == "pandas":
+            self._spark.udf.register(name, F.pandas_udf(t.fn, t.returns))
+        elif t.kind == "python":
+            self._spark.udf.register(name, t.fn, t.returns)
+        else:
+            raise ValueError(f"kind {t.kind!r} is not SQL-registrable")

@@ -52,6 +52,51 @@ class OpChain:
         self.steps = list(steps)
         self.nil_drop = nil_drop
 
+    # -- declarative (de)serialization (I7 control messages) ------------
+    @classmethod
+    def from_spec(cls, spec: dict, registry=None) -> "OpChain":
+        """Build a chain from the JSON-safe spec a control message
+        carries (the reference ships quoted Clojure and eval's it,
+        stream.clj:30-34 — here the payload is declarative: SQL
+        expression strings compiled by Catalyst, plus named-transformer
+        references resolved through the registry).
+
+        Spec shape::
+
+            {"steps": [
+               {"op": "map",     "cols": {"out": "value * 2"}},
+               {"op": "filter",  "expr": "value > 0"},
+               {"op": "select",  "cols": ["a", "b"]},
+               {"op": "flatmap", "col": "split(text, ' ')", "alias": "tok"},
+               {"op": "rename",  "mapping": {"a": "b"}},
+               {"op": "drop",    "cols": ["tmp"]},
+               {"op": "udf",     "name": "score", "out": "s", "in": ["x"]},
+             ],
+             "nil_drop": true}
+        """
+        chain = cls([], spec.get("nil_drop", True))
+        for s in spec.get("steps", []):
+            op = s["op"]
+            if op == "map":
+                chain = chain.map(**{k: F.expr(v) for k, v in s["cols"].items()})
+            elif op == "filter":
+                chain = chain.filter(F.expr(s["expr"]))
+            elif op == "select":
+                chain = chain.select(*s["cols"])
+            elif op == "flatmap":
+                chain = chain.flatmap(F.expr(s["col"]), s["alias"])
+            elif op == "rename":
+                chain = chain.rename(s["mapping"])
+            elif op == "drop":
+                chain = chain.drop(*s["cols"])
+            elif op == "udf":
+                if registry is None:
+                    raise ValueError("udf step requires a registry")
+                chain = chain.udf(registry, s["name"], s["out"], *s["in"])
+            else:
+                raise ValueError(f"unknown spec op {op!r}")
+        return chain
+
     # -- fluent builders ------------------------------------------------
     def _with(self, step: Step) -> "OpChain":
         return OpChain([*self.steps, step], self.nil_drop)

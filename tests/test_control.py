@@ -82,6 +82,60 @@ def test_control_poll_loop_applies_async(spark, tmp_path):
     assert seen and seen[0].name == "node1"
 
 
+def test_declarative_spec_over_control_bus(spark, sf_dir, tmp_path):
+    """End-to-end I7 with NO custom handler logic: the control message
+    carries a pure-JSON op-spec; the standard deserializer
+    (OpChain.from_spec) turns it into the node's new chain."""
+    from dataworks_spark.streaming.transforms import OpChain
+
+    bus = FileControlBus(str(tmp_path / "control.log"))
+    events = load_table(spark, sf_dir, "events")
+
+    reg = TransformerRegistry(spark)
+    reg.register_column("half", lambda c: c / 2)
+
+    g = StreamGraph(spark)
+    g.add_source("src", lambda: events)
+    g.add_node(Node("out", OpChain().select("event_id", "value"), ["src"]))
+
+    listener = ControlListener(
+        bus,
+        {"stream": lambda m: g.swap_node(m.name, OpChain.from_spec(m.spec, reg))},
+    )
+    bus.publish(
+        FunctionChanged(
+            "stream",
+            "out",
+            {
+                "steps": [
+                    {"op": "filter", "expr": "event_type = 'purchase'"},
+                    {"op": "map", "cols": {"v2": "value * 10"}},
+                    {"op": "udf", "name": "half", "out": "h", "in": ["value"]},
+                    {"op": "select", "cols": ["event_id", "v2", "h"]},
+                ]
+            },
+        )
+    )
+    listener.poll()
+    out = g.build("out")
+    rows = out.collect()
+    n_purchase = events.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchase
+    r0 = sorted(rows, key=lambda r: r.event_id)[0]
+    src0 = events.filter(F.col("event_id") == r0.event_id).first()
+    assert abs(r0.v2 - src0.value * 10) < 1e-9 and abs(r0.h - src0.value / 2) < 1e-9
+
+
+def test_sql_registered_transformer(spark):
+    """K1: a named transformer reachable from the SQL surface."""
+    reg = TransformerRegistry(spark)
+    reg.register_pandas("double_it", lambda s: s * 2, "long")
+    reg.register_sql("double_it")
+    spark.range(3).createOrReplaceTempView("v_nums")
+    got = sorted(r.d for r in spark.sql("SELECT double_it(id) AS d FROM v_nums").collect())
+    assert got == [0, 2, 4]
+
+
 def test_streaming_ingest_into_doc_store(spark, sf_dir, tmp_path):
     """§3.2: events stream → foreachBatch → bitemporal store; the
     resulting latest view equals the batch LWW answer."""
