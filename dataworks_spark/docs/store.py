@@ -271,6 +271,17 @@ class DocumentStore:
         new = version_log(df, "id", ts_col).withColumn(
             "tx_from", nowl
         )
+        if set(new.columns) != set(self.versions.columns):
+            if self.versions.isEmpty():
+                # schema-on-first-write: an empty store adopts the first
+                # batch's payload shape (the reference is schemaless —
+                # docs define their own attributes, SURVEY §1.2)
+                return DocumentStore(new, self._now)
+            raise ValueError(
+                f"batch payload columns {sorted(set(new.columns))} do not match "
+                f"store schema {sorted(set(self.versions.columns))}; align the "
+                "batch or start from an empty store"
+            )
         firsts = df.groupBy("id").agg(F.min(ts_col).alias("__first_ts"))
         marked = self.versions.join(firsts, on="id", how="left")
         open_cur = (

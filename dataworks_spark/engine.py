@@ -1,0 +1,163 @@
+"""Engine facade — the system map (reference core.clj:5-30 boots
+app-db, user-db, the two HTTP servers, and the stream graph; the
+`create!`/`update!` lifecycle is §3.1).
+
+One object wires every layer: SparkSession, the two document stores
+(app/user — db/app_db.clj:19-26, db/user_db.clj:18-26), the stream
+graph, the transformer/transactor registries, the alert scheduler, the
+control bus, and (optionally) the HTTP collector server.
+
+:meth:`create_function` re-expresses the reference's stored-function
+deployment pipeline (§3.1 steps 3-7): validation chain (`->?`) →
+activate in the local registry/graph → publish the declarative spec on
+the control topic so every other driver applies the same change. The
+stored-function document is a plain dict; code arrives as declarative
+op-specs / expression strings, never as evaluated source.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dataworks_spark.config import DEFAULTS, apply_spark_conf, load_config
+from dataworks_spark.docs.store import DocumentStore
+from dataworks_spark.registry.alerts import AlertScheduler
+from dataworks_spark.registry.transactors import TransactorRegistry
+from dataworks_spark.registry.transformers import TransformerRegistry
+from dataworks_spark.registry.validation import (
+    Invalid,
+    blank_field,
+    missing_field,
+    parseable_steps,
+    thread_checks,
+    valid_name,
+    validate_buffer,
+)
+from dataworks_spark.session import get_spark
+from dataworks_spark.streaming.control import ControlListener, FileControlBus, FunctionChanged
+from dataworks_spark.streaming.graph import Node, StreamGraph
+from dataworks_spark.streaming.transforms import OpChain
+
+_EMPTY_DOCS_SCHEMA = (
+    "id string, payload string, valid_from timestamp, valid_to timestamp, "
+    "tx_from timestamp, tx_to timestamp, deleted boolean"
+)
+
+
+class Engine:
+    """The running system (core.clj system map analog)."""
+
+    def __init__(self, config: dict[str, Any] | str | None = None, spark: SparkSession | None = None):
+        cfg = load_config(config) if isinstance(config, (str, type(None))) else {**DEFAULTS, **config}
+        self.config = cfg
+        self.spark = spark or get_spark("dataworks_engine")
+        apply_spark_conf(cfg, self.spark)
+
+        empty = self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+        self.app_db = DocumentStore(empty)  # stored-function metadata
+        self.user_db = DocumentStore(empty)  # user documents
+        self.graph = StreamGraph(self.spark)
+        self.transformers = TransformerRegistry(self.spark)
+        self.transactors = TransactorRegistry()
+        self.alerts = AlertScheduler(self.user_db, self.transactors, cfg["alert.poll.ms"])
+        self.bus = FileControlBus(cfg["control.log"])
+        self.listener = ControlListener(
+            self.bus,
+            {
+                "stream": self._on_stream_change,
+                "transformer": self._on_transformer_change,
+            },
+        )
+        self._collector = None
+
+    # -- §3.1 create!/update! ------------------------------------------
+    def create_function(self, function_type: str, doc: dict) -> dict | Invalid:
+        """The stored-function deployment pipeline: validate → persist
+        (app-db) → activate locally → propagate (control topic). Returns
+        the accepted doc or the first validation failure (the `->?`
+        short-circuit, §3.1 step 3)."""
+        checks = {
+            "stream": (
+                missing_field("name", "steps", "upstreams"),
+                blank_field("name"),
+                valid_name(),
+                parseable_steps(),
+                validate_buffer(),
+            ),
+            "transformer": (
+                missing_field("name", "kind", "expr"),
+                blank_field("name"),
+                valid_name(),
+            ),
+            "transactor": (missing_field("name"), valid_name()),
+        }[function_type]
+        result = thread_checks(dict(doc), *checks)
+        if isinstance(result, Invalid):
+            return result
+
+        # persist the function document (added-to-db?, db/app_db.clj:95-113)
+        now = _dt.datetime.utcnow()
+        fn_doc = self.spark.createDataFrame(
+            [(f"{function_type}/{result['name']}", str(result))], "id string, payload string"
+        )
+        self.app_db = self.app_db.put(fn_doc)
+
+        # activate locally + broadcast (stream.clj:21-28 publish)
+        msg = FunctionChanged(function_type, result["name"], result)
+        self._apply(msg)
+        self.bus.publish(msg)
+        return result
+
+    # -- control-topic handlers (app_graph.clj:30-46 per-type channels) --
+    def _apply(self, msg: FunctionChanged) -> None:
+        handler = {
+            "stream": self._on_stream_change,
+            "transformer": self._on_transformer_change,
+            "transactor": lambda m: None,  # transactors carry callables: local-only
+        }.get(msg.function_type)
+        if handler:
+            handler(msg)
+
+    def _on_stream_change(self, msg: FunctionChanged) -> None:
+        chain = OpChain.from_spec(msg.spec, registry=self.transformers)
+        if msg.name in self.graph._nodes:
+            self.graph.swap_node(msg.name, chain)
+        else:
+            self.graph.add_node(Node(msg.name, chain, list(msg.spec.get("upstreams", []))))
+
+    def _on_transformer_change(self, msg: FunctionChanged) -> None:
+        """Declarative transformer = SQL-macro semantics: ``expr`` is a
+        SQL expression string referencing its input columns *by name*
+        (resolved by Catalyst against the applying DataFrame) — the
+        no-eval replacement for the reference's quoted-fn transformers
+        (transformer.clj:16-29)."""
+        expr = msg.spec["expr"]
+
+        def fn(*cols, _expr=expr):
+            return F.expr(_expr)
+
+        self.transformers.register_column(msg.name, fn)
+
+    # -- convenience ------------------------------------------------------
+    def register_transformer_column(self, name: str, fn) -> None:
+        self.transformers.register_column(name, fn)
+
+    def register_transactor(self, name: str, fn) -> None:
+        self.transactors.register(name, fn)
+
+    def start_collector(self, spool_dir: str | None = None):
+        from dataworks_spark.streaming.collector import CollectorServer
+
+        self._collector = CollectorServer(
+            spool_dir or self.config["collector.spool"], port=self.config["collector.port"]
+        ).start()
+        return self._collector
+
+    def stop(self) -> None:
+        self.graph.stop_all()
+        if self._collector is not None:
+            self._collector.stop()

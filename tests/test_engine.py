@@ -1,0 +1,95 @@
+"""Engine facade tests — the §3.1 stored-function lifecycle
+(validate → persist → activate → propagate) and the demo-app topology
+(doc/demo-app-1.org) re-expressed through one API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_spark.engine import Engine
+from dataworks_spark.registry.validation import Invalid
+from dataworks_spark.session import load_table
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    e = Engine(
+        config={"control.log": str(tmp_path / "bus.log"), "collector.spool": str(tmp_path / "spool")},
+        spark=spark,
+    )
+    yield e
+    e.stop()
+
+
+def test_create_function_validation_short_circuits(engine):
+    bad = engine.create_function("stream", {"name": "Bad Name", "steps": [], "upstreams": ["s"]})
+    assert isinstance(bad, Invalid) and bad.message == "invalid-name"
+    missing = engine.create_function("transformer", {"name": "t"})
+    assert isinstance(missing, Invalid) and missing.message == "missing-field"
+
+
+def test_demo_app_topology(engine, spark, sf_dir):
+    """The demo-app flow: a declarative transformer + a stream node
+    using it, deployed through create_function, run over events."""
+    ok = engine.create_function(
+        "transformer", {"name": "usd-cents", "kind": "column", "expr": "CAST(value * 100 AS BIGINT)"}
+    )
+    assert not isinstance(ok, Invalid)
+    ok = engine.create_function(
+        "stream",
+        {
+            "name": "purchases",
+            "upstreams": ["ingest"],
+            "steps": [
+                {"op": "filter", "expr": "event_type = 'purchase'"},
+                {"op": "udf", "name": "usd-cents", "out": "cents", "in": ["value"]},
+                {"op": "select", "cols": ["event_id", "cents"]},
+            ],
+        },
+    )
+    assert not isinstance(ok, Invalid)
+
+    events = load_table(spark, sf_dir, "events")
+    engine.graph.add_source("ingest", lambda: events)
+    out = engine.graph.build("purchases")
+    rows = out.collect()
+    n_purchases = events.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases
+    sample = events.filter(F.col("event_type") == "purchase").first()
+    got = {r.event_id: r.cents for r in rows}
+    assert got[sample.event_id] == int(sample.value * 100)
+
+    # persisted as a stored-function document (added-to-db?)
+    fn_ids = {r.id for r in engine.app_db.latest().select("id").collect()}
+    assert {"transformer/usd-cents", "stream/purchases"} <= fn_ids
+
+
+def test_cross_engine_propagation(engine, spark, sf_dir, tmp_path):
+    """A second driver consuming the same control log applies the same
+    functions (§3.1 step 7 / app_graph.clj broadcast)."""
+    engine.create_function(
+        "transformer", {"name": "doubled", "kind": "column", "expr": "value * 2"}
+    )
+    engine.create_function(
+        "stream",
+        {
+            "name": "scored",
+            "upstreams": ["src"],
+            "steps": [{"op": "udf", "name": "doubled", "out": "d", "in": ["value"]},
+                      {"op": "select", "cols": ["event_id", "d"]}],
+        },
+    )
+
+    other = Engine(
+        config={"control.log": str(tmp_path / "bus.log"), "collector.spool": str(tmp_path / "spool2")},
+        spark=spark,
+    )
+    try:
+        applied = other.listener.poll()
+        assert applied == 2
+        events = load_table(spark, sf_dir, "events").limit(50)
+        other.graph.add_source("src", lambda: events)
+        rows = other.graph.build("scored").collect()
+        vals = {r.event_id: r.value for r in events.collect()}
+        assert all(abs(r.d - 2 * vals[r.event_id]) < 1e-9 for r in rows)
+    finally:
+        other.stop()
