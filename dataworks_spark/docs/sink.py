@@ -13,34 +13,30 @@ after the write completes.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataworks_spark.docs.store import DocumentStore
+from dataworks_spark.docs.store import DocumentStore, StoreRef
 
 
 class DocStoreSink:
     """foreachBatch sink appending each micro-batch to a DocumentStore.
 
-    Thread-safe holder: streaming worker threads swap the store
-    reference under a lock; readers grab the current snapshot
-    (``store`` property). At cluster scale the store would be a table
-    format (Delta/Iceberg MERGE) — the holder stands in for the table
-    commit protocol."""
+    Holds (or shares) a :class:`StoreRef`: streaming worker threads
+    swap the store state per batch; every reader of the same ref (alert
+    scheduler, ad-hoc queries) sees the committed state. At cluster
+    scale the ref is a table format's commit protocol (Delta/Iceberg
+    MERGE)."""
 
-    def __init__(self, store: DocumentStore, id_col: Column | str, ts_col: str):
-        self._store = store
+    def __init__(self, store: DocumentStore | StoreRef, id_col: Column | str, ts_col: str):
+        self.ref = store if isinstance(store, StoreRef) else StoreRef(store)
         self._id_col = id_col
         self._ts_col = ts_col
-        self._lock = threading.Lock()
         self.batches_applied = 0
 
     @property
     def store(self) -> DocumentStore:
-        with self._lock:
-            return self._store
+        return self.ref.store
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -48,11 +44,10 @@ class DocStoreSink:
         idc = F.col(self._id_col) if isinstance(self._id_col, str) else self._id_col
         drop = [self._id_col] if isinstance(self._id_col, str) else []
         rows = batch_df.withColumn("id", idc).drop(*drop).localCheckpoint()
-        with self._lock:
-            # set-based bulk append: every row becomes a version at its
-            # own event-ts in ONE put_log pass (no per-ts transactions)
-            self._store = self._store.put_log(rows, ts_col=self._ts_col).compact()
-            self.batches_applied += 1
+        # set-based bulk append: every row becomes a version at its own
+        # event-ts in ONE put_log pass (no per-ts transactions)
+        self.ref.swap(lambda s: s.put_log(rows, ts_col=self._ts_col).compact())
+        self.batches_applied += 1
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         """Start the streaming query writing into this store."""

@@ -118,6 +118,30 @@ def latest_snapshot(versions: DataFrame, include_deleted: bool = False) -> DataF
     return snap
 
 
+class StoreRef:
+    """Thread-safe shared holder for an evolving :class:`DocumentStore`
+    — streaming sinks swap in new store states per batch while readers
+    (alert scheduler, query surfaces) always see the current one. The
+    in-process stand-in for a table-format's commit log."""
+
+    def __init__(self, store: "DocumentStore"):
+        import threading
+
+        self._store = store
+        self._lock = threading.Lock()
+
+    @property
+    def store(self) -> "DocumentStore":
+        with self._lock:
+            return self._store
+
+    def swap(self, fn) -> "DocumentStore":
+        """Atomically replace the store with fn(current)."""
+        with self._lock:
+            self._store = fn(self._store)
+            return self._store
+
+
 class DocumentStore:
     """Mutable document-store facade over a version-log DataFrame.
 
@@ -176,7 +200,13 @@ class DocumentStore:
             tomb = tomb.withColumn(c, F.lit(None).cast(self.versions.schema[c].dataType))
         return self._apply_write(tomb, valid_time, tombstone=True)
 
-    def match_put(self, docs: DataFrame, expected: DataFrame, on_payload: list[str]) -> "DocumentStore":
+    def match_put(
+        self,
+        docs: DataFrame,
+        expected: DataFrame,
+        on_payload: list[str],
+        valid_time: _dt.datetime | None = None,
+    ) -> "DocumentStore":
         """Optimistic precondition (J3, utils/alert.clj:21-27): apply the
         put only for ids whose *current* version matches ``expected`` on
         the given payload columns — the reference's create-vs-update race
@@ -184,7 +214,7 @@ class DocumentStore:
         set against the matching current versions (no driver round-trip)."""
         current = self.latest().select("id", *on_payload)
         ok_ids = current.join(expected.select("id", *on_payload), on=["id", *on_payload], how="left_semi")
-        return self.put(docs.join(ok_ids.select("id"), on="id", how="left_semi"))
+        return self.put(docs.join(ok_ids.select("id"), on="id", how="left_semi"), valid_time)
 
     cas = match_put  # J4 compare-and-set (utils/auth.clj:139-146) — same mechanics
 

@@ -24,7 +24,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from dataworks_spark.config import DEFAULTS, apply_spark_conf, load_config
-from dataworks_spark.docs.store import DocumentStore
+from dataworks_spark.docs.store import DocumentStore, StoreRef
 from dataworks_spark.registry.alerts import AlertScheduler
 from dataworks_spark.registry.transactors import TransactorRegistry
 from dataworks_spark.registry.transformers import TransformerRegistry
@@ -59,11 +59,13 @@ class Engine:
 
         empty = self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
         self.app_db = DocumentStore(empty)  # stored-function metadata
-        self.user_db = DocumentStore(empty)  # user documents
+        # user documents: one shared ref — streaming sinks and the alert
+        # scheduler see the same evolving store state
+        self.user_db_ref = StoreRef(DocumentStore(empty))
         self.graph = StreamGraph(self.spark)
         self.transformers = TransformerRegistry(self.spark)
         self.transactors = TransactorRegistry()
-        self.alerts = AlertScheduler(self.user_db, self.transactors, cfg["alert.poll.ms"])
+        self.alerts = AlertScheduler(self.user_db_ref, self.transactors, cfg["alert.poll.ms"])
         self.bus = FileControlBus(cfg["control.log"])
         self.listener = ControlListener(
             self.bus,
@@ -141,6 +143,12 @@ class Engine:
             return F.expr(_expr)
 
         self.transformers.register_column(msg.name, fn)
+
+    @property
+    def user_db(self) -> DocumentStore:
+        """Current user-document store state (shared with alerts and
+        any attached streaming sink)."""
+        return self.user_db_ref.store
 
     # -- convenience ------------------------------------------------------
     def register_transformer_column(self, name: str, fn) -> None:

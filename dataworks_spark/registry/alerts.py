@@ -21,22 +21,26 @@ import datetime as _dt
 
 from pyspark.sql import functions as F
 
-from dataworks_spark.docs.store import DocumentStore
+from dataworks_spark.docs.store import DocumentStore, StoreRef
 from dataworks_spark.registry.transactors import TransactorRegistry
 
 
 class AlertScheduler:
     def __init__(
         self,
-        store: DocumentStore,
+        store: DocumentStore | StoreRef,
         transactors: TransactorRegistry,
         poll_ms: int = 1000,  # reference timeout (alert.clj:36)
         now_fn=None,
     ):
-        self.store = store
+        self.ref = store if isinstance(store, StoreRef) else StoreRef(store)
         self.transactors = transactors
         self.poll_ms = poll_ms
         self._now = now_fn or _dt.datetime.utcnow
+
+    @property
+    def store(self) -> DocumentStore:
+        return self.ref.store
 
     def due_alerts(self, now: _dt.datetime | None = None):
         """Alerts visible as-of now and not yet claimed
@@ -58,18 +62,21 @@ class AlertScheduler:
             return 0
 
         # claim via match: precondition = currently unclaimed (J3;
-        # alert.clj:20-31). Re-put the docs with claimed=True.
+        # alert.clj:20-31). Re-put the doc (with ALL its payload
+        # columns — documents are schemaless) flipping claimed=True.
         ids = due.select("id").localCheckpoint()
-        claim_docs = due.select("id", "doc_type", "handler", "params").withColumn(
-            "claimed", F.lit(True)
-        )
+        meta = {"valid_from", "valid_to", "tx_from", "tx_to", "deleted"}
+        payload_cols = [c for c in due.columns if c not in meta]
+        claim_docs = due.select(*payload_cols).withColumn("claimed", F.lit(True))
         expected = due.select("id").withColumn("claimed", F.lit(False))
-        self.store = self.store.match_put(claim_docs, expected, on_payload=["claimed"])
+        self.ref.swap(
+            lambda s: s.match_put(claim_docs, expected, on_payload=["claimed"], valid_time=now)
+        )
 
         fired = 0
         for r in rows:
             self.transactors.transact(r["handler"], r["params"])  # alert.clj:29
             fired += 1
         # delete fired alerts (alert.clj:30-31)
-        self.store = self.store.delete(ids, valid_time=now)
+        self.ref.swap(lambda s: s.delete(ids, valid_time=now))
         return fired
