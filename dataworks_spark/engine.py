@@ -17,7 +17,7 @@ op-specs / expression strings, never as evaluated source.
 
 from __future__ import annotations
 
-import datetime as _dt
+import json
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -102,27 +102,19 @@ class Engine:
             return result
 
         # persist the function document (added-to-db?, db/app_db.clj:95-113)
-        now = _dt.datetime.utcnow()
+        # as JSON — machine-parseable on reload, same encoding the bus uses
         fn_doc = self.spark.createDataFrame(
-            [(f"{function_type}/{result['name']}", str(result))], "id string, payload string"
+            [(f"{function_type}/{result['name']}", json.dumps(result, sort_keys=True))],
+            "id string, payload string",
         )
         self.app_db = self.app_db.put(fn_doc)
 
-        # activate locally + broadcast (stream.clj:21-28 publish)
-        msg = FunctionChanged(function_type, result["name"], result)
-        self._apply(msg)
-        self.bus.publish(msg)
+        # broadcast (stream.clj:21-28 publish), then activate via the
+        # SAME consume path every other driver uses — one code path, no
+        # local double-apply when this engine's listener replays the log
+        self.bus.publish(FunctionChanged(function_type, result["name"], result))
+        self.listener.poll()
         return result
-
-    # -- control-topic handlers (app_graph.clj:30-46 per-type channels) --
-    def _apply(self, msg: FunctionChanged) -> None:
-        handler = {
-            "stream": self._on_stream_change,
-            "transformer": self._on_transformer_change,
-            "transactor": lambda m: None,  # transactors carry callables: local-only
-        }.get(msg.function_type)
-        if handler:
-            handler(msg)
 
     def _on_stream_change(self, msg: FunctionChanged) -> None:
         chain = OpChain.from_spec(msg.spec, registry=self.transformers)

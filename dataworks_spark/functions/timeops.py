@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 
 #: far-future sentinel standing in for the reference's :never
 #: (utils/time.clj:75) — used as the open end of validity intervals.
-NEVER = _dt.datetime(9999, 12, 31, 0, 0, 0)
+#: Chosen inside pandas' ns-timestamp range (max 2262-04-11) so results
+#: surfacing an open interval survive Arrow/toPandas collection; the
+#: reference's MAX_INSTANT equivalent would overflow there.
+NEVER = _dt.datetime(2261, 12, 31, 0, 0, 0)
 
 _UNITS = {
     "millis": "millisecond",

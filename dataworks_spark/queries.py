@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from dataworks_spark import ops
 from dataworks_spark.docs.store import as_of_snapshot, latest_snapshot, version_log
 from dataworks_spark.functions.arrays import cosine_similarity, dot
+from dataworks_spark.functions.timeops import NEVER
 from dataworks_spark.ops.joins import asof_join, versions_with_validity
 from dataworks_spark.session import load_table
 
@@ -636,11 +637,21 @@ def q_doc_delete_view(spark, sf_dir):
 
 def q_doc_history(spark, sf_dir):
     """Entity-history read (Crux entity-history analog): full ordered
-    version trail of one document id."""
+    version trail of one document id.
+
+    Open intervals surface as NULL at the output boundary — the NEVER
+    sentinel stays internal so collection layers (Arrow/pandas) never
+    see a near-range-limit timestamp."""
     docs = _docs_from_events(spark, sf_dir)
     return (
         docs.filter(F.col("id") == "app/3")
-        .select("id", "event_type", "value", "valid_from", "valid_to")
+        .select(
+            "id",
+            "event_type",
+            "value",
+            "valid_from",
+            F.nullif(F.col("valid_to"), F.lit(NEVER).cast("timestamp")).alias("valid_to"),
+        )
     )
 
 
@@ -1246,8 +1257,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT id, event_type, value, valid_from, valid_to FROM (
           SELECT 'app/' || CAST(user_id AS VARCHAR) AS id, event_type, value,
                  ts AS valid_from,
-                 COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
-                          TIMESTAMP '9999-12-31') AS valid_to
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
           FROM events) t
         WHERE id = 'app/3'
     """,

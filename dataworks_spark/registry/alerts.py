@@ -53,30 +53,69 @@ class AlertScheduler:
 
     def tick(self, now: _dt.datetime | None = None) -> int:
         """One scheduler poll: claim → fire → delete. Returns the number
-        of alerts fired by THIS node (losers of the claim race fire 0 —
-        the match-CAS guarantees at-most-once per alert cluster-wide)."""
+        of alerts fired by THIS node.
+
+        At-most-once is enforced by computing the winner set *inside*
+        the atomic claim (under the StoreRef lock): only ids whose
+        current version still matched unclaimed at claim time are fired.
+        Fired alerts are deleted and failed ones unclaimed in a
+        ``finally`` block, so a handler exception re-exposes the alert
+        to the next poll (at-least-once for failed handlers) instead of
+        leaving it claimed-but-undeleted forever."""
         now = now or self._now()
         due = self.due_alerts(now)
-        rows = due.select("id", "handler", "params").collect()
-        if not rows:
-            return 0
-
-        # claim via match: precondition = currently unclaimed (J3;
-        # alert.clj:20-31). Re-put the doc (with ALL its payload
-        # columns — documents are schemaless) flipping claimed=True.
-        ids = due.select("id").localCheckpoint()
         meta = {"valid_from", "valid_to", "tx_from", "tx_to", "deleted"}
         payload_cols = [c for c in due.columns if c not in meta]
         claim_docs = due.select(*payload_cols).withColumn("claimed", F.lit(True))
         expected = due.select("id").withColumn("claimed", F.lit(False))
-        self.ref.swap(
-            lambda s: s.match_put(claim_docs, expected, on_payload=["claimed"], valid_time=now)
-        )
 
-        fired = 0
-        for r in rows:
-            self.transactors.transact(r["handler"], r["params"])  # alert.clj:29
-            fired += 1
-        # delete fired alerts (alert.clj:30-31)
-        self.ref.swap(lambda s: s.delete(ids, valid_time=now))
-        return fired
+        won: list = []
+
+        def _claim(s: DocumentStore) -> DocumentStore:
+            # match precondition (J3; alert.clj:20-31): ids whose current
+            # version is still unclaimed. Collect is bounded by the due
+            # set — the reference's per-alert loop has the same shape.
+            current = s.latest().select("id", "claimed")
+            ok = current.join(expected, on=["id", "claimed"], how="left_semi").select("id")
+            won.extend(
+                due.join(ok, on="id", how="left_semi")
+                .select("id", "handler", "params")
+                .collect()
+            )
+            if not won:
+                return s
+            return s.put(claim_docs.join(ok, on="id", how="left_semi"), valid_time=now)
+
+        self.ref.swap(_claim)
+        if not won:
+            return 0
+
+        fired_ids: list = []
+        failed_ids: list = []
+        try:
+            for r in won:
+                try:
+                    # await the effect so failure is observable here —
+                    # the claim/unclaim protocol needs the outcome
+                    # (alert.clj:29 fires in a go block; we keep the
+                    # async pool but join per alert)
+                    self.transactors.transact(r["handler"], r["params"]).result()
+                    fired_ids.append(r["id"])
+                except Exception:
+                    failed_ids.append(r["id"])
+        finally:
+            if fired_ids:  # delete fired alerts (alert.clj:30-31)
+                done = due.filter(F.col("id").isin(fired_ids)).select("id")
+                self.ref.swap(lambda s: s.delete(done, valid_time=now))
+            if failed_ids:  # unclaim so the next poll retries
+                unclaim = (
+                    due.filter(F.col("id").isin(failed_ids))
+                    .select(*payload_cols)
+                    .withColumn("claimed", F.lit(False))
+                )
+                self.ref.swap(lambda s: s.put(unclaim, valid_time=now))
+            # truncate lineage: each tick appends 2-3 put plans on top of
+            # the store; without compaction poll N re-evaluates every
+            # earlier poll's joins (the MERGE-job analog, store.compact)
+            self.ref.swap(lambda s: s.compact())
+        return len(fired_ids)

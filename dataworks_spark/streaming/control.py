@@ -54,11 +54,16 @@ class FileControlBus:
         open(path, "a").close()
 
     def publish(self, msg: FunctionChanged) -> int:
-        """Returns the message's sequence number (log position)."""
-        with self._lock, open(self.path, "a") as f:
-            f.write(msg.to_json() + "\n")
-        with open(self.path) as f:
-            return sum(1 for _ in f) - 1
+        """Returns the message's sequence number (log position). The
+        offset is counted inside the same lock as the append so two
+        concurrent publishers can never observe each other's line and
+        report the same sequence number."""
+        with self._lock:
+            with open(self.path) as f:
+                seq = sum(1 for _ in f)
+            with open(self.path, "a") as f:
+                f.write(msg.to_json() + "\n")
+            return seq
 
     def read_from(self, offset: int) -> list[FunctionChanged]:
         with open(self.path) as f:

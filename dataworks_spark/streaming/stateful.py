@@ -35,9 +35,12 @@ def latest_state(
 ) -> DataFrame:
     """Streaming LWW: one output row per key per batch carrying the
     latest (ts, value) seen so far (across batches, via the state
-    store)."""
-    out_schema = f"{key_col} long, {ts_col} timestamp, {value_col} double"
-    state_schema = "ts_micros long, value double"
+    store). Key/value types are taken from ``events.schema`` — any
+    groupable key type and any atomic value type work."""
+    ktype = events.schema[key_col].dataType.simpleString()
+    vtype = events.schema[value_col].dataType.simpleString()
+    out_schema = f"{key_col} {ktype}, {ts_col} timestamp, {value_col} {vtype}"
+    state_schema = f"ts_micros long, value {vtype}"
     kc, tc, vc = key_col, ts_col, value_col
 
     def update(key, pdfs, state):
@@ -48,7 +51,8 @@ def latest_state(
             for ts, v in zip(pdf[tc], pdf[vc]):
                 micros = int(ts.value // 1000)  # pandas ns → micros
                 if best_ts is None or micros > best_ts:
-                    best_ts, best_v = micros, float(v)
+                    best_ts = micros
+                    best_v = v.item() if hasattr(v, "item") else v
         state.update((best_ts, best_v))
         yield _pd.DataFrame(
             {kc: [key[0]], tc: [_pd.Timestamp(best_ts * 1000)], vc: [best_v]}
@@ -63,7 +67,8 @@ def seen_filter(events: DataFrame, key_col: str, output_mode: str = "update") ->
     """Stateful first-occurrence filter: emits each key's row only the
     first time the key is ever seen (cross-batch exact dedup, L1
     streaming twin). State per key: a single marker."""
-    out_schema = f"{key_col} long, n_suppressed long"
+    ktype = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {ktype}, n_suppressed long"
     state_schema = "seen long, suppressed long"
     kc = key_col
 

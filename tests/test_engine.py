@@ -93,3 +93,18 @@ def test_cross_engine_propagation(engine, spark, sf_dir, tmp_path):
         assert all(abs(r.d - 2 * vals[r.event_id]) < 1e-9 for r in rows)
     finally:
         other.stop()
+
+
+def test_function_doc_payload_is_json(engine):
+    """The app-db copy of a stored function must be machine-parseable
+    (ADVICE r1): same JSON encoding the control bus uses."""
+    import json
+
+    ok = engine.create_function(
+        "transformer", {"name": "cents", "kind": "column", "expr": "CAST(value*100 AS BIGINT)"}
+    )
+    assert not isinstance(ok, Invalid)
+    row = engine.app_db.entity("transformer/cents").collect()[0]
+    assert json.loads(row.payload)["expr"] == "CAST(value*100 AS BIGINT)"
+    # applied exactly once, via the same consume path other drivers use
+    assert engine.listener.offset == 1 and len(engine.listener.applied) == 1

@@ -114,3 +114,41 @@ def test_alert_scheduler_claim_fire_delete(spark):
     assert "alert/1" not in remaining
     # second tick fires nothing (claim-once)
     assert sched.tick() == 0
+
+
+def test_alert_failed_handler_unclaimed_and_retried(spark):
+    """A transactor exception must NOT leave the alert claimed-but-
+    undeleted (ADVICE r1): the failed alert is unclaimed so the next
+    poll retries it, and only actually-fired alerts are deleted."""
+    t0 = dt.datetime(2024, 1, 1)
+    t_due = dt.datetime(2024, 1, 2)
+    rows = [
+        ("alert/ok", "alert", "notify", "p-ok", False, t0),
+        ("alert/boom", "alert", "explode", "p-boom", False, t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, doc_type string, handler string, params string, claimed boolean, ts timestamp"
+    )
+    store = DocumentStore(version_log(df, "id", "ts"), now_fn=lambda: t_due)
+    trans = TransactorRegistry()
+    fired = []
+    trans.register("notify", lambda p: fired.append(p))
+    calls = {"n": 0}
+
+    def explode(p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("downstream 500")
+        fired.append(p)
+
+    trans.register("explode", explode)
+    sched = AlertScheduler(store, trans, now_fn=lambda: t_due)
+
+    assert sched.tick() == 1  # ok fired; boom failed
+    remaining = {r.id for r in sched.store.latest().collect()}
+    assert "alert/ok" not in remaining  # fired → deleted
+    assert "alert/boom" in remaining  # failed → kept for retry
+
+    assert sched.tick() == 1  # retry succeeds (handler recovered)
+    assert sorted(fired) == ["p-boom", "p-ok"]
+    assert sched.tick() == 0  # nothing left
