@@ -65,13 +65,28 @@ def _vcol(x: str) -> str:
 
 @dataclass
 class Rule:
-    """A recursive rule in the only shape the reference exposes
-    (db/app_db.clj:121-126): linear transitive closure over a binary
-    edge attribute — `(depends d1 d2)` := edge(d1,d2) | edge(d1,m) ∧
-    depends(m,d2)."""
+    """A Datalog rule (Crux rule surface, db/app_db.clj:115-126).
+
+    Two forms:
+
+    * shorthand ``Rule("depends", "ns/field")`` — the linear binary
+      transitive closure the reference's commented example uses
+      (db/app_db.clj:121-126); compiled via the log-depth
+      path-doubling fixpoint.
+    * general ``Rule("reach", head=("?a", "?b"), bodies=[...])`` —
+      ``head`` lists the rule's variables; each body is a list of
+      clauses (triples, predicates, or rule calls — including calls to
+      *itself*, possibly several times per body, i.e. nonlinear
+      recursion). Non-recursive bodies seed the fixpoint; recursive
+      bodies are iterated to convergence (naive evaluation with
+      per-round lineage checkpoints — each round is one batch of
+      joins, so a depth-d graph needs ≤d driver rounds).
+    """
 
     name: str
-    edge_attr: str  # "ns/field" holding the destination entity id
+    edge_attr: str | None = None  # shorthand: "ns/field" destination id
+    head: tuple = ()
+    bodies: tuple = ()
 
 
 class DatalogDB:
@@ -103,35 +118,42 @@ class DatalogDB:
         columns are the find-vars (without '?')."""
         args = args or {}
         rule_map = {r.name: r for r in rules}
+        rule_env: dict[str, DataFrame] = {}
+        bound = self._eval_clauses(where, args, rule_map, rule_env)
+
+        for var, value in args.items():
+            if _vcol(var) in bound.columns and not isinstance(value, DataFrame):
+                bound = bound.filter(F.col(_vcol(var)) == F.lit(value))
+
+        return bound.select(*[_vcol(v) for v in find]).dropDuplicates()
+
+    # -- conjunctive clause-list evaluation ------------------------------
+    def _eval_clauses(
+        self,
+        where: Sequence[tuple],
+        args: dict,
+        rule_map: dict[str, "Rule"],
+        rule_env: dict[str, DataFrame],
+    ) -> DataFrame:
+        """Evaluate a conjunction of clauses (the body of a query, an
+        `and` or-branch, or a rule body) to a binding DataFrame."""
         bound: DataFrame | None = None
         filters: list[tuple] = []
-
         negations: list[tuple] = []
+
         for clause in where:
             head = clause[0]
             if isinstance(head, str) and head == "or":
-                # or-clause → union of the branch bindings (each branch
-                # is a triple binding the same variables)
-                branches = [self._apply_triple(None, t, args) for t in clause[1:]]
-                proj = branches[0]
-                for b in branches[1:]:
-                    proj = proj.unionByName(b)
-                proj = proj.dropDuplicates()
-                if bound is None:
-                    bound = proj
-                else:
-                    shared = [c for c in proj.columns if c in bound.columns]
-                    bound = bound.join(proj, on=shared) if shared else bound.crossJoin(proj)
+                proj = self._apply_or(clause[1:], args, rule_map, rule_env)
+                bound = self._merge(bound, proj)
                 continue
             if isinstance(head, str) and head == "not":
-                # Datalog negation → anti-join (SURVEY §2 C-notes:
-                # "negation/option compiles to anti/outer")
                 negations.append(clause[1])
                 continue
-            if isinstance(head, str) and (head in _PREDICATES or head in rule_map) or callable(head):
-                if isinstance(head, str) and head in rule_map:
-                    bound = self._apply_rule(bound, rule_map[head], clause[1], clause[2])
-                    continue
+            if isinstance(head, str) and head in rule_map:
+                bound = self._apply_rule_call(bound, clause, rule_map, rule_env)
+                continue
+            if (isinstance(head, str) and head in _PREDICATES) or callable(head):
                 filters.append(clause)
                 continue
             bound = self._apply_triple(bound, clause, args)
@@ -146,12 +168,43 @@ class DatalogDB:
 
         for clause in filters:
             bound = bound.filter(self._predicate(clause, args))
+        return bound
 
-        for var, value in args.items():
-            if _vcol(var) in bound.columns and not isinstance(value, DataFrame):
-                bound = bound.filter(F.col(_vcol(var)) == F.lit(value))
+    def _merge(self, bound: DataFrame | None, proj: DataFrame) -> DataFrame:
+        """Unify a new binding set into the accumulated bindings:
+        equi-join on shared variables (C1/C2), cross join if disjoint."""
+        if bound is None:
+            return proj
+        shared = [c for c in proj.columns if c in bound.columns]
+        return bound.join(proj, on=shared, how="inner") if shared else bound.crossJoin(proj)
 
-        return bound.select(*[_vcol(v) for v in find]).dropDuplicates()
+    # -- or-clauses (Crux multi-clause branches) -------------------------
+    def _apply_or(
+        self,
+        branches: Sequence[tuple],
+        args: dict,
+        rule_map: dict[str, "Rule"],
+        rule_env: dict[str, DataFrame],
+    ) -> DataFrame:
+        """``("or", branch, ...)`` — each branch is a single clause or
+        ``("and", clause, ...)`` (Crux's multi-clause branch). Branches
+        must bind the same variable set; the result is the union of the
+        branch bindings on those variables."""
+        compiled: list[DataFrame] = []
+        for br in branches:
+            clauses = list(br[1:]) if (isinstance(br[0], str) and br[0] == "and") else [br]
+            compiled.append(self._eval_clauses(clauses, args, rule_map, rule_env))
+        varset = set(compiled[0].columns)
+        for b in compiled[1:]:
+            if set(b.columns) != varset:
+                raise ValueError(
+                    f"or-branches must bind the same variables; got {sorted(varset)} "
+                    f"vs {sorted(b.columns)}"
+                )
+        out = compiled[0]
+        for b in compiled[1:]:
+            out = out.unionByName(b)
+        return out.dropDuplicates()
 
     # -- triple compilation ---------------------------------------------
     def _apply_triple(self, bound: DataFrame | None, triple: tuple, args: dict) -> DataFrame:
@@ -211,16 +264,81 @@ class DatalogDB:
         fn = op if callable(op) else _PREDICATES[op]
         return fn(*cols)
 
-    # -- recursive rules (C5, db/app_db.clj:121-126) ---------------------
-    def _apply_rule(self, bound: DataFrame | None, rule: Rule, src_var: str, dst_var: str) -> DataFrame:
-        ns, field = rule.edge_attr.split("/", 1)
-        df, id_col = self.table(ns)
-        edges = df.select(F.col(id_col).alias("src"), F.col(field).alias("dst")).dropna()
-        closure = transitive_closure(edges, "src", "dst")
-        proj = closure.select(
-            F.col("src").alias(_vcol(src_var)), F.col("dst").alias(_vcol(dst_var))
-        )
-        if bound is None:
-            return proj
-        shared = [c for c in proj.columns if c in bound.columns]
-        return bound.join(proj, on=shared, how="inner") if shared else bound.crossJoin(proj)
+    # -- rules (C5, db/app_db.clj:115-126) -------------------------------
+    def _apply_rule_call(
+        self,
+        bound: DataFrame | None,
+        clause: tuple,
+        rule_map: dict[str, "Rule"],
+        rule_env: dict[str, DataFrame],
+    ) -> DataFrame:
+        """Join a rule-call clause ``(name, term, ...)`` into the
+        bindings: the rule's derived relation (materialized once per
+        query) is projected onto the call's terms — variables rename
+        head columns, constants filter them."""
+        name, *terms = clause
+        rel = self._eval_rule(rule_map[name], rule_map, rule_env)
+        head_cols = rel.columns
+        if len(terms) != len(head_cols):
+            raise ValueError(f"rule {name} has {len(head_cols)} head vars, called with {len(terms)}")
+        cols, flt = [], None
+        for hc, term in zip(head_cols, terms):
+            if _is_var(term):
+                cols.append(F.col(hc).alias(_vcol(term)))
+            else:
+                cond = F.col(hc) == F.lit(term)
+                flt = cond if flt is None else (flt & cond)
+        proj = (rel.filter(flt) if flt is not None else rel).select(*cols)
+        return self._merge(bound, proj.dropDuplicates())
+
+    def _eval_rule(
+        self, rule: Rule, rule_map: dict[str, "Rule"], rule_env: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Materialize a rule's derived relation (columns = head vars).
+
+        Shorthand rules (edge_attr) compile to the log-depth
+        path-doubling closure. General rules run a fixpoint: the union
+        of non-recursive bodies seeds the relation; recursive bodies
+        (bodies that call this rule) are re-evaluated against the
+        current relation until no new tuples appear — cycle-safe via
+        the anti-join, lineage-safe via per-round localCheckpoint.
+        Nonlinear bodies (two self-calls) converge in ⌈log₂ d⌉ rounds —
+        the same squaring trade path-doubling makes."""
+        if rule.name in rule_env:
+            return rule_env[rule.name]
+        if rule.edge_attr is not None:
+            ns, field = rule.edge_attr.split("/", 1)
+            df, id_col = self.table(ns)
+            edges = df.select(F.col(id_col).alias("src"), F.col(field).alias("dst")).dropna()
+            closure = transitive_closure(edges, "src", "dst")
+            rel = closure.toDF("d1", "d2")  # canonical head column names
+            rule_env[rule.name] = rel
+            return rel
+
+        head_vars = [_vcol(v) for v in rule.head]
+        base: DataFrame | None = None
+        rec_bodies: list[list[tuple]] = []
+        for body in rule.bodies:
+            if any(isinstance(c[0], str) and c[0] == rule.name for c in body):
+                rec_bodies.append(list(body))
+                continue
+            b = self._eval_clauses(list(body), {}, rule_map, rule_env).select(*head_vars)
+            base = b if base is None else base.unionByName(b)
+        if base is None:
+            raise ValueError(f"rule {rule.name} needs at least one non-recursive body")
+        rel = base.dropDuplicates().localCheckpoint()
+
+        for _ in range(50):  # fixpoint cap mirrors ops.recursive
+            rule_env[rule.name] = rel  # recursive calls see current rel
+            grown: DataFrame | None = None
+            for body in rec_bodies:
+                g = self._eval_clauses(list(body), {}, rule_map, rule_env).select(*head_vars)
+                grown = g if grown is None else grown.unionByName(g)
+            if grown is None:
+                break
+            new = grown.dropDuplicates().join(rel, on=head_vars, how="left_anti").localCheckpoint()
+            if new.isEmpty():
+                break
+            rel = rel.unionByName(new).localCheckpoint()
+        rule_env[rule.name] = rel
+        return rel

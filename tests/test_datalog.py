@@ -145,3 +145,86 @@ def test_callable_predicate(db):
         ],
     )
     assert out.count() > 0
+
+
+def test_or_multi_clause_branches(db, spark, sf_dir):
+    """Crux multi-clause or-branches (db/app_db.clj surface): BUILDING
+    customers with acctbal > 5000 OR MACHINERY customers with
+    acctbal < 0 — each branch an `and` of triples + a predicate."""
+    out = db.q(
+        find=["?c", "?b"],
+        where=[
+            ("or",
+             ("and",
+              ("?c", "customer/c_mktsegment", "BUILDING"),
+              ("?c", "customer/c_acctbal", "?b"),
+              (">", "?b", 5000.0)),
+             ("and",
+              ("?c", "customer/c_mktsegment", "MACHINERY"),
+              ("?c", "customer/c_acctbal", "?b"),
+              ("<", "?b", 0.0))),
+        ],
+    )
+    c = load_table(spark, sf_dir, "customer")
+    expect = c.filter(
+        ((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+        | ((F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") < 0))
+    ).count()
+    assert out.count() == expect
+
+
+def test_or_branches_must_bind_same_vars(db):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="same variables"):
+        db.q(
+            find=["?c"],
+            where=[
+                ("or",
+                 ("?c", "customer/c_mktsegment", "BUILDING"),
+                 ("and",
+                  ("?c", "customer/c_mktsegment", "MACHINERY"),
+                  ("?c", "customer/c_acctbal", "?b"))),
+            ],
+        ).collect()
+
+
+def test_general_rule_nonrecursive_multiway(db, spark, sf_dir):
+    """General rule with a multi-way body (no recursion): nations
+    colocated in the same region."""
+    n = load_table(spark, sf_dir, "nation")
+    db.register("nat", n, "n_nationkey")
+    colocated = Rule(
+        "colocated",
+        head=("?a", "?b"),
+        bodies=[[
+            ("?a", "nat/n_regionkey", "?r"),
+            ("?b", "nat/n_regionkey", "?r"),
+        ]],
+    )
+    out = db.q(
+        find=["?b"], where=[("colocated", "?a", "?b")], args={"?a": 3}, rules=[colocated]
+    )
+    region_of_3 = n.filter(F.col("n_nationkey") == 3).first()["n_regionkey"]
+    expect = {r.n_nationkey for r in n.filter(F.col("n_regionkey") == region_of_3).collect()}
+    assert {r.b for r in out.collect()} == expect
+
+
+def test_general_rule_nonlinear_recursion(db, spark):
+    """Nonlinear recursive rule: reach(a,b) := edge(a,b) |
+    reach(a,m) ∧ reach(m,b) — two self-calls in one body."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "fid string, dep string",
+    )
+    db.register("fn2", edges, "fid")
+    reach = Rule(
+        "reach",
+        head=("?s", "?t"),
+        bodies=[
+            [("?s", "fn2/dep", "?t")],
+            [("reach", "?s", "?m"), ("reach", "?m", "?t")],
+        ],
+    )
+    out = db.q(find=["?t"], where=[("reach", "?s", "?t")], args={"?s": "a"}, rules=[reach])
+    assert sorted(r.t for r in out.collect()) == ["b", "c", "d", "e"]
