@@ -32,7 +32,7 @@ def run_spark(warm: bool = True) -> dict[str, float]:
     spark = get_spark("dataworks_spark_bench")
     times: dict[str, float] = {}
     if warm:  # JVM/codegen warmup on the smallest query
-        QUERIES["q_point_lookup"](spark, SF_DIR).collect()
+        QUERIES["q_lookup_pred"](spark, SF_DIR).collect()
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)

@@ -99,19 +99,18 @@ def as_of_snapshot(
 
 
 def latest_snapshot(versions: DataFrame, include_deleted: bool = False) -> DataFrame:
-    """Latest-per-id view (E4 / ReadMe.org:34 LWW): one window pass,
-    DESC on (valid_from, tx_from)."""
-    w = Window.partitionBy("id").orderBy(
-        F.col("valid_from").desc(), F.col("tx_from").desc()
-    )
-    snap = (
+    """Latest-per-id view (E4 / ReadMe.org:34 LWW): one
+    :func:`~dataworks_spark.ops.windows.latest_per_key` pass, DESC on
+    (valid_from, tx_from)."""
+    from dataworks_spark.ops.windows import latest_per_key
+
+    snap = latest_per_key(
         versions.filter(
             (F.col("tx_to") == F.lit(NEVER))  # current knowledge
             & (F.col("valid_from") < F.col("valid_to"))  # non-degenerate interval
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        ),
+        key=["id"],
+        order_by=[F.col("valid_from").desc(), F.col("tx_from").desc()],
     )
     if not include_deleted:
         snap = snap.filter(~F.col("deleted"))

@@ -37,15 +37,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # A8 / B1 / B2 — scan, filter, project
 # ---------------------------------------------------------------------------
 
-def q_scan_filter_project(spark, sf_dir):
-    """Filter+project pushed into the parquet scan (SURVEY B1/B2;
-    reference map/filter transducers, stream.clj:41-48)."""
+def q_scan_filter_topk(spark, sf_dir):
+    """Scan→range-filter→project→sort→top-k in one pipeline (SURVEY
+    B1/B2 map/filter, C9 range/interval predicate — the alert due-check
+    shape utils/alert.clj:33-42 — and F1/F3 sort+take; reference
+    transducers stream.clj:41-48). The whole thing compiles to a
+    parquet scan with pushed range predicates + TakeOrderedAndProject:
+    only k rows per partition ever move."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_shipdate") < "1996-01-01").select(
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+    return ops.top_k(
+        filtered,
+        order_by=[F.col("disc_price").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=100,
     )
 
 
@@ -61,19 +72,17 @@ def q_nil_drop(spark, sf_dir):
     )
 
 
-# B8 — entity point lookup (db/app_db.clj:45-48)
+# B7/B8 — predicate filter + entity point lookup in one scan
+# (utils/auth.clj:92-96 starts-with; db/app_db.clj:45-48 entity)
 
-def q_point_lookup(spark, sf_dir):
-    return ops.point_lookup(_t(spark, sf_dir, "customer"), "c_custkey", 42)
-
-
-# B7 — Datalog predicate filter (utils/auth.clj:92-96 starts-with)
-
-def q_pred_startswith(spark, sf_dir):
+def q_lookup_pred(spark, sf_dir):
+    """Point lookup (B8) unioned with a Datalog-style predicate filter
+    (B7) over the same entity set — one parquet scan, both predicates
+    pushed (`c_custkey = 42 OR c_name LIKE …`)."""
     c = _t(spark, sf_dir, "customer")
-    return c.filter(F.col("c_name").startswith("Customer#000000")).select(
-        "c_custkey", "c_name"
-    )
+    return c.filter(
+        (F.col("c_custkey") == 42) | F.col("c_name").startswith("Customer#000000")
+    ).select("c_custkey", "c_name", "c_mktsegment")
 
 
 # ---------------------------------------------------------------------------
@@ -143,20 +152,15 @@ def q_join_asof(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "asof_value")
 
 
-# C9 — range predicate (alert due-check, utils/alert.clj:33-42)
+# C7 — lookup enrichment, stream×dimension (collectors.clj:9-12; batch analog)
 
-def q_range_due(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    due = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    return ev.filter((F.col("ts") <= due) & (F.col("event_type") == "error")).select(
-        "event_id", "user_id", "ts", "value"
-    )
-
-
-def q_join_salted(spark, sf_dir):
-    """Skew-salted equi-join (brief: "salting for skew") — identical
-    semantics to the plain join, hash-checked against it; the salt
-    spreads hot keys over n reducers at scale."""
+def q_join_enrich(spark, sf_dir):
+    """Enrichment join staged the way a NON-broadcastable skewed
+    dimension must run at 100 TB: salted_join spreads each hot key over
+    8 reducers, and the merge hint forces a real shuffle join so the
+    salt is load-bearing (under broadcast it would be a no-op — the
+    round-1 staging error VERDICT flagged). Semantics identical to the
+    plain broadcast join; hash-checked against it."""
     from dataworks_spark.ops.scale import salted_join
 
     ev = _t(spark, sf_dir, "events")
@@ -164,19 +168,7 @@ def q_join_salted(spark, sf_dir):
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     return (
-        salted_join(ev, c, "user_id", n_salts=8)
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-    )
-
-
-# C7 — lookup enrichment, stream×dimension (collectors.clj:9-12; batch analog)
-
-def q_join_enrich(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    c = _t(spark, sf_dir, "customer")
-    return (
-        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        salted_join(ev, c.hint("merge"), "user_id", n_salts=8)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
@@ -196,21 +188,6 @@ def q_join_outer(spark, sf_dir):
             F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
         )
     )
-
-
-def q_tpch_q3(spark, sf_dir):
-    """TPC-H Q3 shape (shipping priority): 3-way join, filter both
-    sides, aggregate, top-k by revenue."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
-    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
-    )
-    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
-    )
-    return ops.top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
 
 
 def q_tpch_q5(spark, sf_dir):
@@ -263,10 +240,15 @@ def q_agg_grouped(spark, sf_dir):
 
 
 def q_agg_distinct(spark, sf_dir):
+    """Distinct-set folds (D2): counted AND surfaced as an ordered
+    value — the reference's `(into #{} …)` rendered deterministically."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.count(F.lit(1)).alias("n_customers"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("c_nationkey")).cast("array<string>")
+        ).alias("nations"),
     )
 
 
@@ -298,40 +280,17 @@ def q_agg_cube(spark, sf_dir):
 
 
 def q_pivot(spark, sf_dir):
-    """Pivot (wide aggregate) — groupBy returnflag, one column per
-    linestatus value."""
+    """Pivot then unpivot (D6 wide↔long round-trip): groupBy
+    returnflag, one column per linestatus, then melted back to
+    (measure, qty) rows — both directions in one plan."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 2))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
     )
-
-
-def q_agg_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (D6 family) through the SQL surface."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
-        FROM v_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-def q_unpivot(spark, sf_dir):
-    """Unpivot / melt (wide→long) via stack."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.expr(
-            "stack(2, 'quantity', l_quantity, 'price', l_extendedprice) AS (measure, val)"
-        ),
-    )
+    return wide.unpivot("l_returnflag", ["qty_open", "qty_filled"], "measure", "qty")
 
 
 def q_agg_median(spark, sf_dir):
@@ -340,16 +299,6 @@ def q_agg_median(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
-    )
-
-
-def q_agg_collect(spark, sf_dir):
-    """Ordered set collection (D2 distinct-set fold surfaced as a
-    value: `(into #{} …)` rendered deterministically)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
-        F.countDistinct("l_linestatus").alias("n_statuses"),
     )
 
 
@@ -388,109 +337,79 @@ def q_correlated_subquery(spark, sf_dir):
     )
 
 
-def q_tpch_q4(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS semi-join with a range predicate inside,
-    counted per priority."""
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-08-01")
-    return (
-        ops.semi_join(o, li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # E — windows
 # ---------------------------------------------------------------------------
 
 def q_window_rank(spark, sf_dir):
+    """Ranking analytics in one window pass (E1: row_number + ntile +
+    dense_rank). Unique ordering (price, orderkey, linenumber) for the
+    row-splitting functions; value-only ordering for dense_rank, which
+    is deterministic under ties by construction."""
     li = _t(spark, sf_dir, "lineitem")
-    ranked = ops.rank_in_group(
-        li,
-        partition_by=["l_suppkey"],
-        order_by=[F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
-        name="rn",
-    )
-    return ranked.filter(F.col("rn") <= 3).select(
-        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn"
-    )
-
-
-def q_window_ntile(spark, sf_dir):
-    """ntile + dense_rank analytics (E1 variants)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
-    )
+    order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    wu = Window.partitionBy("l_suppkey").orderBy(*order)
+    wv = Window.partitionBy("l_suppkey").orderBy(F.col("l_extendedprice").desc())
+    ranked = ops.rank_in_group(li, partition_by=["l_suppkey"], order_by=order, name="rn")
+    return ranked.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "rn",
+        F.ntile(4).over(wu).alias("price_quartile"),
+        F.dense_rank().over(wv).alias("price_dense_rank"),
+    ).filter(F.col("rn") <= 3)
 
 
 def q_window_lag(spark, sf_dir):
+    """Offset + frame-edge window functions (E2: lag/lead/first/last)."""
     ev = _t(spark, sf_dir, "events")
-    return ops.lag_lead(
+    lagged = ops.lag_lead(
         ev,
         col="value",
         partition_by=["user_id"],
         order_by=["ts", "event_id"],
         lag_name="prev_value",
         lead_name="next_value",
-    ).select("event_id", "user_id", "value", "prev_value", "next_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        "prev_value",
+        "next_value",
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+    )
 
 
 def q_window_running(spark, sf_dir):
+    """Frame-spec aggregates (E3): ROWS running sum + RANGE trailing-
+    hour sum by event time — both frame families in one query."""
     ev = _t(spark, sf_dir, "events")
-    return ops.running_agg(
+    run = ops.running_agg(
         ev,
         agg_col=F.sum("value"),
         partition_by=["user_id"],
         order_by=["ts", "event_id"],
         name="running_value",
-    ).select("event_id", "user_id", F.round(F.col("running_value"), 4).alias("running_value"))
-
-
-def q_window_range(spark, sf_dir):
-    """RANGE-frame window (E3 variant): per user, sum of value over the
-    trailing hour by event time."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
+    )
+    wr = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_millis(F.col("ts")))
         .rangeBetween(-3600_000, 0)
     )
-    return ev.select(
+    return run.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 4).alias("trailing_hour_value"),
-    )
-
-
-def q_latest_per_key(spark, sf_dir):
-    """LWW latest document per key (E4; reference per-entity latest doc,
-    demo-app-1.org:99-104)."""
-    ev = _t(spark, sf_dir, "events")
-    return ops.latest_per_key(
-        ev, key=["user_id"], order_by=[F.col("ts").desc(), F.col("event_id").desc()]
-    ).select("user_id", "event_id", "event_type", "value", "ts")
-
-
-# ---------------------------------------------------------------------------
-# F — sort / top-k
-# ---------------------------------------------------------------------------
-
-def q_sort_topk(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return ops.top_k(
-        o.select("o_orderkey", "o_totalprice"),
-        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
-        k=10,
+        F.round(F.col("running_value"), 4).alias("running_value"),
+        F.round(F.sum("value").over(wr), 4).alias("trailing_hour_value"),
     )
 
 
@@ -541,27 +460,25 @@ def q_scalar_time(spark, sf_dir):
         F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
             "days_to_y2k"
         ),
-    )
-
-
-def q_scalar_nextday(spark, sf_dir):
-    """next-day-of-week promotion (H3; reference consume-time DayOfWeek
-    case, utils/time.clj:70-73)."""
-    o = _t(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
-    return o.select(
-        "o_orderkey", F.next_day(d, "Mon").alias("next_monday")
+        # next-day-of-week promotion (reference consume-time DayOfWeek
+        # case, utils/time.clj:70-73)
+        F.next_day(F.col("o_orderdate").cast("date"), "Mon").alias("next_monday"),
     )
 
 
 def q_scalar_json(spark, sf_dir):
     """JSON decode (H4; reference cheshire JSON wire format,
-    utils/kafka.clj:121-128)."""
+    utils/kafka.clj:121-128) + map construction/extraction (H9 map
+    side: the reference's assoc/get over document maps,
+    utils/common.clj:505-533)."""
     ev = _t(spark, sf_dir, "events")
+    m = F.map_from_arrays(F.array("event_type"), F.array("value"))
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.element_at(m, F.col("event_type")).alias("mapped_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
     )
 
 
@@ -576,18 +493,6 @@ def q_scalar_array(spark, sf_dir):
         F.element_at(emb, 1).alias("first_val"),
         F.round(dot(emb, emb), 6).alias("norm_sq"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
-    )
-
-
-def q_scalar_map(spark, sf_dir):
-    """Map construction/extraction (H9: the reference's assoc/get over
-    document maps, utils/common.clj:505-533)."""
-    ev = _t(spark, sf_dir, "events")
-    m = F.map_from_arrays(F.array("event_type"), F.array("value"))
-    return ev.select(
-        "event_id",
-        F.element_at(m, F.col("event_type")).alias("mapped_value"),
-        F.size(F.map_keys(m)).alias("n_keys"),
     )
 
 
@@ -655,22 +560,6 @@ def q_doc_history(spark, sf_dir):
     )
 
 
-def q_window_first_last(spark, sf_dir):
-    """first/last frame values (E2 family)."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.first("value").over(w).alias("first_value"),
-        F.last("value").over(w).alias("last_value"),
-    )
-
-
 # C5 — recursive rule / transitive closure (db/app_db.clj:121-126)
 
 def q_recursive_closure(spark, sf_dir):
@@ -710,13 +599,24 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    """Text-analysis stats per language (L4)."""
+    """Text-analysis profile per language (L4): corpus stats + mean
+    quality-scoring features (length/punct/stopword ratios, BPE-ish
+    token counts) — every feature expression folded into a single
+    aggregation pass, all JVM-side builtins."""
+    from dataworks_spark.llm.text import bpe_ish_tokens, quality_features
+
     d = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
         F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg(F.size(bpe_ish_tokens(F.col("text")))), 6).alias("avg_bpe_tokens"),
+        F.round(F.avg(feats["mean_token_len"]), 6).alias("avg_token_len"),
+        F.round(F.avg(feats["punct_ratio"]), 6).alias("avg_punct_ratio"),
+        F.round(F.avg(feats["stopword_ratio"]), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg(feats["quality_score"]), 6).alias("avg_quality"),
     )
 
 
@@ -772,6 +672,70 @@ def q_datalog_join(spark, sf_dir):
         ],
     )
     return out.withColumnsRenamed({"c": "custkey", "name": "cust_name", "nname": "nation_name"})
+
+
+def q_datalog_or(spark, sf_dir):
+    """Datalog multi-clause or-branches (the Crux surface the reference
+    exposes verbatim, db/app_db.clj:33-43; VERDICT r1 item 5): each
+    branch is an ("and", …) conjunction binding the same variable set,
+    compiled to unioned binding DataFrames."""
+    from dataworks_spark.docs.datalog import DatalogDB
+
+    db = DatalogDB(spark)
+    db.register("customer", _t(spark, sf_dir, "customer"), "c_custkey")
+    out = db.q(
+        find=["?c", "?name", "?bal"],
+        where=[
+            ("?c", "customer/c_name", "?name"),
+            (
+                "or",
+                (
+                    "and",
+                    ("?c", "customer/c_mktsegment", "BUILDING"),
+                    ("?c", "customer/c_acctbal", "?bal"),
+                    (">", "?bal", 9000.0),
+                ),
+                (
+                    "and",
+                    ("?c", "customer/c_mktsegment", "MACHINERY"),
+                    ("?c", "customer/c_acctbal", "?bal"),
+                    ("<", "?bal", 0.0),
+                ),
+            ),
+        ],
+    )
+    return out.withColumnsRenamed({"c": "custkey", "name": "cust_name", "bal": "acctbal"})
+
+
+def q_datalog_rule(spark, sf_dir):
+    """General Datalog rules (C5 surface, db/app_db.clj:115-126): a
+    NONLINEAR recursive rule — reach(a,b) :- edge(a,b); reach(a,m),
+    reach(m,b) — whose two self-calls square the relation per round
+    (⌈log₂ depth⌉ fixpoint rounds), then unified with a triple pattern
+    for the part name. Hash-checked against WITH RECURSIVE."""
+    from dataworks_spark.docs.datalog import DatalogDB, Rule
+
+    p = _t(spark, sf_dir, "part")
+    edges = p.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"), F.expr("p_partkey DIV 2").alias("dst")
+    )
+    db = DatalogDB(spark)
+    db.register("edge", edges, "src")
+    db.register("part", p, "p_partkey")
+    reach = Rule(
+        "reach",
+        head=("?a", "?b"),
+        bodies=(
+            (("?a", "edge/dst", "?b"),),
+            (("reach", "?a", "?m"), ("reach", "?m", "?b")),
+        ),
+    )
+    out = db.q(
+        find=["?a", "?name"],
+        where=[("reach", "?a", 7), ("?a", "part/p_name", "?name")],
+        rules=[reach],
+    )
+    return out.withColumnsRenamed({"a": "partkey", "name": "part_name"})
 
 
 def q_dedup_ngram(spark, sf_dir):
@@ -862,25 +826,6 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-def q_text_quality(spark, sf_dir):
-    """Quality-scoring features per document (L4)."""
-    from dataworks_spark.llm.text import quality_features
-
-    from dataworks_spark.llm.text import bpe_ish_tokens
-
-    d = _t(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        feats["n_tokens"].alias("n_tokens"),
-        F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
-        F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
-        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(feats["quality_score"], 6).alias("quality_score"),
-    )
-
-
 def q_fingerprint(spark, sf_dir):
     """Document fingerprinting (L4): md5 over the sorted distinct token
     set — catches token-shuffled near-copies."""
@@ -941,10 +886,13 @@ def q_events_tumbling(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
-    "q_scan_filter_project": """
+    "q_scan_filter_topk": """
         SELECT l_orderkey, l_linenumber, l_extendedprice,
                l_extendedprice * (1 - l_discount) AS disc_price
-        FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+        ORDER BY disc_price DESC, l_orderkey, l_linenumber LIMIT 100
     """,
     "q_nil_drop": """
         SELECT event_id, user_id, value, prev_value FROM (
@@ -953,9 +901,9 @@ ORACLE_SQL: dict[str, str] = {
           FROM events) t
         WHERE prev_value IS NOT NULL
     """,
-    "q_point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
-    "q_pred_startswith": """
-        SELECT c_custkey, c_name FROM customer WHERE c_name LIKE 'Customer#000000%'
+    "q_lookup_pred": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey = 42 OR c_name LIKE 'Customer#000000%'
     """,
     "q_join_star": """
         SELECT r_name, n_name,
@@ -991,15 +939,6 @@ ORACLE_SQL: dict[str, str] = {
               AND f.ts >= v.valid_from
               AND (v.valid_to IS NULL OR f.ts < v.valid_to)
     """,
-    "q_range_due": """
-        SELECT event_id, user_id, ts, value FROM events
-        WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'error'
-    """,
-    "q_join_salted": """
-        SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-        FROM events JOIN customer ON user_id = c_custkey
-        GROUP BY c_mktsegment
-    """,
     "q_join_enrich": """
         SELECT c_mktsegment, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
@@ -1010,18 +949,6 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer LEFT JOIN (
           SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) n
         ON c_custkey = n.o_custkey
-    """,
-    "q_tpch_q3": """
-        SELECT l_orderkey, o_orderdate, o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-01-01'
-          AND l_shipdate  > TIMESTAMP '1998-01-01'
-        GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, l_orderkey LIMIT 10
     """,
     "q_tpch_q5": """
         SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1058,25 +985,10 @@ ORACLE_SQL: dict[str, str] = {
         WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
     """,
-    "q_tpch_q4": """
-        SELECT o_orderpriority, COUNT(*) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
-          AND o_orderdate <  TIMESTAMP '1996-10-01'
-          AND EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey
-                        AND l_shipdate > TIMESTAMP '1996-08-01')
-        GROUP BY o_orderpriority
-    """,
-    "q_scalar_nextday": """
-        SELECT o_orderkey,
-               CAST(o_orderdate AS DATE)
-                 + CAST(((1 - isodow(o_orderdate) + 6) % 7) + 1 AS INTEGER) AS next_monday
-        FROM orders
-    """,
     "q_agg_distinct": """
         SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
-               COUNT(*) AS n_customers
+               COUNT(*) AS n_customers,
+               array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
         FROM customer GROUP BY c_mktsegment
     """,
     "q_agg_exists": """
@@ -1090,12 +1002,6 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
         FROM lineitem GROUP BY l_returnflag
     """,
-    "q_agg_collect": """
-        SELECT l_returnflag,
-               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
-               COUNT(DISTINCT l_linestatus) AS n_statuses
-        FROM lineitem GROUP BY l_returnflag
-    """,
     "q_agg_rollup": """
         SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
                COUNT(*) AS n
@@ -1107,74 +1013,70 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "q_pivot": """
-        SELECT l_returnflag,
-               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
-               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "q_window_ntile": """
-        SELECT o_orderkey, o_orderpriority,
-               ntile(4) OVER (PARTITION BY o_orderpriority
-                   ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
-               dense_rank() OVER (PARTITION BY o_orderpriority
-                   ORDER BY o_totalprice DESC, o_orderkey) AS price_dense_rank
-        FROM orders
+        WITH wide AS (
+          SELECT l_returnflag,
+                 ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+                 ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'qty_open' AS measure, qty_open AS qty FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'qty_filled' AS measure, qty_filled AS qty FROM wide
     """,
     "q_datalog_join": """
         SELECT DISTINCT c_custkey AS custkey, c_name AS cust_name, n_name AS nation_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'BUILDING' AND c_name LIKE 'Customer#0000%'
     """,
-    "q_window_range": """
-        SELECT event_id, user_id,
-               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4)
-                 AS trailing_hour_value
-        FROM events
+    "q_datalog_or": """
+        SELECT DISTINCT c_custkey AS custkey, c_name AS cust_name, c_acctbal AS acctbal
+        FROM customer
+        WHERE (c_mktsegment = 'BUILDING'  AND c_acctbal > 9000)
+           OR (c_mktsegment = 'MACHINERY' AND c_acctbal < 0)
     """,
-    "q_agg_grouping_sets": """
-        SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-    "q_unpivot": """
-        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
-        FROM lineitem
-        UNION ALL
-        SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS val
-        FROM lineitem
+    "q_datalog_rule": """
+        WITH RECURSIVE e AS (
+          SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part WHERE p_partkey >= 2
+        ), c(src, dst) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT c.src, e.dst FROM c JOIN e ON c.dst = e.src
+        )
+        SELECT DISTINCT c.src AS partkey, p.p_name AS part_name
+        FROM c JOIN part p ON p.p_partkey = c.src
+        WHERE c.dst = 7
     """,
     "q_window_rank": """
-        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn,
+               price_quartile, price_dense_rank FROM (
           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-                 row_number() OVER (PARTITION BY l_suppkey
-                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
-          FROM lineitem) t
+                 row_number() OVER wu AS rn,
+                 ntile(4) OVER wu AS price_quartile,
+                 dense_rank() OVER (PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice DESC) AS price_dense_rank
+          FROM lineitem
+          WINDOW wu AS (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)) t
         WHERE rn <= 3
     """,
     "q_window_lag": """
         SELECT event_id, user_id, value,
-               lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-               lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+               lag(value)  OVER wo AS prev_value,
+               lead(value) OVER wo AS next_value,
+               first_value(value) OVER wf AS first_value,
+               last_value(value)  OVER wf AS last_value
         FROM events
+        WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     "q_window_running": """
         SELECT event_id, user_id,
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4)
+                 AS trailing_hour_value
         FROM events
-    """,
-    "q_latest_per_key": """
-        SELECT user_id, event_id, event_type, value, ts FROM (
-          SELECT *, row_number() OVER (PARTITION BY user_id
-                 ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events) t
-        WHERE rn = 1
-    """,
-    "q_sort_topk": """
-        SELECT o_orderkey, o_totalprice FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
     "q_set_union_intersect_except": """
         SELECT 'union' AS tag, nk FROM (
@@ -1207,13 +1109,17 @@ ORACLE_SQL: dict[str, str] = {
                CAST(year(o_orderdate) AS INTEGER) AS o_year,
                CAST(month(o_orderdate) AS INTEGER) AS o_month,
                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER)
-                 AS days_to_y2k
+                 AS days_to_y2k,
+               CAST(o_orderdate AS DATE)
+                 + CAST(((1 - isodow(o_orderdate) + 6) % 7) + 1 AS INTEGER) AS next_monday
         FROM orders
     """,
     "q_scalar_json": """
         SELECT event_id,
                json_extract_string(props, '$.k') AS k_str,
-               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               map([event_type], [value])[event_type][1] AS mapped_value,
+               CAST(cardinality(map([event_type], [value])) AS INTEGER) AS n_keys
         FROM events
     """,
     "q_scalar_array": """
@@ -1224,12 +1130,6 @@ ORACLE_SQL: dict[str, str] = {
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS norm_sq,
                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
         FROM embeddings
-    """,
-    "q_scalar_map": """
-        SELECT event_id,
-               map([event_type], [value])[event_type][1] AS mapped_value,
-               CAST(cardinality(map([event_type], [value])) AS INTEGER) AS n_keys
-        FROM events
     """,
     "q_explode_flatmap": """
         SELECT lang, token, COUNT(*) AS n FROM (
@@ -1261,14 +1161,6 @@ ORACLE_SQL: dict[str, str] = {
           FROM events) t
         WHERE id = 'app/3'
     """,
-    "q_window_first_last": """
-        SELECT event_id, user_id,
-               first_value(value) OVER w AS first_value,
-               last_value(value)  OVER w AS last_value
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
     "q_recursive_closure": """
         WITH RECURSIVE e AS (
           SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part WHERE p_partkey >= 2
@@ -1297,11 +1189,31 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
     "q_text_stats": """
+        WITH f AS (
+          SELECT lang, n_chars, source,
+                 len(string_split(text, ' ')) AS n_toks,
+                 len(regexp_extract_all(text,
+                     '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS n_bpe,
+                 (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+                   / greatest(len(string_split(text, ' ')), 1) AS tok_len,
+                 (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / greatest(LENGTH(text), 1) AS punct_ratio,
+                 len(list_filter(string_split(lower(text), ' '),
+                     t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                   / greatest(len(string_split(lower(text), ' ')), 1) AS sw_ratio
+          FROM documents)
         SELECT lang, COUNT(*) AS n_docs,
                ROUND(AVG(n_chars), 6) AS avg_chars,
-               ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
-               COUNT(DISTINCT source) AS n_sources
-        FROM documents GROUP BY lang
+               ROUND(AVG(n_toks), 6) AS avg_tokens,
+               COUNT(DISTINCT source) AS n_sources,
+               ROUND(AVG(n_bpe), 6) AS avg_bpe_tokens,
+               ROUND(AVG(tok_len), 6) AS avg_token_len,
+               ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
+               ROUND(AVG(sw_ratio), 6) AS avg_stopword_ratio,
+               ROUND(AVG(least(n_toks / 100.0, 1.0) * 0.4
+                     + (1 - punct_ratio) * 0.3
+                     + least(sw_ratio * 5.0, 1.0) * 0.3), 6) AS avg_quality
+        FROM f GROUP BY lang
     """,
     "q_token_join": """
         WITH tok AS (
@@ -1367,29 +1279,6 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS guess,
                COUNT(*) AS n
         FROM s GROUP BY 1, 2
-    """,
-    "q_text_quality": """
-        WITH f AS (
-          SELECT doc_id, text,
-                 len(string_split(text, ' ')) AS n_toks,
-                 LENGTH(text) AS n_chars,
-                 (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                   / greatest(LENGTH(text), 1) AS punct_ratio,
-                 len(list_filter(string_split(lower(text), ' '),
-                     t -> list_contains(['the','a','of','and','to','in','is'], t)))
-                   / greatest(len(string_split(lower(text), ' ')), 1) AS sw_ratio
-          FROM documents)
-        SELECT doc_id,
-               CAST(n_toks AS INTEGER) AS n_tokens,
-               CAST(len(regexp_extract_all(text,
-                    '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS INTEGER) AS n_bpe_tokens,
-               ROUND((n_chars - (n_toks - 1)) / greatest(n_toks, 1), 6) AS mean_token_len,
-               ROUND(punct_ratio, 6) AS punct_ratio,
-               ROUND(sw_ratio, 6) AS stopword_ratio,
-               ROUND(least(n_toks / 100.0, 1.0) * 0.4
-                     + (1 - punct_ratio) * 0.3
-                     + least(sw_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
-        FROM f
     """,
     "q_fingerprint": """
         SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id FROM (
