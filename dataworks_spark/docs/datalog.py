@@ -289,7 +289,12 @@ class DatalogDB:
                 cond = F.col(hc) == F.lit(term)
                 flt = cond if flt is None else (flt & cond)
         proj = (rel.filter(flt) if flt is not None else rel).select(*cols)
-        return self._merge(bound, proj.dropDuplicates())
+        # rel is distinct by construction; a full-width variable-only
+        # projection (rename) stays distinct — only constant-filtered
+        # calls project a subset of head columns and need a re-dedup
+        if len(cols) < len(head_cols):
+            proj = proj.dropDuplicates()
+        return self._merge(bound, proj)
 
     def _eval_rule(
         self, rule: Rule, rule_map: dict[str, "Rule"], rule_env: dict[str, DataFrame]
@@ -327,6 +332,10 @@ class DatalogDB:
         if base is None:
             raise ValueError(f"rule {rule.name} needs at least one non-recursive body")
         rel = base.dropDuplicates().localCheckpoint()
+        prev = rel.count()
+        if not rec_bodies:
+            rule_env[rule.name] = rel
+            return rel
 
         for _ in range(50):  # fixpoint cap mirrors ops.recursive
             rule_env[rule.name] = rel  # recursive calls see current rel
@@ -334,11 +343,17 @@ class DatalogDB:
             for body in rec_bodies:
                 g = self._eval_clauses(list(body), {}, rule_map, rule_env).select(*head_vars)
                 grown = g if grown is None else grown.unionByName(g)
-            if grown is None:
+            # one dedup + one checkpoint + one in-memory count per
+            # round; converged when the relation stops growing (same
+            # trade as ops.recursive._doubling — cheaper than the
+            # anti-join formulation's double materialization; chaining
+            # rounds lazily instead was measured SLOWER — plan
+            # analysis/codegen of the nested self-joins outweighs the
+            # saved job launches)
+            rel = rel.unionByName(grown).dropDuplicates().localCheckpoint()
+            cur = rel.count()
+            if cur == prev:
                 break
-            new = grown.dropDuplicates().join(rel, on=head_vars, how="left_anti").localCheckpoint()
-            if new.isEmpty():
-                break
-            rel = rel.unionByName(new).localCheckpoint()
+            prev = cur
         rule_env[rule.name] = rel
         return rel

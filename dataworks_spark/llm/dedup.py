@@ -49,18 +49,44 @@ def ngram_jaccard_pairs(
     Scale note: exact pairwise Jaccard is only run on candidate sets
     (or bounded subsets); at 100 TB the candidate generation is
     :func:`minhash_near_dup_pairs` and this is the verify kernel."""
+    # per-doc distinct shingle arrays: array_distinct is row-local, so
+    # deduplication costs no shuffle and |A| falls out as size(shs)
     sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
-    ).dropDuplicates()
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
+    ).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Pair generation WITHOUT a self-join: group the (sorted) doc list
+    # per shingle, drop single-doc shingles (they can't intersect —
+    # and in natural text most shingles are unique), and emit the
+    # C(k,2) ordered pairs per shingle with row-local array
+    # combinatorics. Two shuffles total (by shingle, by pair) versus
+    # the self-join formulation's three plus a join; identical output.
+    # Skew note: a stop-shingle shared by k docs emits k²/2 pairs
+    # either way — that blowup is inherent to exact Jaccard, which is
+    # why this is the *verify kernel* and MinHash bands generate
+    # candidates at scale.
+    ds = F.array_sort(F.collect_list("doc"))
+    pair_lists = (
+        sh.groupBy("shingle")
+        .agg(ds.alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
     )
+    inter = pair_lists.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
