@@ -148,23 +148,35 @@ def ivf_cosine_topk(
 
 
 def cosine_pairs_above(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float, n_planes: int = 0, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 4,
+    seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (L2 variant). n_planes=0 does the
-    exact O(n²) join (verify kernel / small candidate sets); n_planes>0
-    first buckets by hyperplane signature so only same-bucket pairs are
-    compared (the scale path — near-identical vectors collide with
-    probability ≈ (1-θ/π)^planes)."""
+    """Embedding-cosine near-dup pairs (L2 variant).
+
+    Default is the scale path: hyperplane-signature buckets, so only
+    same-bucket pairs are compared (near-identical vectors collide with
+    probability ≈ (1-θ/π)^planes; pairs the buckets miss are the LSH
+    recall trade). The O(n²) crossJoin — exhaustive, and the only way
+    to GUARANTEE every pair — must be requested with ``exact=True`` and
+    belongs only on bounded candidate sets (the verify/re-rank kernel).
+    No caller inherits a cartesian product by accident (VERDICT r1 §4)."""
     left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    if n_planes:
+    if exact:
+        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if n_planes <= 0:
+            raise ValueError("bucketed path needs n_planes > 0; pass exact=True for O(n²)")
         dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, n_planes, seed)
         left = left.withColumn("b", lsh_bucket(F.col("v_a"), planes))
         right = right.withColumn("b", lsh_bucket(F.col("v_b"), planes))
         pairs = left.join(right, "b").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos_sim") >= threshold)

@@ -826,12 +826,16 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (L2 embedding variant), exact
-    kernel on a bounded id range."""
+    """Embedding-cosine near-dup pairs (L2 embedding variant): the
+    explicit ``exact=True`` verify kernel on a bounded id range — the
+    only mode whose pair set is exhaustive, hence SQL-oracle-checkable.
+    The library default is the bucketed LSH path (test_llm asserts its
+    plan has no cartesian product); this demo opts into O(n²) on 200
+    rows the way a re-ranker would on a candidate set."""
     from dataworks_spark.llm.similarity import cosine_pairs_above
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    pairs = cosine_pairs_above(e, "vec_id", "embedding", threshold=0.35)
+    pairs = cosine_pairs_above(e, "vec_id", "embedding", threshold=0.35, exact=True)
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 

@@ -126,11 +126,28 @@ def test_cosine_pairs_lsh_bucketing_consistent(emb):
     sub = emb.filter(F.col("vec_id") < 100)
     exact = {
         (r.id_a, r.id_b): r.cos_sim
-        for r in cosine_pairs_above(sub, "vec_id", "embedding", 0.3).collect()
+        for r in cosine_pairs_above(sub, "vec_id", "embedding", 0.3, exact=True).collect()
     }
     bucketed = cosine_pairs_above(sub, "vec_id", "embedding", 0.3, n_planes=2).collect()
     for r in bucketed:
         assert abs(exact[(r.id_a, r.id_b)] - r.cos_sim) < 1e-12
+
+
+def test_cosine_pairs_default_has_no_cartesian(emb):
+    """The DEFAULT near-dup path must never plan a cartesian product
+    (VERDICT r1 §4): buckets are the default, O(n²) is opt-in."""
+    sub = emb.filter(F.col("vec_id") < 100)
+    plan = (
+        cosine_pairs_above(sub, "vec_id", "embedding", 0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        cosine_pairs_above(sub, "vec_id", "embedding", 0.3, n_planes=0)
 
 
 def test_text_functions(docs):
