@@ -900,16 +900,22 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (L5): documents→binary payload → mapInPandas
-    feature extraction (deterministic stub kernel; codec libs absent).
-    Rows-only: the Arrow batch path itself is what's under test."""
-    from dataworks_spark.llm.multimodal import extract_features
+    """Multimodal plumbing (L5): REAL binary files ingested via
+    spark.read.format("binaryFile") → mapInPandas feature extraction
+    (deterministic stub kernel; codec libs absent). Rows-only: the
+    binary-source + Arrow batch path is what's under test. The fixture
+    directory is generated deterministically on first use."""
+    import os
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
+    from dataworks_spark.llm.multimodal import (
+        extract_features,
+        read_binary_dir,
+        write_media_fixture,
     )
-    feats = extract_features(d)
+
+    path = write_media_fixture(os.path.basename(sf_dir.rstrip("/")))
+    media = read_binary_dir(spark, path, id_pattern=r"media_(\d+)\.")
+    feats = extract_features(media)
     return feats.select("media_id", "n_bytes", "sha256", "feature_0", "feature_1")
 
 

@@ -37,25 +37,13 @@ def kafka_source_options(
     }
 
 
-def read_kafka_stream(
-    spark: SparkSession,
-    topic: str,
-    brokers: str,
-    value_schema: StructType | None = None,
-    max_offsets_per_trigger: int | None = None,
-) -> DataFrame:
-    """Kafka topic → streaming DataFrame with the reference's message
-    shape {key value timestamp topic} (consume-record,
-    utils/kafka.clj:93-100). JSON values decode via from_json when a
-    schema is given. maxOffsetsPerTrigger is the backpressure analog of
-    the reference's channel buffers (I2) — bounded, but lossless."""
-    opts = kafka_source_options(topic, brokers)
-    reader = spark.readStream.format("kafka")
-    for k, v in opts.items():
-        reader = reader.option(k, v)
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load()
+def project_kafka_records(raw: DataFrame, value_schema: StructType | None = None) -> DataFrame:
+    """Kafka's fixed wire schema (key/value binary, topic, partition,
+    offset, timestamp, timestampType) → the reference's message shape
+    {key value timestamp topic} (consume-record, utils/kafka.clj:93-100).
+    JSON values decode via from_json when a schema is given. Shared by
+    the streaming reader and the broker-less contract tests — the
+    projection under test IS the projection shipped."""
     out = raw.select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
@@ -67,19 +55,45 @@ def read_kafka_stream(
     return out
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    topic: str,
+    brokers: str,
+    value_schema: StructType | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka topic → streaming DataFrame in the reference's message
+    shape. maxOffsetsPerTrigger is the backpressure analog of the
+    reference's channel buffers (I2) — bounded, but lossless."""
+    opts = kafka_source_options(topic, brokers)
+    reader = spark.readStream.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return project_kafka_records(reader.load(), value_schema)
+
+
+def kafka_sink_payload(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Rows → Kafka producer records: all non-key columns serialized as
+    one JSON value (the reference's JSON wire format,
+    utils/kafka.clj:121-128), key cast to string. Shared by the
+    streaming writer and the broker-less contract tests."""
+    value_cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        F.to_json(F.struct(*value_cols)).alias("value"),
+    )
+
+
 def write_kafka_stream(
     df: DataFrame, topic: str, brokers: str, checkpoint: str, key_col: str | None = None
 ):
     """Streaming sink → Kafka topic (produce! go-loop analog,
-    utils/stream.clj:80-85): serialize all non-key columns as a JSON
-    value (the reference's JSON wire format, utils/kafka.clj:121-128)."""
-    value_cols = [c for c in df.columns if c != key_col]
-    out = df.select(
-        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
-        F.to_json(F.struct(*value_cols)).alias("value"),
-    )
+    utils/stream.clj:80-85)."""
     return (
-        out.writeStream.format("kafka")
+        kafka_sink_payload(df, key_col)
+        .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)

@@ -198,6 +198,21 @@ def test_multimodal_binary_file_ingest(spark, tmp_path):
     assert len(feats) == 2 and all(len(r.sha256) == 64 for r in feats)
 
 
+def test_multimodal_fixture_deterministic(spark, tmp_path):
+    """write_media_fixture is idempotent and id_pattern ids are stable
+    across directory locations (unlike the xxhash64(path) fallback)."""
+    from dataworks_spark.llm.multimodal import read_binary_dir, write_media_fixture
+
+    p1 = write_media_fixture("t", n=8, root=str(tmp_path / "r1"))
+    p2 = write_media_fixture("t", n=8, root=str(tmp_path / "r2"))
+    f1 = extract_features(read_binary_dir(spark, p1, id_pattern=r"media_(\d+)\.")).collect()
+    f2 = extract_features(read_binary_dir(spark, p2, id_pattern=r"media_(\d+)\.")).collect()
+    assert {(r.media_id, r.sha256) for r in f1} == {(r.media_id, r.sha256) for r in f2}
+    assert len(f1) == 8 and sorted(r.media_id for r in f1) == list(range(8))
+    # idempotent: re-calling reuses the completed fixture
+    assert write_media_fixture("t", n=8, root=str(tmp_path / "r1")) == p1
+
+
 def test_multimodal_frame_sample(spark):
     df = spark.createDataFrame([(1, b"x" * 5000), (2, b"y" * 100)], "media_id long, payload binary")
     rows = frame_sample(df, every_n=2).collect()
