@@ -93,6 +93,13 @@ def as_of_snapshot(
     vt = F.lit(valid_time).cast("timestamp")
     tt = F.lit(tx_time).cast("timestamp") if tx_time is not None else None
     snap = versions.filter(_visible(vt, tt))
+    if "valid_date" in versions.columns:
+        # partitioned layout (save/compact): valid_from <= vt implies
+        # date(valid_from) <= date(vt), and valid_date IS
+        # date(valid_from) — a filter on the partition column, so the
+        # scan prunes every partition after the as-of date
+        # (plan-asserted in test_docs)
+        snap = snap.filter(F.col("valid_date") <= F.to_date(vt))
     if not include_deleted:
         snap = snap.filter(~F.col("deleted"))
     return snap
@@ -331,27 +338,49 @@ class DocumentStore:
         merged = retired.unionByName(corrected).unionByName(new.select(retired.columns))
         return DocumentStore(merged, self._now)
 
-    def compact(self) -> "DocumentStore":
-        """Materialize (localCheckpoint) the accumulated version log —
-        the stand-in for the periodic MERGE/rewrite job that would run
-        against a table format at cluster scale."""
-        return DocumentStore(self.versions.localCheckpoint(), self._now)
+    def compact(self, path: str | None = None, spark=None) -> "DocumentStore":
+        """Rewrite the accumulated version log (the periodic MERGE/
+        rewrite job, SURVEY §4 #3).
+
+        With a ``path``, the compaction is DURABLE and executed: the log
+        is rewritten to parquet partitioned by (namespace,
+        date(valid_from)) — the 100 TB layout — and the returned store
+        reads from the rewritten files (lineage truncated to a scan).
+        With Delta/Iceberg jars this same job becomes an incremental
+        MERGE instead of a snapshot rewrite; without them (this image)
+        the rewrite itself is the honest executable form. Without a
+        path, falls back to an in-process localCheckpoint."""
+        if path is None:
+            return DocumentStore(self.versions.localCheckpoint(), self._now)
+        spark = spark or self.versions.sparkSession
+        self.save(path)
+        return DocumentStore.load(spark, path, self._now)
 
     # -- persistence (A5 document-store sink) ---------------------------
-    def save(self, path: str, partition_by_date: bool = False) -> None:
-        """Persist the version log as parquet. At 100 TB the layout is
-        partitioned by date(valid_from) (plus entity namespace) so as-of
-        reads prune partitions (SURVEY §4 #3)."""
-        writer = self.versions.write.mode("overwrite")
-        if partition_by_date:
-            writer = (
-                self.versions.withColumn("valid_date", F.to_date("valid_from"))
-                .write.mode("overwrite")
-                .partitionBy("valid_date")
-            )
-        writer.parquet(path)
+    def save(self, path: str, partitioned: bool = True) -> None:
+        """Persist the version log as parquet, partitioned by entity
+        namespace + date(valid_from) so as-of reads prune partitions
+        (SURVEY §4 #3; plan-asserted in test_docs)."""
+        df = self.versions
+        if partitioned:
+            df = df.withColumn(
+                "namespace", F.element_at(F.split("id", "/"), 1)
+            ).withColumn("valid_date", F.to_date("valid_from"))
+            df.write.mode("overwrite").partitionBy("namespace", "valid_date").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def open_partitioned(cls, spark, path: str) -> DataFrame:
+        """Read-only serving view over a partitioned save: keeps the
+        (namespace, valid_date) partition columns so
+        :func:`as_of_snapshot` and namespace filters prune at the
+        source."""
+        return spark.read.parquet(path)
 
     @classmethod
     def load(cls, spark, path: str, now_fn=None) -> "DocumentStore":
+        """Reopen as a mutable store: partition columns are dropped —
+        they are derived storage layout, not document payload."""
         df = spark.read.parquet(path)
-        return cls(df.drop("valid_date"), now_fn)
+        return cls(df.drop("valid_date", "namespace"), now_fn)

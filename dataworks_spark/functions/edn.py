@@ -90,8 +90,9 @@ def _build_parser():
                 v, pos = parse_at(tokens, pos)
                 out[k if isinstance(k, (str, int, float, bool)) else repr(k)] = v
             return out, pos + 1
-        if t.startswith("#"):  # tagged: keep the tagged value
-            return parse_at(tokens, pos + 1)
+        if t.startswith("#"):  # tagged literal
+            v, pos = parse_at(tokens, pos + 1)
+            return convert_tagged(t[1:], v), pos
         if t.startswith('"'):
             return t[1:], pos + 1
         if t == "nil":
@@ -106,6 +107,30 @@ def _build_parser():
             return (float(t) if ("." in t or "e" in t or "E" in t) else int(t)), pos + 1
         except ValueError:
             return t, pos + 1  # bare symbol → string
+
+    def convert_tagged(tag, v):
+        """Time-literal tagged readers (the reference's safe reader
+        registers exactly these, utils/common.clj:112-118 + the
+        java.time tag family): instants/date-times → datetime, dates →
+        date. Durations/periods keep their ISO-8601 string (Python has
+        no stdlib ISO-duration parser; no eval, ever). Unknown tags
+        pass their value through unchanged — same no-crash posture as
+        the reference's default reader."""
+        import datetime as _dtm
+
+        if not isinstance(v, str):
+            return v
+        try:
+            if tag in ("inst", "time/instant", "time/zoned-date-time",
+                       "time/offset-date-time", "time/date-time"):
+                return _dtm.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            if tag == "time/date":
+                return _dtm.date.fromisoformat(v)
+            if tag == "time/time":
+                return _dtm.time.fromisoformat(v)
+        except ValueError:
+            return v  # malformed literal: surface the raw string
+        return v
 
     def parse(s):
         tokens = tokenize(s)

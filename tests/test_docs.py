@@ -88,14 +88,43 @@ def test_bitemporal_tx_vs_valid_time(spark):
 
 def test_store_save_load_roundtrip(spark, tmp_path):
     """A5 persistence: the saved+reloaded store answers as-of queries
-    identically (partitioned by valid date for scan pruning)."""
+    identically (partitioned by namespace + valid date)."""
     s, clock = _store(spark, [("u/1", "v1"), ("u/2", "w1")], T0)
     clock["now"] = T1
     s2 = s.put(spark.createDataFrame([("u/1", "v2")], "id string, body string"))
-    s2.save(str(tmp_path / "docs"), partition_by_date=True)
+    s2.save(str(tmp_path / "docs"))
     loaded = DocumentStore.load(spark, str(tmp_path / "docs"))
     assert {r.id: r.body for r in loaded.latest().collect()} == {"u/1": "v2", "u/2": "w1"}
     assert {r.id: r.body for r in loaded.as_of(T0).collect()} == {"u/1": "v1", "u/2": "w1"}
+
+
+def test_durable_compaction_prunes_partitions(spark, tmp_path):
+    """SURVEY §4 #3 executed (VERDICT r1 next-step 7): compact(path)
+    rewrites the log partitioned by (namespace, date(valid_from)); an
+    as-of read over the partitioned layout carries PartitionFilters on
+    valid_date — pruning at the source, not a post-scan filter — and
+    answers identically to the in-memory store."""
+    from dataworks_spark.docs.store import as_of_snapshot
+
+    s, clock = _store(spark, [("u/1", "v1"), ("app/9", "w1")], T0)
+    clock["now"] = T1
+    s2 = s.put(spark.createDataFrame([("u/1", "v2")], "id string, body string"))
+    path = str(tmp_path / "compacted")
+    s3 = s2.compact(path)  # durable rewrite; mutable facade keeps working
+    assert {r.id: r.body for r in s3.latest().collect()} == {"u/1": "v2", "app/9": "w1"}
+
+    served = DocumentStore.open_partitioned(spark, path)
+    snap = as_of_snapshot(served, T0)
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "valid_date" in plan.split("PartitionFilters")[1][:200]
+    got = {r.id: r.body for r in snap.collect()}
+    assert got == {r.id: r.body for r in s2.as_of(T0).collect()}
+    # namespace is a partition column too: an entity-namespace filter
+    # prunes as well
+    ns = served.filter(F.col("namespace") == "app")
+    nplan = ns._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in nplan and "namespace" in nplan.split("PartitionFilters")[1][:200]
+    assert [r.id for r in ns.select("id").distinct().collect()] == ["app/9"]
 
 
 def test_entity_history(spark):

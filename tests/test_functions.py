@@ -85,11 +85,32 @@ def test_parse_edn_values():
         ":e": True,
     }
     assert parse_edn("#{3 1 2}") == [1, 2, 3]
-    assert parse_edn('#inst "2024-01-01T00:00:00Z"') == "2024-01-01T00:00:00Z"
     assert parse_edn("(:a :b)") == [":a", ":b"]
     assert parse_edn("1.5e3") == 1500.0
     with pytest.raises(ValueError):
         parse_edn('"unterminated')
+
+
+def test_edn_time_tagged_literals():
+    """Time-literal tagged readers (utils/common.clj:112-118): the safe
+    reader converts the java.time tag family to real time values,
+    passes unknown tags through, and never evaluates code."""
+    import datetime as dt
+
+    utc = dt.timezone.utc
+    assert parse_edn('#inst "2024-01-01T00:00:00Z"') == dt.datetime(2024, 1, 1, tzinfo=utc)
+    assert parse_edn('#time/instant "2024-01-01T12:30:00Z"') == dt.datetime(
+        2024, 1, 1, 12, 30, tzinfo=utc
+    )
+    assert parse_edn('#time/date "2024-02-29"') == dt.date(2024, 2, 29)
+    assert parse_edn('#time/time "13:45:30"') == dt.time(13, 45, 30)
+    assert parse_edn('#time/duration "PT30S"') == "PT30S"  # ISO string kept
+    assert parse_edn('#unknown/tag "zzz"') == "zzz"  # passthrough
+    assert parse_edn('#inst "not-a-date"') == "not-a-date"  # malformed → raw
+    assert parse_edn('{:at #inst "2024-01-01T00:00:00Z" :n 1}') == {
+        ":at": dt.datetime(2024, 1, 1, tzinfo=utc),
+        ":n": 1,
+    }
 
 
 def test_edn_udf_on_column(spark):
