@@ -1,0 +1,81 @@
+"""Physical-plan assertions (the scale properties the design leans on).
+
+These run over the PRODUCTION read path (direct parquet scans — the
+harness table cache is bypassed) so the asserted properties are the
+ones a cluster deployment would get: no accidental cartesian products
+anywhere, filters pushed into scans, dimensions broadcast in the star
+join, top-k compiled to TakeOrderedAndProject, the salted join staged
+as a real shuffle join.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import dataworks_spark.queries as Q
+from dataworks_spark.session import load_table
+from tests.conftest import SF_DIR
+
+#: queries whose plan is ALLOWED a nested-loop/cartesian stage:
+#: q_embed_neardup opts into the exact O(n²) verify kernel; the ANN /
+#: cosine queries cross-join a broadcast single-row query vector
+#: (a 1×n map-side expansion, not an n×m blowup).
+NESTED_LOOP_OK = {"q_embed_neardup", "q_cosine_topk", "q_embed_lsh_topk", "q_embed_ivf_topk"}
+
+
+@pytest.fixture(autouse=True)
+def production_read_path(monkeypatch):
+    monkeypatch.setattr(Q, "_t", lambda spark, sf_dir, name: load_table(spark, sf_dir, name))
+
+
+def _plan(spark, name: str) -> str:
+    df = Q.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Every query plan is free of CartesianProduct, and free of
+    BroadcastNestedLoopJoin except the whitelisted broadcast-query-vector
+    and explicit-exact cases."""
+    offenders = []
+    for name in Q.QUERIES:
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan and name not in NESTED_LOOP_OK:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, f"unexpected cartesian stages: {offenders}"
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "q_join_star")
+    assert plan.count("BroadcastHashJoin") >= 4  # orders, customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_filter_topk_pushdown_and_takeordered(spark):
+    plan = _plan(spark, "q_scan_filter_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_salted_enrich_is_a_shuffle_join(spark):
+    """The merge hint must defeat broadcast — otherwise the salt is a
+    no-op demonstration (VERDICT r1 item 9)."""
+    plan = _plan(spark, "q_join_enrich")
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+
+def test_agg_grouped_partial_aggregation(spark):
+    """TPC-H Q1 shape: a map-side HashAggregate must appear below the
+    exchange (shuffle carries |groups|, not |rows|)."""
+    plan = _plan(spark, "q_agg_grouped")
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_point_lookup_prunes_columns(spark):
+    """B8-style lookup reads only the projected columns."""
+    df = Q.QUERIES["q_lookup_pred"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_acctbal" not in read_schema
