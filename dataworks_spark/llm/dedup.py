@@ -40,35 +40,22 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: explode distinct shingles,
-    equi-join on shingle, group pair, |A∩B| / (|A|+|B|-|A∩B|).
+def cooccurrence_pairs(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """(id, token) rows → (doc_a, doc_b, inter) co-occurrence counts
+    WITHOUT a self-join: group the (sorted) id list per token, drop
+    single-doc tokens (they can't intersect — and in natural text most
+    tokens/shingles are unique to one doc), and emit the C(k,2) ordered
+    pairs per token with row-local array combinatorics. Two shuffles
+    total (by token, by pair) versus the self-join formulation's three
+    plus a join; identical output.
 
-    Scale note: exact pairwise Jaccard is only run on candidate sets
-    (or bounded subsets); at 100 TB the candidate generation is
-    :func:`minhash_near_dup_pairs` and this is the verify kernel."""
-    # per-doc distinct shingle arrays: array_distinct is row-local, so
-    # deduplication costs no shuffle and |A| falls out as size(shs)
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
-    ).persist()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Pair generation WITHOUT a self-join: group the (sorted) doc list
-    # per shingle, drop single-doc shingles (they can't intersect —
-    # and in natural text most shingles are unique), and emit the
-    # C(k,2) ordered pairs per shingle with row-local array
-    # combinatorics. Two shuffles total (by shingle, by pair) versus
-    # the self-join formulation's three plus a join; identical output.
-    # Skew note: a stop-shingle shared by k docs emits k²/2 pairs
-    # either way — that blowup is inherent to exact Jaccard, which is
-    # why this is the *verify kernel* and MinHash bands generate
-    # candidates at scale.
-    ds = F.array_sort(F.collect_list("doc"))
-    pair_lists = (
-        sh.groupBy("shingle")
+    Skew note: a stop-token shared by k docs emits k²/2 pairs either
+    way — that blowup is inherent to exact intersection counting, which
+    is why these exact kernels verify CANDIDATE sets at scale (MinHash
+    bands / LSH buckets generate the candidates)."""
+    ds = F.array_sort(F.collect_list(id_col))
+    return (
+        tokens.groupBy(token_col)
         .agg(ds.alias("ds"))
         .filter(F.size("ds") > 1)
         .select(
@@ -84,9 +71,30 @@ def ngram_jaccard_pairs(
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    inter = pair_lists.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: distinct shingles per doc,
+    co-occurrence pair counts, |A∩B| / (|A|+|B|-|A∩B|).
+
+    Scale note: exact pairwise Jaccard is only run on candidate sets
+    (or bounded subsets); at 100 TB the candidate generation is
+    :func:`minhash_near_dup_pairs` and this is the verify kernel."""
+    # per-doc distinct shingle arrays: array_distinct is row-local, so
+    # deduplication costs no shuffle and |A| falls out as size(shs).
+    # The persist stops the (expensive, string-building) shingle explode
+    # from being re-derived for its two consumers.
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
+    ).persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = cooccurrence_pairs(sh, "doc", "shingle")
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (

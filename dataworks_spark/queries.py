@@ -675,17 +675,17 @@ def q_text_stats(spark, sf_dir):
 
 def q_token_join(spark, sf_dir):
     """Similarity/text join (L6): token-overlap + Jaccard between
-    low-id document pairs via explode→equi-join→group."""
+    low-id document pairs via the shared co-occurrence pair kernel
+    (grouped array combinatorics — no token self-join)."""
+    from dataworks_spark.llm.dedup import cooccurrence_pairs
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token")).dropDuplicates()
+    tokens = d.select(
+        F.col("doc_id"), F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    a = tokens.select(F.col("doc_id").alias("doc_a"), "token")
-    b = tokens.select(F.col("doc_id").alias("doc_b"), "token")
-    overlap = (
-        a.join(b, on="token")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+    overlap = cooccurrence_pairs(tokens, "doc_id", "token").withColumnRenamed(
+        "inter", "overlap"
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb"))

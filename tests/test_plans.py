@@ -23,7 +23,12 @@ NESTED_LOOP_OK = {"q_embed_neardup", "q_cosine_topk", "q_embed_lsh_topk", "q_emb
 
 
 @pytest.fixture(autouse=True)
-def production_read_path(monkeypatch):
+def production_read_path(monkeypatch, spark):
+    # clearCache: tables cached by other tests would otherwise be
+    # substituted into these plans by the CacheManager's plan-fragment
+    # matching (turning parquet scans into InMemoryTableScans and
+    # hiding pushdown); cleared tables simply read from parquet again.
+    spark.catalog.clearCache()
     monkeypatch.setattr(Q, "_t", lambda spark, sf_dir, name: load_table(spark, sf_dir, name))
 
 
