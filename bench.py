@@ -34,6 +34,11 @@ def run_spark(warm: bool = True, passes: int = 2) -> tuple[dict[str, float], dic
     codegen compilation, the ~0.2-0.5 s/query floor an embedded engine
     doesn't pay); steady = last execution (what a resident engine serves
     once code is JIT-cached). Both are reported — neither is hidden."""
+    # AQE stays ON even at this sub-second scale: its re-planning costs
+    # ~25% on the short scan/agg queries (measured, BASELINE.md §5) but
+    # its post-shuffle coalescing is what keeps the iterative fixpoint
+    # queries cheap (q_recursive_closure regresses 2 s → 33 s without
+    # it). One engine config, no per-query special cases.
     spark = get_spark("dataworks_spark_bench")
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
