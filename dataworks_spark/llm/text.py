@@ -33,12 +33,20 @@ def token_count(text: Column, bpe: bool = False) -> Column:
     return F.size(bpe_ish_tokens(text) if bpe else tokens(text))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    """Fraction of tokens in the language's stopword list."""
-    toks = tokens(F.lower(text))
+def stopword_ratio_tokens(toks: Column, lang: str = "en") -> Column:
+    """Fraction of ``toks`` in the language's stopword list — takes an
+    already-tokenized column so multi-language scoring tokenizes ONCE
+    (codegen does not CSE across higher-order function lambdas, so
+    repeating the split per language triples both compile and run
+    cost)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens in the language's stopword list."""
+    return stopword_ratio_tokens(tokens(F.lower(text)), lang)
 
 
 def language_scores(text: Column) -> Column:

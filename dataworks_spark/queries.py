@@ -868,12 +868,15 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic (L4): per-language stopword scores,
+    """Language-ID heuristic (L4): per-language stopword scores over a
+    ONE-pass tokenization (tokens projected once, scored three times),
     argmax guess, counted per true lang label."""
-    from dataworks_spark.llm.text import stopword_ratio
+    from dataworks_spark.llm.text import stopword_ratio_tokens, tokens
 
-    d = _t(spark, sf_dir, "documents")
-    s_en, s_de, s_es = (stopword_ratio(F.col("text"), lang) for lang in ("en", "de", "es"))
+    d = _t(spark, sf_dir, "documents").withColumn("__toks", tokens(F.lower(F.col("text"))))
+    s_en, s_de, s_es = (
+        stopword_ratio_tokens(F.col("__toks"), lang) for lang in ("en", "de", "es")
+    )
     guess = (
         F.when((s_en >= s_de) & (s_en >= s_es), "en")
         .when(s_de >= s_es, "de")
