@@ -264,3 +264,65 @@ def simhash_near_dup_pairs(
         .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iterations: int = 50
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (id, cluster)
+    with cluster = MIN doc id in the component — the deterministic
+    canonical representative a dedup pipeline keeps.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round takes the min over neighbors' labels. Rounds =
+    O(component diameter) — near-dup components are shallow (a dup of a
+    dup of X is still textually near X), so a handful of rounds
+    converges even at corpus scale; each round is one join + one
+    aggregate on the symmetric edge list. Convergence is detected on
+    sum(label), which is strictly decreasing until fixpoint (labels
+    only ever shrink)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select("src").dropDuplicates().withColumn("label", F.col("src")).localCheckpoint()
+    )
+    prev = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("src", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, on="src", how="left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(F.col("src").alias("id"), F.col("label").alias("cluster"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame, id_col: str, pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b"
+) -> DataFrame:
+    """Full near-dup dedup output: keep each cluster's canonical (min
+    id) row plus every row that appears in no near-dup pair. The pair
+    list comes from any candidate generator (MinHash bands, SimHash
+    quarters, embedding LSH) — this is the final keep/drop decision."""
+    clusters = near_dup_clusters(pairs, id_a, id_b)
+    drop = clusters.filter(F.col("id") != F.col("cluster")).select(F.col("id").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")

@@ -220,3 +220,81 @@ def test_multimodal_frame_sample(spark):
     for r in rows:
         by_id.setdefault(r.media_id, []).append(r.frame_idx)
     assert by_id[1] == [0, 2] and by_id[2] == [0]  # 5000B → 4 fake frames
+
+
+def test_near_dup_clusters_match_union_find(spark, docs):
+    """Connected components via min-label propagation must equal a
+    brute-force union-find over the same pair list — both on a synthetic
+    edge list with known components and on real n-gram near-dup pairs."""
+    from dataworks_spark.llm.dedup import (
+        dedup_keep_canonical,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    def union_find(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    # synthetic: two chains + a triangle + an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pdf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.id: r.cluster for r in near_dup_clusters(pdf).collect()}
+    assert got == union_find(edges)
+
+    # real pairs from the exact kernel
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    edge_rows = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    got = {r.id: r.cluster for r in near_dup_clusters(pairs).collect()}
+    assert got == union_find(edge_rows)
+
+    kept = dedup_keep_canonical(docs, "doc_id", pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    dropped = {i for i, c in got.items() if i != c}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - dropped
+
+
+def test_ivf_partitioned_write_prunes(spark, emb, tmp_path):
+    """The IVF 100 TB path EXECUTED: write the table partitioned by the
+    coarse-quantizer cell, read back with the probe-list filter, and
+    assert the scan prunes on the partition column (source-level
+    pruning, not a post-scan filter)."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import (
+        brute_force_cosine_topk,
+        ivf_assign,
+        ivf_build_centroids,
+    )
+
+    cents = ivf_build_centroids(emb, "embedding", n_centroids=4)
+    path = str(tmp_path / "ivf")
+    emb.withColumn("ivf_cell", ivf_assign(F.col("embedding"), cents)).write.partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+
+    table = spark.read.parquet(path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    q = np.asarray(qvec)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probes = np.argsort(-(cn @ (q / np.linalg.norm(q))))[:2].tolist()
+    cands = table.filter(F.col("ivf_cell").isin([int(p) for p in probes]))
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+    top = brute_force_cosine_topk(
+        cands.filter(F.col("vec_id") != 0), "embedding", qvec, 5, id_cols=["vec_id"]
+    ).collect()
+    assert len(top) == 5
