@@ -10,13 +10,21 @@ installed.
 """
 
 from dataworks_spark.llm.dedup import (
+    cooccurrence_pairs,
+    dedup_keep_canonical,
     exact_dedup,
     minhash_near_dup_pairs,
     minhash_signature,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
 )
-from dataworks_spark.llm.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from dataworks_spark.llm.similarity import (
+    brute_force_cosine_topk,
+    cosine_pairs_above,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from dataworks_spark.llm.text import (
     document_fingerprint,
     language_scores,
@@ -31,7 +39,12 @@ __all__ = [
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "cooccurrence_pairs",
+    "near_dup_clusters",
+    "dedup_keep_canonical",
     "brute_force_cosine_topk",
+    "cosine_pairs_above",
+    "ivf_cosine_topk",
     "lsh_cosine_topk",
     "tokens",
     "token_count",
