@@ -150,7 +150,8 @@ class DatalogDB:
             if isinstance(head, str) and head == "not":
                 negations.append(clause[1])
                 continue
-            if isinstance(head, str) and head in rule_map:
+            if isinstance(head, str) and (head in rule_map or head in rule_env):
+                # rule_env names cover semi-naive delta sentinels
                 bound = self._apply_rule_call(bound, clause, rule_map, rule_env)
                 continue
             if (isinstance(head, str) and head in _PREDICATES) or callable(head):
@@ -277,7 +278,12 @@ class DatalogDB:
         query) is projected onto the call's terms — variables rename
         head columns, constants filter them."""
         name, *terms = clause
-        rel = self._eval_rule(rule_map[name], rule_map, rule_env)
+        # a name already materialized in rule_env may be a semi-naive
+        # delta sentinel ("<rule>@delta") that has no Rule object
+        if name in rule_env:
+            rel = rule_env[name]
+        else:
+            rel = self._eval_rule(rule_map[name], rule_map, rule_env)
         head_cols = rel.columns
         if len(terms) != len(head_cols):
             raise ValueError(f"rule {name} has {len(head_cols)} head vars, called with {len(terms)}")
@@ -302,13 +308,18 @@ class DatalogDB:
         """Materialize a rule's derived relation (columns = head vars).
 
         Shorthand rules (edge_attr) compile to the log-depth
-        path-doubling closure. General rules run a fixpoint: the union
-        of non-recursive bodies seeds the relation; recursive bodies
-        (bodies that call this rule) are re-evaluated against the
-        current relation until no new tuples appear — cycle-safe via
-        the anti-join, lineage-safe via per-round localCheckpoint.
-        Nonlinear bodies (two self-calls) converge in ⌈log₂ d⌉ rounds —
-        the same squaring trade path-doubling makes."""
+        path-doubling closure. General rules run a SEMI-NAIVE fixpoint
+        (the standard Datalog evaluation): the union of non-recursive
+        bodies seeds relation and delta; each round derives only tuples
+        reachable *through the delta* — every recursive body is
+        re-evaluated once per self-call position with that position
+        bound to the delta and the others to the full relation (the
+        nonlinear semi-naive expansion), so derivation work per round
+        tracks |delta| · |rel|, not |rel|², which is what survives when
+        rel is cluster-scale. New tuples are isolated with an anti-join
+        (that IS the delta, so it can't be traded away); lineage is
+        truncated by per-round localCheckpoint; cycles terminate because
+        a revisited tuple never re-enters the delta."""
         if rule.name in rule_env:
             return rule_env[rule.name]
         if rule.edge_attr is not None:
@@ -332,28 +343,37 @@ class DatalogDB:
         if base is None:
             raise ValueError(f"rule {rule.name} needs at least one non-recursive body")
         rel = base.dropDuplicates().localCheckpoint()
-        prev = rel.count()
         if not rec_bodies:
             rule_env[rule.name] = rel
             return rel
 
+        delta_name = f"{rule.name}@delta"
+        delta = rel
         for _ in range(50):  # fixpoint cap mirrors ops.recursive
-            rule_env[rule.name] = rel  # recursive calls see current rel
+            rule_env[rule.name] = rel
+            rule_env[delta_name] = delta
             grown: DataFrame | None = None
             for body in rec_bodies:
-                g = self._eval_clauses(list(body), {}, rule_map, rule_env).select(*head_vars)
-                grown = g if grown is None else grown.unionByName(g)
-            # one dedup + one checkpoint + one in-memory count per
-            # round; converged when the relation stops growing (same
-            # trade as ops.recursive._doubling — cheaper than the
-            # anti-join formulation's double materialization; chaining
-            # rounds lazily instead was measured SLOWER — plan
-            # analysis/codegen of the nested self-joins outweighs the
-            # saved job launches)
-            rel = rel.unionByName(grown).dropDuplicates().localCheckpoint()
-            cur = rel.count()
-            if cur == prev:
+                # one evaluation per self-call position, that position
+                # rewritten to the delta sentinel
+                positions = [
+                    i
+                    for i, c in enumerate(body)
+                    if isinstance(c[0], str) and c[0] == rule.name
+                ]
+                for pos in positions:
+                    variant = list(body)
+                    variant[pos] = (delta_name, *body[pos][1:])
+                    g = self._eval_clauses(variant, {}, rule_map, rule_env).select(*head_vars)
+                    grown = g if grown is None else grown.unionByName(g)
+            delta = (
+                grown.dropDuplicates()
+                .join(rel, on=head_vars, how="left_anti")
+                .localCheckpoint()
+            )
+            if delta.isEmpty():
                 break
-            prev = cur
+            rel = rel.unionByName(delta).localCheckpoint()
         rule_env[rule.name] = rel
+        rule_env.pop(delta_name, None)
         return rel
