@@ -78,9 +78,11 @@ class Rule:
       clauses (triples, predicates, or rule calls — including calls to
       *itself*, possibly several times per body, i.e. nonlinear
       recursion). Non-recursive bodies seed the fixpoint; recursive
-      bodies are iterated to convergence (naive evaluation with
-      per-round lineage checkpoints — each round is one batch of
-      joins, so a depth-d graph needs ≤d driver rounds).
+      bodies are iterated to convergence with SEMI-NAIVE evaluation
+      (deltas substituted per self-call position) and per-round
+      lineage checkpoints — each round is one batch of joins, so a
+      depth-d graph needs ≤d driver rounds (≤⌈log₂ d⌉ for nonlinear
+      bodies, which square path length like doubling does).
     """
 
     name: str
