@@ -33,20 +33,36 @@ class DocStoreSink:
         self._id_col = id_col
         self._ts_col = ts_col
         self.batches_applied = 0
+        self._applied_epochs: set[int] = set()
 
     @property
     def store(self) -> DocumentStore:
         return self.ref.store
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+        # foreachBatch is at-least-once: a task/driver retry re-delivers
+        # the SAME epoch_id with the same data. Appending it twice would
+        # duplicate versions, so the write is made idempotent by epoch —
+        # the guard and the append commute through the StoreRef lock.
+        # (In-process store ⇒ in-process ledger; a table-format backend
+        # would instead record the epoch in the same transaction,
+        # e.g. txnAppId/txnVersion.)
+        if epoch_id in self._applied_epochs or batch_df.isEmpty():
             return
         idc = F.col(self._id_col) if isinstance(self._id_col, str) else self._id_col
         drop = [self._id_col] if isinstance(self._id_col, str) else []
         rows = batch_df.withColumn("id", idc).drop(*drop).localCheckpoint()
+
+        def _apply(s: DocumentStore) -> DocumentStore:
+            if epoch_id in self._applied_epochs:  # raced retry
+                return s
+            self._applied_epochs.add(epoch_id)
+            return s.put_log(rows, ts_col=self._ts_col).compact()
+
         # set-based bulk append: every row becomes a version at its own
         # event-ts in ONE put_log pass (no per-ts transactions)
-        self.ref.swap(lambda s: s.put_log(rows, ts_col=self._ts_col).compact())
+        before = self.ref.swap(_apply)
+        _ = before
         self.batches_applied += 1
 
     def attach(self, stream_df: DataFrame, checkpoint: str):

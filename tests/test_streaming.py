@@ -301,3 +301,32 @@ def test_kafka_builders():
     assert opts["kafka.group.id"] == "dataworks/clicks"  # utils/kafka.clj:81
     assert opts["startingOffsets"] == "latest"  # utils/kafka.clj:84-85
     assert encode_json_value({"a": 1}) == '{"a":1}'
+
+
+def test_docstore_sink_idempotent_per_epoch(spark):
+    """foreachBatch retries re-deliver the same epoch_id (at-least-once
+    contract); the sink must apply each epoch exactly once or replays
+    would duplicate document versions."""
+    import datetime as dt
+
+    from dataworks_spark.docs.sink import DocStoreSink
+    from dataworks_spark.docs.store import DocumentStore
+
+    empty = spark.createDataFrame(
+        [],
+        "id string, value double, valid_from timestamp, valid_to timestamp, "
+        "tx_from timestamp, tx_to timestamp, deleted boolean",
+    )
+    sink = DocStoreSink(DocumentStore(empty), id_col="k", ts_col="ts")
+    batch = spark.createDataFrame(
+        [("a", 1.0, dt.datetime(2024, 1, 1))], "k string, value double, ts timestamp"
+    )
+    sink.foreach_batch(batch, epoch_id=7)
+    sink.foreach_batch(batch, epoch_id=7)  # simulated retry of the same epoch
+    assert sink.batches_applied == 1
+    assert sink.store.versions.count() == 1  # no duplicate version rows
+    later = spark.createDataFrame(
+        [("a", 2.0, dt.datetime(2024, 1, 2))], "k string, value double, ts timestamp"
+    )
+    sink.foreach_batch(later, epoch_id=8)  # new epoch still applies
+    assert {r.value for r in sink.store.latest().collect()} == {2.0}
