@@ -54,3 +54,14 @@ def approx_aggs(df: DataFrame, keys: Sequence[str], col: str, quantiles: Sequenc
         F.approx_count_distinct(col).alias(f"approx_distinct_{col}"),
         F.percentile_approx(col, list(quantiles)).alias(f"approx_quantiles_{col}"),
     )
+
+
+def frequent_items(df: DataFrame, cols: Sequence[str], support: float = 0.01) -> DataFrame:
+    """Approximate heavy hitters (D7 family): single-pass frequent-item
+    sketch (Karp-Shenker-Papadimitriou, the construction behind
+    ``df.stat.freqItems``) — every value with frequency > ``support``
+    is guaranteed present (no false negatives; false positives
+    possible, as with any counter-based sketch). Constant memory
+    ~1/support counters per column, no shuffle of the value space —
+    the exact-twin verification (count + filter) is the test's job."""
+    return df.stat.freqItems(list(cols), support)

@@ -55,3 +55,21 @@ def test_versions_with_validity_partitions_timeline(spark, sf_dir):
         .count()
     )
     assert gaps == 0
+
+
+def test_frequent_items_no_false_negatives(spark, sf_dir):
+    """D7 heavy hitters: every value whose true frequency exceeds the
+    support threshold must appear in the sketch output (the KSP
+    guarantee); spot-check against exact counts."""
+    from dataworks_spark.ops.aggregates import frequent_items
+    from dataworks_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = frequent_items(li, ["l_returnflag"], support=0.2).first()
+    sketch = set(out["l_returnflag_freqItems"])
+    n = li.count()
+    exact = {
+        r.l_returnflag
+        for r in li.groupBy("l_returnflag").count().filter(F.col("count") > 0.2 * n).collect()
+    }
+    assert exact <= sketch
