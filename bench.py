@@ -48,6 +48,10 @@ def run_spark(warm: bool = True, passes: int = 2) -> tuple[dict[str, float], dic
 
         for t in TABLES:
             _t(spark, SF_DIR, t).count()
+        # spin up the Arrow Python-UDF worker pool (session-level process
+        # state, like the JVM itself) so the one mapInPandas query isn't
+        # charged ~2 s of interpreter fork cost
+        spark.range(1).mapInPandas(lambda it: it, "id long").count()
     for name, fn in sorted(QUERIES.items()):
         for p in range(max(passes, 1)):
             t0 = time.perf_counter()
