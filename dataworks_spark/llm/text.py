@@ -99,3 +99,28 @@ def rolling_hash_shingle_min(text: Column, shingle_n: int = 3) -> Column:
     from dataworks_spark.llm.dedup import word_ngrams
 
     return F.array_min(F.transform(word_ngrams(text, shingle_n), lambda s: F.xxhash64(s)))
+
+
+def repetition_features(text: Column, ngram_n: int = 3) -> dict[str, Column]:
+    """Within-document repetition ratios — the standard pretraining
+    corpus filters for templated/spammy text (the public Gopher/C4
+    filter family): fraction of duplicate lines and fraction of
+    duplicate word n-grams. Pure higher-order column expressions; at
+    100 TB these run inside codegen over the scan like the other
+    quality features."""
+    from dataworks_spark.llm.dedup import word_ngrams
+
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    dup_line_ratio = (n_lines - F.size(F.array_distinct(lines))) / F.greatest(
+        n_lines, F.lit(1)
+    )
+    grams = word_ngrams(text, ngram_n)
+    n_grams = F.size(grams)
+    dup_ngram_ratio = (n_grams - F.size(F.array_distinct(grams))) / F.greatest(
+        n_grams, F.lit(1)
+    )
+    return {
+        "dup_line_ratio": dup_line_ratio,
+        f"dup_{ngram_n}gram_ratio": dup_ngram_ratio,
+    }

@@ -298,3 +298,24 @@ def test_ivf_partitioned_write_prunes(spark, emb, tmp_path):
         cands.filter(F.col("vec_id") != 0), "embedding", qvec, 5, id_cols=["vec_id"]
     ).collect()
     assert len(top) == 5
+
+
+def test_repetition_features(spark):
+    """Gopher/C4-style repetition filters: a templated doc (repeated
+    lines, repeated phrases) scores high; natural text scores ~0."""
+    from dataworks_spark.llm.text import repetition_features
+
+    spam = "buy now cheap deals\n" * 5 + "one unique closing line"
+    clean = "every word in this perfectly ordinary sentence appears exactly once here"
+    df = spark.createDataFrame([(1, spam), (2, clean)], "doc_id long, text string")
+    feats = repetition_features(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            feats["dup_line_ratio"].alias("dl"),
+            feats["dup_3gram_ratio"].alias("dg"),
+        ).collect()
+    }
+    assert rows[1].dl > 0.5 and rows[1].dg > 0.5
+    assert rows[2].dl == 0.0 and rows[2].dg == 0.0

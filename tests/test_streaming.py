@@ -330,3 +330,41 @@ def test_docstore_sink_idempotent_per_epoch(spark):
     )
     sink.foreach_batch(later, epoch_id=8)  # new epoch still applies
     assert {r.value for r in sink.store.latest().collect()} == {2.0}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming-native exact dedup (L1 streaming twin, complementing
+    the stateful seen_filter): dropDuplicatesWithinWatermark drops
+    redelivered keys inside the watermark window with BOUNDED state —
+    the state-expiry upgrade a 100 TB stream needs over unbounded
+    dropDuplicates."""
+    import datetime as dt
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {"k": "a", "ts": t.isoformat()},
+        {"k": "a", "ts": (t + dt.timedelta(seconds=30)).isoformat()},  # dup redelivery
+        {"k": "b", "ts": (t + dt.timedelta(minutes=1)).isoformat()},
+    ]
+    import json as _json
+
+    (src / "batch.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("k string, ts string")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT k FROM dedup_out").collect()
+    assert sorted(r.k for r in out) == ["a", "b"]  # the redelivery was dropped
