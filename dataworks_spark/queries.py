@@ -656,10 +656,11 @@ def q_text_stats(spark, sf_dir):
     quality-scoring features (length/punct/stopword ratios, BPE-ish
     token counts) — every feature expression folded into a single
     aggregation pass, all JVM-side builtins."""
-    from dataworks_spark.llm.text import bpe_ish_tokens, quality_features
+    from dataworks_spark.llm.text import bpe_ish_tokens, quality_features, repetition_features
 
     d = _t(spark, sf_dir, "documents")
     feats = quality_features(F.col("text"))
+    rep = repetition_features(F.col("text"), ngram_n=3)
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
@@ -670,6 +671,7 @@ def q_text_stats(spark, sf_dir):
         F.round(F.avg(feats["punct_ratio"]), 6).alias("avg_punct_ratio"),
         F.round(F.avg(feats["stopword_ratio"]), 6).alias("avg_stopword_ratio"),
         F.round(F.avg(feats["quality_score"]), 6).alias("avg_quality"),
+        F.round(F.avg(rep["dup_3gram_ratio"]), 6).alias("avg_dup_3gram"),
     )
 
 
@@ -1279,7 +1281,15 @@ ORACLE_SQL: dict[str, str] = {
                    / greatest(LENGTH(text), 1) AS punct_ratio,
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(['the','a','of','and','to','in','is'], t)))
-                   / greatest(len(string_split(lower(text), ' ')), 1) AS sw_ratio
+                   / greatest(len(string_split(lower(text), ' ')), 1) AS sw_ratio,
+                 len(list_transform(generate_series(1,
+                       greatest(len(string_split(text, ' ')) - 2, 0)),
+                     i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+                   AS n_grams,
+                 len(list_distinct(list_transform(generate_series(1,
+                       greatest(len(string_split(text, ' ')) - 2, 0)),
+                     i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+                   AS n_distinct_grams
           FROM documents)
         SELECT lang, COUNT(*) AS n_docs,
                ROUND(AVG(n_chars), 6) AS avg_chars,
@@ -1291,7 +1301,9 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(AVG(sw_ratio), 6) AS avg_stopword_ratio,
                ROUND(AVG(least(n_toks / 100.0, 1.0) * 0.4
                      + (1 - punct_ratio) * 0.3
-                     + least(sw_ratio * 5.0, 1.0) * 0.3), 6) AS avg_quality
+                     + least(sw_ratio * 5.0, 1.0) * 0.3), 6) AS avg_quality,
+               ROUND(AVG((n_grams - n_distinct_grams)
+                     / greatest(n_grams, 1)), 6) AS avg_dup_3gram
         FROM f GROUP BY lang
     """,
     "q_token_join": """
