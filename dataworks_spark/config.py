@@ -19,6 +19,9 @@ DEFAULTS: dict[str, Any] = {
     "control.log": "/tmp/dataworks_control.log",
     "spark.sql.shuffle.partitions": None,  # None = cpu count
     "alert.poll.ms": 1000,  # utils/alert.clj:36
+    # token-signing secret (auth.clj reads it from config; None means
+    # mint an ephemeral per-process secret — dev-friendly, never shared)
+    "auth.secret": None,
 }
 
 

@@ -75,6 +75,7 @@ class Engine:
             },
         )
         self._collector = None
+        self._users = None
 
     # -- §3.1 create!/update! ------------------------------------------
     def create_function(self, function_type: str, doc: dict) -> dict | Invalid:
@@ -148,6 +149,19 @@ class Engine:
 
     def register_transactor(self, name: str, fn) -> None:
         self.transactors.register(name, fn)
+
+    @property
+    def users(self):
+        """User registry / token auth (utils/auth.clj surface), lazily
+        booted with the configured (or ephemeral) signing secret."""
+        if self._users is None:
+            import secrets
+
+            from dataworks_spark.registry.auth import UserRegistry
+
+            secret = self.config.get("auth.secret") or secrets.token_hex(32)
+            self._users = UserRegistry(self.spark, secret=secret)
+        return self._users
 
     def start_collector(self, spool_dir: str | None = None):
         from dataworks_spark.streaming.collector import CollectorServer

@@ -108,3 +108,13 @@ def test_function_doc_payload_is_json(engine):
     assert json.loads(row.payload)["expr"] == "CAST(value*100 AS BIGINT)"
     # applied exactly once, via the same consume path other drivers use
     assert engine.listener.offset == 1 and len(engine.listener.applied) == 1
+
+
+def test_engine_user_auth_surface(engine):
+    """core.clj boots the auth resources; the Engine exposes the same
+    surface: register → login → role-gated authorization."""
+    ok = engine.users.add_user("ops", "pw", roles=("admin",))
+    assert not isinstance(ok, Invalid)
+    tok = engine.users.check_cred("ops", "pw")
+    assert tok and engine.users.authorize(tok, ("admin",))
+    assert engine.users.check_cred("ops", "nope") is None
