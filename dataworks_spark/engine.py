@@ -72,6 +72,7 @@ class Engine:
             {
                 "stream": self._on_stream_change,
                 "transformer": self._on_transformer_change,
+                "collector": self._on_collector_change,
             },
         )
         self._collector = None
@@ -97,6 +98,9 @@ class Engine:
                 valid_name(),
             ),
             "transactor": (missing_field("name"), valid_name()),
+            # the reference's fourth stored-function type
+            # (collector.clj:84-112): a runtime-mounted ingest endpoint
+            "collector": (missing_field("name"), blank_field("name"), valid_name()),
         }[function_type]
         result = thread_checks(dict(doc), *checks)
         if isinstance(result, Invalid):
@@ -116,6 +120,14 @@ class Engine:
         self.bus.publish(FunctionChanged(function_type, result["name"], result))
         self.listener.poll()
         return result
+
+    def _on_collector_change(self, msg: FunctionChanged) -> None:
+        """Hot-mount the collector's ingest route (the atomic-routes
+        swap, collector.clj:98-112): a running collector server gets
+        the path immediately; a server started later re-registers every
+        collector function from the app-db on boot."""
+        if self._collector is not None:
+            self._collector.register(msg.name)
 
     def _on_stream_change(self, msg: FunctionChanged) -> None:
         chain = OpChain.from_spec(msg.spec, registry=self.transformers)
@@ -169,6 +181,10 @@ class Engine:
         self._collector = CollectorServer(
             spool_dir or self.config["collector.spool"], port=self.config["collector.port"]
         ).start()
+        # mount every collector stored-function already in the app-db
+        # (the reference rebuilds its routes from Crux on boot)
+        for r in self.app_db.latest().filter(F.col("id").startswith("collector/")).collect():
+            self._collector.register(r.id.split("/", 1)[1])
         return self._collector
 
     def stop(self) -> None:

@@ -118,3 +118,32 @@ def test_engine_user_auth_surface(engine):
     tok = engine.users.check_cred("ops", "pw")
     assert tok and engine.users.authorize(tok, ("admin",))
     assert engine.users.check_cred("ops", "nope") is None
+
+
+def test_collector_stored_function_lifecycle(engine):
+    """The fourth stored-function type (collector.clj:84-112): deploying
+    a collector through create_function hot-mounts its ingest route on a
+    running server, and a later-booted server rebuilds routes from the
+    app-db."""
+    import json
+    import urllib.request
+
+    assert isinstance(engine.create_function("collector", {"name": ""}), Invalid)
+    # deploy BEFORE the server exists: persisted, mounted at boot
+    ok = engine.create_function("collector", {"name": "applogs"})
+    assert not isinstance(ok, Invalid)
+    server = engine.start_collector()
+    # deploy AFTER the server exists: hot-mounted
+    ok = engine.create_function("collector", {"name": "metrics"})
+    assert not isinstance(ok, Invalid)
+
+    for path in ("applogs", "metrics"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/{path}",
+            data=json.dumps({"k": 1}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+    fn_ids = {r.id for r in engine.app_db.latest().select("id").collect()}
+    assert {"collector/applogs", "collector/metrics"} <= fn_ids
