@@ -66,10 +66,12 @@ def main(workdir: str | None = None, spark=None) -> dict:
     spark = engine.spark
     out: dict = {}
     try:
-        # 1. hot-register the collector endpoint and send heartbeats:
+        # 1. deploy the collector as a stored function (validate →
+        # persist → broadcast → mount, §3.1) and send heartbeats:
         # "frontend" keeps beating, "batcher" starts then goes silent.
-        collector = engine.start_collector()
-        collector.register("demo-app")
+        ok = engine.create_function("collector", {"name": "demo-app"})
+        assert not isinstance(ok, Invalid), ok
+        collector = engine.start_collector()  # mounts demo-app from app-db
         beats = [
             ("frontend", "started", 0),
             ("batcher", "started", 1),
