@@ -41,7 +41,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataworks_spark.ops.recursive import transitive_closure
+from dataworks_spark.ops.recursive import adaptive_rounds, transitive_closure
+
+#: semi-naive fixpoint round cap for general recursive rules. Exhausting
+#: it RAISES (ADVICE r2: a silent partial relation is a wrong answer);
+#: linear rules grow derivation depth by 1/round, nonlinear ones double
+#: it, so 100 rounds covers depth 100 / 2^100 respectively.
+MAX_FIXPOINT_ROUNDS = 100
 
 _PREDICATES: dict[str, Callable[..., Column]] = {
     "=": lambda a, b: a == b,
@@ -349,11 +355,28 @@ class DatalogDB:
             rule_env[rule.name] = rel
             return rel
 
+        # ONE Spark job per fixpoint round (mirrors ops.recursive): the
+        # relation-so-far and the current delta live in a single
+        # round-tagged DataFrame, whose non-eager localCheckpoint is
+        # materialized BY the convergence count() — so each round is one
+        # action instead of the eager-checkpoint + isEmpty + second-
+        # checkpoint formulation's three. Convergence = the relation
+        # stopped growing (the anti-join guarantees the union only adds
+        # genuinely new tuples, so |rel| is strictly monotone).
+        with adaptive_rounds(self.spark) as resize:
+            return self._fixpoint(rule, rule_map, rule_env, rec_bodies, rel, resize)
+
+    def _fixpoint(self, rule, rule_map, rule_env, rec_bodies, rel, resize) -> DataFrame:
+        head_vars = [_vcol(v) for v in rule.head]
         delta_name = f"{rule.name}@delta"
-        delta = rel
-        for _ in range(50):  # fixpoint cap mirrors ops.recursive
-            rule_env[rule.name] = rel
-            rule_env[delta_name] = delta
+        tagged = rel.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
+        prev = tagged.count()
+        for rnd in range(1, MAX_FIXPOINT_ROUNDS + 1):
+            resize(prev * 2)
+            rule_env[rule.name] = tagged.drop("__round")
+            rule_env[delta_name] = tagged.filter(
+                F.col("__round") == rnd - 1
+            ).drop("__round")
             grown: DataFrame | None = None
             for body in rec_bodies:
                 # one evaluation per self-call position, that position
@@ -368,14 +391,24 @@ class DatalogDB:
                     variant[pos] = (delta_name, *body[pos][1:])
                     g = self._eval_clauses(variant, {}, rule_map, rule_env).select(*head_vars)
                     grown = g if grown is None else grown.unionByName(g)
-            delta = (
+            new = (
                 grown.dropDuplicates()
-                .join(rel, on=head_vars, how="left_anti")
-                .localCheckpoint()
+                .join(tagged, on=head_vars, how="left_anti")
+                .withColumn("__round", F.lit(rnd))
             )
-            if delta.isEmpty():
+            tagged = tagged.unionByName(new).localCheckpoint(eager=False)
+            cur = tagged.count()
+            if cur == prev:
                 break
-            rel = rel.unionByName(delta).localCheckpoint()
+            prev = cur
+        else:
+            # a silently partial relation is a wrong answer, not a result
+            raise RuntimeError(
+                f"rule {rule.name!r} did not reach fixpoint in "
+                f"{MAX_FIXPOINT_ROUNDS} rounds; raise "
+                "dataworks_spark.docs.datalog.MAX_FIXPOINT_ROUNDS or bound the rule"
+            )
+        rel = tagged.drop("__round")
         rule_env[rule.name] = rel
         rule_env.pop(delta_name, None)
         return rel

@@ -28,7 +28,11 @@ Shared mechanics:
 
 from __future__ import annotations
 
+import math
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def transitive_closure(
@@ -37,51 +41,134 @@ def transitive_closure(
     dst: str = "dst",
     max_iterations: int = 50,
     method: str = "doubling",
+    strict: bool = True,
 ) -> DataFrame:
-    """All (src, dst) pairs connected by ≥1 edge-hops."""
+    """All (src, dst) pairs connected by ≥1 edge-hops.
+
+    ``strict=True`` (default) raises ``RuntimeError`` if the fixpoint
+    has not converged after ``max_iterations`` rounds — a silently
+    partial closure is a wrong answer, not a result. Pass
+    ``strict=False`` only when a bounded-depth closure is the intended
+    semantics (e.g. "reachable within k·2^k hops")."""
     if method == "doubling":
-        return _doubling(edges, src, dst, max_iterations)
-    return _semi_naive(edges, src, dst, max_iterations)
+        return _doubling(edges, src, dst, max_iterations, strict)
+    return _semi_naive(edges, src, dst, max_iterations, strict)
 
 
-def _doubling(edges: DataFrame, src: str, dst: str, max_iterations: int) -> DataFrame:
-    # One shuffle-dedup + one checkpoint + one (cheap, in-memory) count
-    # per round; convergence = the closure stopped growing. This does
-    # strictly less per round than the anti-join formulation (one
-    # materialization instead of two) at the cost of counting the
-    # checkpointed result — a scan of already-materialized partitions.
+def _nonconverged(method: str, rounds: int) -> RuntimeError:
+    return RuntimeError(
+        f"transitive_closure({method}) did not converge in {rounds} rounds; "
+        "raise max_iterations (or pass strict=False for a bounded-depth closure)"
+    )
+
+
+#: assumed bytes/row for sizing fixpoint shuffles (two longs + overhead).
+_ROW_BYTES = 64
+#: post-shuffle partition target — Spark's AQE advisory size.
+_TARGET_PARTITION_BYTES = 64 << 20
+
+
+@contextmanager
+def adaptive_rounds(spark):
+    """Per-round adaptive shuffle parallelism for driver-side fixpoint
+    loops.
+
+    Every fixpoint round materializes and counts its relation, so the
+    driver KNOWS the data size before planning the next round — the same
+    runtime statistic AQE coalescing uses, available one stage earlier.
+    Yields ``resize(rows)``, which sets ``spark.sql.shuffle.partitions``
+    to ``rows·row_bytes / 64 MB`` (floor 1, no cap: a cluster-scale
+    relation gets cluster-scale parallelism) so a 20k-row round
+    schedules 1 task per stage instead of the session default's 32+ —
+    task scheduling, not join work, dominates small fixpoint rounds.
+    The session value is restored on exit; AQE stays on (skew splitting
+    still applies when a round IS big)."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def resize(rows: int) -> None:
+        n = max(1, math.ceil(rows * _ROW_BYTES / _TARGET_PARTITION_BYTES))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+
+    try:
+        yield resize
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def _doubling(
+    edges: DataFrame, src: str, dst: str, max_iterations: int, strict: bool
+) -> DataFrame:
+    # ONE Spark job per round: the non-eager localCheckpoint is
+    # materialized BY the convergence count() — checkpoint + emptiness
+    # probe fused into a single action (vs. the eager-checkpoint +
+    # count formulation's two). Convergence = the closure stopped
+    # growing. The seed folds the first squaring (R = E ∪ E∘E) into the
+    # initial materialization, saving one full driver round.
     # (Chaining rounds lazily to save job launches was measured SLOWER:
     # analysis/codegen of the nested self-join plans dominates.)
-    closure = edges.select(src, dst).dropDuplicates().localCheckpoint()
-    prev = closure.count()
-    for _ in range(max_iterations):
-        # R ∪ R∘R: (s, m) ⋈ (m, d) → (s, d)
-        left = closure.withColumnRenamed(dst, "__mid")
-        right = closure.withColumnRenamed(src, "__mid")
-        grown = left.join(right, on="__mid").select(src, dst)
-        closure = closure.unionByName(grown).dropDuplicates().localCheckpoint()
-        cur = closure.count()
-        if cur == prev:
-            break
-        prev = cur
+    base = edges.select(src, dst).dropDuplicates()
+    seed = base.unionByName(
+        base.withColumnRenamed(dst, "__mid")
+        .join(base.withColumnRenamed(src, "__mid"), on="__mid")
+        .select(src, dst)
+    )
+    with adaptive_rounds(edges.sparkSession) as resize:
+        closure = seed.dropDuplicates().localCheckpoint(eager=False)
+        prev = closure.count()
+        for _ in range(max_iterations):
+            resize(prev * 2)  # next round at most doubles the relation
+            # R ∪ R∘R: (s, m) ⋈ (m, d) → (s, d)
+            left = closure.withColumnRenamed(dst, "__mid")
+            right = closure.withColumnRenamed(src, "__mid")
+            grown = left.join(right, on="__mid").select(src, dst)
+            closure = (
+                closure.unionByName(grown).dropDuplicates().localCheckpoint(eager=False)
+            )
+            cur = closure.count()
+            if cur == prev:
+                return closure
+            prev = cur
+    if strict:
+        raise _nonconverged("doubling", max_iterations)
     return closure
 
 
-def _semi_naive(edges: DataFrame, src: str, dst: str, max_iterations: int) -> DataFrame:
-    edges = edges.select(src, dst).dropDuplicates().cache()
-    closure = edges
-    frontier = edges
-    for _ in range(max_iterations):
-        grown = (
-            frontier.withColumnRenamed(dst, "__mid")
-            .join(edges.withColumnRenamed(src, "__mid"), on="__mid")
-            .select(src, dst)
+def _semi_naive(
+    edges: DataFrame, src: str, dst: str, max_iterations: int, strict: bool
+) -> DataFrame:
+    # Same one-job-per-round shape as _doubling, via a round-tag column:
+    # the closure-so-far and the current frontier live in ONE
+    # checkpointed DataFrame (frontier = rows tagged with the latest
+    # round), so each round is a single non-eager checkpoint
+    # materialized by the convergence count. The anti-join against the
+    # accumulated closure keeps rounds |frontier ⋈ E|, and guarantees a
+    # revisited pair never re-enters the frontier (cycle safety).
+    with adaptive_rounds(edges.sparkSession) as resize:
+        tagged = (
+            edges.select(src, dst)
             .dropDuplicates()
+            .withColumn("__round", F.lit(0))
+            .localCheckpoint(eager=False)
         )
-        new = grown.join(closure, on=[src, dst], how="left_anti").localCheckpoint()
-        if new.isEmpty():
-            break
-        closure = closure.unionByName(new).localCheckpoint()
-        frontier = new
-    edges.unpersist()
-    return closure
+        prev = tagged.count()
+        for rnd in range(1, max_iterations + 1):
+            resize(prev * 2)
+            base = tagged.filter(F.col("__round") == 0).drop("__round")
+            frontier = tagged.filter(F.col("__round") == rnd - 1).drop("__round")
+            grown = (
+                frontier.withColumnRenamed(dst, "__mid")
+                .join(base.withColumnRenamed(src, "__mid"), on="__mid")
+                .select(src, dst)
+                .dropDuplicates()
+            )
+            new = grown.join(tagged, on=[src, dst], how="left_anti").withColumn(
+                "__round", F.lit(rnd)
+            )
+            tagged = tagged.unionByName(new).localCheckpoint(eager=False)
+            cur = tagged.count()
+            if cur == prev:
+                return tagged.drop("__round")
+            prev = cur
+    if strict:
+        raise _nonconverged("semi_naive", max_iterations)
+    return tagged.drop("__round")
