@@ -40,7 +40,31 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
-def cooccurrence_pairs(tokens: DataFrame, id_col: str, token_col: str) -> DataFrame:
+def word_ngram_hashes(tok_hashes: Column, n: int = 3) -> Column:
+    """64-bit hash per word n-gram WITHOUT building shingle strings:
+    ``tok_hashes`` is an array<long> of per-token xxhash64 values (hash
+    each token once); each window's hash is xxhash64 over its n token
+    hashes. Equivalent to hashing the concatenated shingle up to 64-bit
+    collisions, but skips the concat_ws string construction and slice
+    copies that dominate shingle CPU — only fixed-width longs are ever
+    built. Same short-text guard as :func:`word_ngrams`: fewer than n
+    tokens → empty array."""
+    idx = F.when(
+        F.size(tok_hashes) >= n, F.sequence(F.lit(0), F.size(tok_hashes) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.xxhash64(*[F.get(tok_hashes, i + j) for j in range(n)])
+    )
+
+
+def token_hashes(text: Column) -> Column:
+    """xxhash64 of each whitespace token — array<long>."""
+    return F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
+
+
+def cooccurrence_pairs(
+    tokens: DataFrame, id_col: str, token_col: str, size_col: str | None = None
+) -> DataFrame:
     """(id, token) rows → (doc_a, doc_b, inter) co-occurrence counts
     WITHOUT a self-join: group the (sorted) id list per token, drop
     single-doc tokens (they can't intersect — and in natural text most
@@ -49,11 +73,32 @@ def cooccurrence_pairs(tokens: DataFrame, id_col: str, token_col: str) -> DataFr
     total (by token, by pair) versus the self-join formulation's three
     plus a join; identical output.
 
+    ``size_col`` names a per-row set-size column to carry THROUGH the
+    pair kernel: the output then has (doc_a, doc_b, na, nb, inter) and
+    similarity ratios (Jaccard, overlap coefficient) are computable
+    without joining doc sizes back onto the pairs — two extra ints per
+    shuffle row instead of two joins and a persisted token relation.
+
     Skew note: a stop-token shared by k docs emits k²/2 pairs either
     way — that blowup is inherent to exact intersection counting, which
     is why these exact kernels verify CANDIDATE sets at scale (MinHash
     bands / LSH buckets generate the candidates)."""
-    ds = F.array_sort(F.collect_list(id_col))
+    if size_col is None:
+        ds = F.array_sort(F.collect_list(id_col))
+        pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
+        group_cols = ["p.doc_a", "p.doc_b"]
+    else:
+        # array_sort on structs orders by fields left-to-right → by id
+        ds = F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(size_col).alias("s")))
+        )
+        pair = lambda x, y: F.struct(  # noqa: E731
+            x["i"].alias("doc_a"),
+            y["i"].alias("doc_b"),
+            x["s"].alias("na"),
+            y["s"].alias("nb"),
+        )
+        group_cols = ["p.doc_a", "p.doc_b", "p.na", "p.nb"]
     return (
         tokens.groupBy(token_col)
         .agg(ds.alias("ds"))
@@ -65,13 +110,13 @@ def cooccurrence_pairs(tokens: DataFrame, id_col: str, token_col: str) -> DataFr
                         F.col("ds"),
                         lambda x, i: F.transform(
                             F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                            lambda y: pair(x, y),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .groupBy("p.doc_a", "p.doc_b")
+        .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("inter"))
     )
 
@@ -82,36 +127,44 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity join: distinct shingles per doc,
     co-occurrence pair counts, |A∩B| / (|A|+|B|-|A∩B|).
 
+    Shingles are xxhash64-hashed BEFORE the explode, so the (expensive,
+    string-building) n-gram construction runs exactly once per row and
+    only fixed-width longs ever shuffle; per-doc set sizes ride through
+    the pair kernel (``size_col``), so there is no sizes join and no
+    lingering persisted relation. Counting hashed shingles equals
+    counting shingles up to 64-bit collisions (~k²/2⁶⁵ per pair —
+    vanishing against the data-parallel error budget).
+
     Scale note: exact pairwise Jaccard is only run on candidate sets
     (or bounded subsets); at 100 TB the candidate generation is
     :func:`minhash_near_dup_pairs` and this is the verify kernel."""
-    # per-doc distinct shingle arrays: array_distinct is row-local, so
-    # deduplication costs no shuffle and |A| falls out as size(shs).
-    # The persist stops the (expensive, string-building) shingle explode
-    # from being re-derived for its two consumers.
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
-    ).persist()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = cooccurrence_pairs(sh, "doc", "shingle")
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    hs = shingle_hashes(F.col(text_col), n)
+    sh = df.select(F.col(id_col).alias("doc"), hs.alias("hs")).select(
+        "doc", F.size("hs").alias("n_sh"), F.explode("hs").alias("shingle")
+    )
+    pairs = cooccurrence_pairs(sh, "doc", "shingle", size_col="n_sh")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        pairs.withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
 
 def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
-    """xxhash64 of each distinct word shingle — array<long>. Hash the
-    (expensive, string-building) shingles exactly once per row; the 64
-    permutation minima then run over cheap fixed-width hashes."""
-    return F.transform(
-        F.array_distinct(word_ngrams(text, shingle_n)), lambda s: F.xxhash64(s)
+    """xxhash64 of each distinct word shingle — array<long>, built
+    WITHOUT shingle strings (:func:`word_ngram_hashes`). The
+    single-element outer transform is a let-binding: it evaluates the
+    per-token hash array exactly once and exposes it as a lambda
+    variable, so the n references per window read a bound array instead
+    of re-deriving transform(split(text)) — higher-order lambda bodies
+    get no common-subexpression elimination."""
+    return F.flatten(
+        F.transform(
+            F.array(token_hashes(text)),
+            lambda th: F.array_distinct(word_ngram_hashes(th, shingle_n)),
+        )
     )
 
 

@@ -682,18 +682,15 @@ def q_token_join(spark, sf_dir):
     from dataworks_spark.llm.dedup import cooccurrence_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    tokens = d.select(
-        F.col("doc_id"), F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    # hash tokens before the explode (only longs shuffle) and ride the
+    # per-doc token-set size through the pair kernel — no sizes join
+    toks = F.array_distinct(F.transform(F.split("text", " "), lambda s: F.xxhash64(s)))
+    tokens = d.select(F.col("doc_id").alias("doc"), toks.alias("tk")).select(
+        "doc", F.size("tk").alias("n_tokens"), F.explode("tk").alias("token")
     )
-    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    overlap = cooccurrence_pairs(tokens, "doc_id", "token").withColumnRenamed(
-        "inter", "overlap"
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("nb"))
+    pairs = cooccurrence_pairs(tokens, "doc", "token", size_col="n_tokens")
     return (
-        overlap.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.withColumnRenamed("inter", "overlap")
         .filter(F.col("overlap") >= 5)
         .select(
             "doc_a",
