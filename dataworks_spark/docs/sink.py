@@ -56,8 +56,14 @@ class DocStoreSink:
         def _apply(s: DocumentStore) -> DocumentStore:
             if epoch_id in self._applied_epochs:  # raced retry
                 return s
+            # record the epoch only AFTER put_log/compact returned (still
+            # inside the swap lock): compact's checkpoint runs eagerly,
+            # and marking first would make a failed apply look applied —
+            # Spark's retry of the same epoch would hit the guard and the
+            # batch's data would be silently dropped (ADVICE r2).
+            new_s = s.put_log(rows, ts_col=self._ts_col).compact()
             self._applied_epochs.add(epoch_id)
-            return s.put_log(rows, ts_col=self._ts_col).compact()
+            return new_s
 
         # set-based bulk append: every row becomes a version at its own
         # event-ts in ONE put_log pass (no per-ts transactions)

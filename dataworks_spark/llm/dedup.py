@@ -330,10 +330,15 @@ def near_dup_clusters(
     own id; each round takes the min over neighbors' labels. Rounds =
     O(component diameter) — near-dup components are shallow (a dup of a
     dup of X is still textually near X), so a handful of rounds
-    converges even at corpus scale; each round is one join + one
-    aggregate on the symmetric edge list. Convergence is detected on
-    sum(label), which is strictly decreasing until fixpoint (labels
-    only ever shrink)."""
+    converges even at corpus scale; each round is ONE Spark job (the
+    non-eager localCheckpoint is materialized by the convergence probe).
+    Convergence is a TYPE-AGNOSTIC signature: bit_xor of xxhash64(label)
+    — ids here are routinely strings ('user/<name>'), for which a plain
+    sum(label) silently nulls out (Spark casts string→double) and would
+    freeze the loop after one round; xor (unlike an ANSI-mode sum)
+    cannot overflow. Labels are monotone non-increasing per node, so a
+    changed labeling cannot xor-compensate back to the same signature
+    except through a 2⁻⁶⁴-scale hash collision."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = (
         edges.unionByName(
@@ -342,10 +347,14 @@ def near_dup_clusters(
         .dropDuplicates()
         .localCheckpoint()
     )
+    sig = F.bit_xor(F.xxhash64(F.col("label").cast("string")))
     labels = (
-        sym.select("src").dropDuplicates().withColumn("label", F.col("src")).localCheckpoint()
+        sym.select("src")
+        .dropDuplicates()
+        .withColumn("label", F.col("src"))
+        .localCheckpoint(eager=False)
     )
-    prev = labels.agg(F.sum("label")).first()[0]
+    prev = labels.agg(sig).first()[0]
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels.withColumnRenamed("src", "dst"), on="dst")
@@ -360,12 +369,17 @@ def near_dup_clusters(
                     "label"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        cur = labels.agg(F.sum("label")).first()[0]
+        cur = labels.agg(sig).first()[0]
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} rounds "
+            "(component diameter exceeds the cap); raise max_iterations"
+        )
     return labels.select(F.col("src").alias("id"), F.col("label").alias("cluster"))
 
 

@@ -73,15 +73,8 @@ def lsh_cosine_topk(
     number of flipped-bit buckets. At scale, write the table
     partitioned by ``lsh_bucket`` so the IN-filter prunes partitions at
     the source."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    margins = planes @ np.asarray(query_vec, dtype=np.float64)
-    qsig = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
-    weakest = np.argsort(np.abs(margins)).tolist()
-    probes = [qsig] + [qsig ^ (1 << b) for b in weakest[: max(n_probe - 1, 0)]]
-    bucketed = df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes))
-    cands = bucketed.filter(F.col("lsh_bucket").isin(probes))
-    return brute_force_cosine_topk(cands.drop("lsh_bucket"), vec_col, query_vec, k, id_cols)
+    idx = LshIndex(df, vec_col, len(query_vec), n_planes, seed, cache=False)
+    return idx.topk(query_vec, k, n_probe, id_cols)
 
 
 def ivf_build_centroids(
@@ -138,13 +131,69 @@ def ivf_cosine_topk(
 ) -> DataFrame:
     """IVF ANN: restrict the exact scan to the query's ``n_probe``
     nearest inverted lists, then brute-force within them."""
-    cents = ivf_build_centroids(df, vec_col, n_centroids, seed=seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    probes = np.argsort(-(cn @ (q / np.linalg.norm(q))))[:n_probe].tolist()
-    assigned = df.withColumn("__ivf", ivf_assign(F.col(vec_col), cents))
-    cands = assigned.filter(F.col("__ivf").isin(probes)).drop("__ivf")
-    return brute_force_cosine_topk(cands, vec_col, query_vec, k, id_cols)
+    idx = IvfIndex(df, vec_col, n_centroids, seed=seed, cache=False)
+    return idx.topk(query_vec, k, n_probe, id_cols)
+
+
+class LshIndex:
+    """Prebuilt random-hyperplane LSH index.
+
+    Separates the OFFLINE step (assign every row its hyperplane bucket —
+    at 100 TB: write the table partitioned by ``lsh_bucket``; here: a
+    cached column) from the per-query probe, which filters ``n_probe``
+    buckets and re-ranks exactly. Queries against an index must not
+    re-pay assignment — that cost belongs to ingest, exactly like the
+    reference's persistent indexes."""
+
+    def __init__(
+        self, df: DataFrame, vec_col: str, dim: int, n_planes: int = 8,
+        seed: int = 42, cache: bool = True,
+    ):
+        self.vec_col = vec_col
+        self.planes = _hyperplanes(dim, n_planes, seed)
+        self.df = df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), self.planes))
+        if cache:
+            self.df = self.df.cache()
+
+    def topk(
+        self, query_vec: list[float], k: int = 10, n_probe: int = 1,
+        id_cols: list[str] | None = None,
+    ) -> DataFrame:
+        margins = self.planes @ np.asarray(query_vec, dtype=np.float64)
+        qsig = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
+        weakest = np.argsort(np.abs(margins)).tolist()
+        probes = [qsig] + [qsig ^ (1 << b) for b in weakest[: max(n_probe - 1, 0)]]
+        cands = self.df.filter(F.col("lsh_bucket").isin(probes))
+        return brute_force_cosine_topk(
+            cands.drop("lsh_bucket"), self.vec_col, query_vec, k, id_cols
+        )
+
+
+class IvfIndex:
+    """Prebuilt IVF index: coarse k-means centroids + per-row inverted-
+    list assignment (cached column; at 100 TB a partition column, so the
+    probe filter prunes at the source). Centroid training collects a
+    bounded sample — O(sample), table-size independent."""
+
+    def __init__(
+        self, df: DataFrame, vec_col: str, n_centroids: int = 16,
+        sample: int = 2048, seed: int = 42, cache: bool = True,
+    ):
+        self.vec_col = vec_col
+        self.centroids = ivf_build_centroids(df, vec_col, n_centroids, sample, seed=seed)
+        self.df = df.withColumn("__ivf", ivf_assign(F.col(vec_col), self.centroids))
+        if cache:
+            self.df = self.df.cache()
+
+    def topk(
+        self, query_vec: list[float], k: int = 10, n_probe: int = 2,
+        id_cols: list[str] | None = None,
+    ) -> DataFrame:
+        q = np.asarray(query_vec, dtype=np.float64)
+        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        probes = np.argsort(-(cn @ (q / np.linalg.norm(q))))[: max(n_probe, 1)].tolist()
+        cands = self.df.filter(F.col("__ivf").isin(probes)).drop("__ivf")
+        return brute_force_cosine_topk(cands, self.vec_col, query_vec, k, id_cols)
 
 
 def cosine_pairs_above(

@@ -30,6 +30,20 @@ def salted_join(
     exactly-once sinks). other side: replicated n_salts times with each
     salt value. Shuffle then distributes each hot key across n_salts
     reducers instead of one."""
+    allowed = (
+        "inner", "left", "leftouter", "left_outer",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    )
+    if how not in allowed:
+        # the right side is REPLICATED once per salt below, so any join
+        # type that null-extends or emits unmatched right rows (right/
+        # full outer) would produce n_salts copies of each unmatched
+        # right row — a silent wrong answer, rejected loudly instead
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the replicated right side would emit n_salts copies of every "
+            "unmatched right-side row under right/full outer semantics"
+        )
     salted_l = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int")
     )

@@ -128,10 +128,6 @@ class UserRegistry:
     ) -> dict | Invalid:
         if not user or not user.replace("-", "").replace("_", "").isalnum():
             return Invalid("invalid-name", {"user": user})
-        if self.get_user(user) is not None:
-            # duplicate registration rejected (auth.clj:93-96 checks the
-            # db for an existing user doc before adding)
-            return Invalid("user-exists", {"user": user})
         doc = {
             "id": f"user/{user}",
             "user_name": user,
@@ -145,7 +141,23 @@ class UserRegistry:
             "id string, user_name string, pass_hash string, email string, "
             "roles string, display_name string",
         )
-        self.ref.swap(lambda s: s.put(row, valid_time=self._now()))
+        # duplicate registration rejected (auth.clj:93-96 checks the db
+        # for an existing user doc before adding). The existence check
+        # runs INSIDE the StoreRef swap so check and insert are atomic
+        # under the store lock — two concurrent registrations for the
+        # same name can't both pass the check and LWW-shadow each other
+        # (ADVICE r2; same discipline as the alert scheduler's CAS).
+        state = {"exists": False}
+
+        def _apply(s):
+            if s.entity(doc["id"]).limit(1).collect():
+                state["exists"] = True
+                return s
+            return s.put(row, valid_time=self._now())
+
+        self.ref.swap(_apply)
+        if state["exists"]:
+            return Invalid("user-exists", {"user": user})
         return doc
 
     # -- lookup (get-user, auth.clj:56-58 — B8 point lookup) ------------

@@ -260,6 +260,22 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     got = {r.id: r.cluster for r in near_dup_clusters(pairs).collect()}
     assert got == union_find(edge_rows)
 
+    # STRING ids with a diameter-4 path: sum(label) is null for strings,
+    # so a numeric convergence signal would freeze after one propagation
+    # round and mislabel everything past the first hop (ADVICE r2). Doc
+    # ids in this engine are routinely strings ('user/<name>').
+    sedges = [
+        ("user/b", "user/c"),
+        ("user/c", "user/d"),
+        ("user/d", "user/e"),
+        ("user/a", "user/b"),
+        ("user/x", "user/y"),
+    ]
+    spdf = spark.createDataFrame(sedges, "doc_a string, doc_b string")
+    sgot = {r.id: r.cluster for r in near_dup_clusters(spdf).collect()}
+    assert sgot == union_find(sedges)
+    assert sgot["user/e"] == "user/a"  # full diameter actually propagated
+
     kept = dedup_keep_canonical(docs, "doc_id", pairs)
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     dropped = {i for i, c in got.items() if i != c}

@@ -89,6 +89,27 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     salted = salted_join(ev, cust, "user_id", n_salts=8).groupBy("c_mktsegment").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
+    # left join: unmatched LEFT rows survive exactly once
+    evx = ev.withColumn("user_id", F.col("user_id") + F.lit(10_000_000))
+    lp = evx.join(cust, on="user_id", how="left").count()
+    ls = salted_join(evx, cust, "user_id", n_salts=8, how="left").count()
+    assert lp == ls == evx.count()
+
+
+def test_salted_join_rejects_right_and_full(spark, sf_dir):
+    """The replicated right side would emit n_salts copies of every
+    unmatched right-side row under right/full outer semantics — the API
+    must refuse rather than silently multiply rows (VERDICT r2)."""
+    import pytest
+
+    ev = load_table(spark, sf_dir, "events").limit(10)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(ev, cust, "user_id", n_salts=4, how=how)
+
 
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key join without an Exchange —
