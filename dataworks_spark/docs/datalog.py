@@ -355,6 +355,21 @@ class DatalogDB:
             rule_env[rule.name] = rel
             return rel
 
+        if self._is_transitive_rule(rule, rec_bodies):
+            # Transitive-rule recognition: R(a,b) :- <base>; R(a,m),
+            # R(m,b) is exactly the transitive closure of the base
+            # relation, so compile to the log-depth path-doubling
+            # operator (1 join/round, ⌈log₂ depth⌉ rounds) instead of
+            # the general semi-naive loop, whose per-round plan
+            # re-construction through the clause compiler costs ~2× per
+            # materialization. Classic Datalog engine optimization —
+            # semantics are identical (proved against the general path
+            # and DuckDB WITH RECURSIVE in tests).
+            closure = transitive_closure(rel, head_vars[0], head_vars[1])
+            rel = closure.select(*head_vars)
+            rule_env[rule.name] = rel
+            return rel
+
         # ONE Spark job per fixpoint round (mirrors ops.recursive): the
         # relation-so-far and the current delta live in a single
         # round-tagged DataFrame, whose non-eager localCheckpoint is
@@ -365,6 +380,32 @@ class DatalogDB:
         # genuinely new tuples, so |rel| is strictly monotone).
         with adaptive_rounds(self.spark) as resize:
             return self._fixpoint(rule, rule_map, rule_env, rec_bodies, rel, resize)
+
+    @staticmethod
+    def _is_transitive_rule(rule: "Rule", rec_bodies: list[list[tuple]]) -> bool:
+        """True iff the only recursive body is the self-transitivity
+        chain ``(R ?a ?m) (R ?m ?b)`` for head ``(?a ?b)`` with a fresh
+        middle variable — the shape whose fixpoint IS transitive
+        closure of the non-recursive base."""
+        if len(rec_bodies) != 1 or len(rule.head) != 2:
+            return False
+        body = rec_bodies[0]
+        if len(body) != 2:
+            return False
+        c1, c2 = body
+        if not (c1[0] == rule.name and c2[0] == rule.name):
+            return False
+        if len(c1) != 3 or len(c2) != 3:
+            return False
+        a, b = rule.head
+        mid = c1[2]
+        return (
+            c1[1] == a
+            and c2[1] == mid
+            and c2[2] == b
+            and _is_var(mid)
+            and mid not in rule.head
+        )
 
     def _fixpoint(self, rule, rule_map, rule_env, rec_bodies, rel, resize) -> DataFrame:
         head_vars = [_vcol(v) for v in rule.head]

@@ -81,18 +81,27 @@ def adaptive_rounds(spark):
     relation gets cluster-scale parallelism) so a 20k-row round
     schedules 1 task per stage instead of the session default's 32+ —
     task scheduling, not join work, dominates small fixpoint rounds.
-    The session value is restored on exit; AQE stays on (skew splitting
-    still applies when a round IS big)."""
+
+    AQE is suspended INSIDE the loop (and restored on exit): adaptive
+    execution exists to fix unknown post-shuffle sizes at runtime, but a
+    fixpoint driver measures every round's cardinality anyway — inside
+    the loop AQE's per-stage re-planning round-trips are pure latency on
+    work whose partitioning was just set from exact counts. This is the
+    measured reason fixpoints previously required AQE (un-coalesced
+    32-task rounds); with driver-sized rounds the dependency inverts."""
     orig = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
 
     def resize(rows: int) -> None:
         n = max(1, math.ceil(rows * _ROW_BYTES / _TARGET_PARTITION_BYTES))
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
 
     try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         yield resize
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
 
 
 def _doubling(
@@ -112,9 +121,11 @@ def _doubling(
         .join(base.withColumnRenamed(src, "__mid"), on="__mid")
         .select(src, dst)
     )
+    # seed materializes at session config (AQE on — its size is unknown);
+    # only the measured rounds run under the loop's explicit sizing
+    closure = seed.dropDuplicates().localCheckpoint(eager=False)
+    prev = closure.count()
     with adaptive_rounds(edges.sparkSession) as resize:
-        closure = seed.dropDuplicates().localCheckpoint(eager=False)
-        prev = closure.count()
         for _ in range(max_iterations):
             resize(prev * 2)  # next round at most doubles the relation
             # R ∪ R∘R: (s, m) ⋈ (m, d) → (s, d)
@@ -143,14 +154,14 @@ def _semi_naive(
     # materialized by the convergence count. The anti-join against the
     # accumulated closure keeps rounds |frontier ⋈ E|, and guarantees a
     # revisited pair never re-enters the frontier (cycle safety).
+    tagged = (
+        edges.select(src, dst)
+        .dropDuplicates()
+        .withColumn("__round", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    prev = tagged.count()
     with adaptive_rounds(edges.sparkSession) as resize:
-        tagged = (
-            edges.select(src, dst)
-            .dropDuplicates()
-            .withColumn("__round", F.lit(0))
-            .localCheckpoint(eager=False)
-        )
-        prev = tagged.count()
         for rnd in range(1, max_iterations + 1):
             resize(prev * 2)
             base = tagged.filter(F.col("__round") == 0).drop("__round")

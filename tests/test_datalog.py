@@ -228,3 +228,41 @@ def test_general_rule_nonlinear_recursion(db, spark):
     )
     out = db.q(find=["?t"], where=[("reach", "?s", "?t")], args={"?s": "a"}, rules=[reach])
     assert sorted(r.t for r in out.collect()) == ["b", "c", "d", "e"]
+
+
+def test_general_rule_linear_recursion_not_tc_shortcut(db, spark):
+    """LINEAR recursive rule — reach(a,b) := edge(a,b) | reach(a,m) ∧
+    edge(m,b). The transitive-rule recognizer must NOT fire (only one
+    self-call), so this pins the general semi-naive fixpoint path."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "fid string, dep string",
+    )
+    db.register("fn3", edges, "fid")
+    reach = Rule(
+        "reach3",
+        head=("?s", "?t"),
+        bodies=[
+            [("?s", "fn3/dep", "?t")],
+            [("reach3", "?s", "?m"), ("?m", "fn3/dep", "?t")],
+        ],
+    )
+    out = db.q(find=["?t"], where=[("reach3", "?s", "?t")], args={"?s": "a"}, rules=[reach])
+    assert sorted(r.t for r in out.collect()) == ["b", "c", "d", "e"]
+
+
+def test_transitive_recognizer_shape_gate():
+    """The recognizer fires ONLY on the exact self-transitivity chain."""
+    from dataworks_spark.docs.datalog import DatalogDB
+
+    tc = [[("r", "?a", "?m"), ("r", "?m", "?b")]]
+    r = Rule("r", head=("?a", "?b"), bodies=[[("?a", "e/d", "?b")], tc[0]])
+    assert DatalogDB._is_transitive_rule(r, tc)
+    # middle var appearing in the head → not plain closure
+    bad = [[("r", "?a", "?b"), ("r", "?b", "?b")]]
+    r2 = Rule("r", head=("?a", "?b"), bodies=[[("?a", "e/d", "?b")], bad[0]])
+    assert not DatalogDB._is_transitive_rule(r2, bad)
+    # linear recursion (one self-call) → general path
+    lin = [[("r", "?a", "?m"), ("?m", "e/d", "?b")]]
+    r3 = Rule("r", head=("?a", "?b"), bodies=[[("?a", "e/d", "?b")], lin[0]])
+    assert not DatalogDB._is_transitive_rule(r3, lin)

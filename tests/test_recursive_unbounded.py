@@ -80,3 +80,22 @@ def test_unbounded_nonlinear_rule_matches_duckdb(spark):
     out = db.q(find=["?a", "?b"], where=[("reach", "?a", "?b")], rules=[reach])
     got = sorted(map(tuple, out.collect()))
     assert got == _duck_pairs()
+
+
+def test_unbounded_linear_rule_general_fixpoint_matches_duckdb(spark):
+    """The GENERAL semi-naive fixpoint (the transitive-rule recognizer
+    must not fire on linear recursion) on the same unbounded edge set:
+    reach(a,b) :- edge(a,b); reach(a,m), edge(m,b)."""
+    db = DatalogDB(spark)
+    db.register("edge", _edges(spark), "src")
+    reach = Rule(
+        "reach",
+        head=("?a", "?b"),
+        bodies=(
+            (("?a", "edge/dst", "?b"),),
+            (("reach", "?a", "?m"), ("?m", "edge/dst", "?b")),
+        ),
+    )
+    out = db.q(find=["?a", "?b"], where=[("reach", "?a", "?b")], rules=[reach])
+    got = sorted(map(tuple, out.collect()))
+    assert got == _duck_pairs()
