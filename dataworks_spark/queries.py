@@ -52,12 +52,21 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
         _QVEC_CACHE[key] = v
     return v
 
-#: fact tables that carry real per-row compute (shingling, hashing,
-#: vector math). The sf fixtures are single parquet files → a single
-#: scan partition → heavy expressions run on ONE core; repartitioning
-#: to the session's parallelism at cache-build time fixes that once.
-#: Dimensions stay single-partition (they broadcast anyway).
+#: fact tables big enough to repartition at cache-build time. The sf
+#: fixtures are single parquet files → a single scan partition → all
+#: per-row work runs on ONE core without this. Dimensions stay
+#: single-partition (they broadcast anyway).
 _WIDE_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+#: of those, tables whose queries are CPU-bound per row (shingling,
+#: n-gram hashing, 64-way MinHash) get FULL parallelism; the rest are
+#: bytes-light at bench scale, where 32 cached partitions means 32
+#: near-empty tasks per scan stage and task scheduling — not work —
+#: dominates (measured 2× on scan/agg steady time). Spark's own sizing
+#: guidance: partitions should hold real bytes; at cluster scale the
+#: same policy yields cluster-wide counts because it's driven by
+#: parallelism, with per-row-cost tables pinned to the full lane count.
+_COMPUTE_HEAVY = {"documents"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,7 +83,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = load_table(spark, sf_dir, name)
         if name in _WIDE_TABLES:
-            df = df.repartition(spark.sparkContext.defaultParallelism)
+            par = spark.sparkContext.defaultParallelism
+            df = df.repartition(par if name in _COMPUTE_HEAVY else max(2, par // 4))
         df = df.cache()
         _TABLE_CACHE[key] = df
     return df
