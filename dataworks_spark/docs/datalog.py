@@ -95,6 +95,10 @@ class Rule:
     edge_attr: str | None = None  # shorthand: "ns/field" destination id
     head: tuple = ()
     bodies: tuple = ()
+    #: optional caller-known bound on recursion depth (longest simple
+    #: path). Closure-shaped rules then skip the final no-growth probe
+    #: round — the bound proves convergence instead of observing it.
+    depth_bound: int | None = None
 
 
 class DatalogDB:
@@ -334,7 +338,7 @@ class DatalogDB:
             ns, field = rule.edge_attr.split("/", 1)
             df, id_col = self.table(ns)
             edges = df.select(F.col(id_col).alias("src"), F.col(field).alias("dst")).dropna()
-            closure = transitive_closure(edges, "src", "dst")
+            closure = transitive_closure(edges, "src", "dst", depth_bound=rule.depth_bound)
             rel = closure.toDF("d1", "d2")  # canonical head column names
             rule_env[rule.name] = rel
             return rel
@@ -365,7 +369,9 @@ class DatalogDB:
             # materialization. Classic Datalog engine optimization —
             # semantics are identical (proved against the general path
             # and DuckDB WITH RECURSIVE in tests).
-            closure = transitive_closure(rel, head_vars[0], head_vars[1])
+            closure = transitive_closure(
+                rel, head_vars[0], head_vars[1], depth_bound=rule.depth_bound
+            )
             rel = closure.select(*head_vars)
             rule_env[rule.name] = rel
             return rel

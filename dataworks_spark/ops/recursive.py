@@ -42,6 +42,7 @@ def transitive_closure(
     max_iterations: int = 50,
     method: str = "doubling",
     strict: bool = True,
+    depth_bound: int | None = None,
 ) -> DataFrame:
     """All (src, dst) pairs connected by ≥1 edge-hops.
 
@@ -49,9 +50,15 @@ def transitive_closure(
     has not converged after ``max_iterations`` rounds — a silently
     partial closure is a wrong answer, not a result. Pass
     ``strict=False`` only when a bounded-depth closure is the intended
-    semantics (e.g. "reachable within k·2^k hops")."""
+    semantics (e.g. "reachable within k·2^k hops").
+
+    ``depth_bound``: caller-known upper bound on the longest simple
+    path (e.g. ⌈log₂ max_key⌉ for a k→k/2 forest). Doubling then stops
+    after ⌈log₂ d⌉ rounds WITHOUT the final no-growth probe round —
+    convergence is proved by the bound instead of observed. The early
+    cur==prev exit still applies if the graph closes sooner."""
     if method == "doubling":
-        return _doubling(edges, src, dst, max_iterations, strict)
+        return _doubling(edges, src, dst, max_iterations, strict, depth_bound)
     return _semi_naive(edges, src, dst, max_iterations, strict)
 
 
@@ -105,7 +112,12 @@ def adaptive_rounds(spark):
 
 
 def _doubling(
-    edges: DataFrame, src: str, dst: str, max_iterations: int, strict: bool
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+    strict: bool,
+    depth_bound: int | None = None,
 ) -> DataFrame:
     # ONE Spark job per round: the non-eager localCheckpoint is
     # materialized BY the convergence count() — checkpoint + emptiness
@@ -125,8 +137,13 @@ def _doubling(
     # only the measured rounds run under the loop's explicit sizing
     closure = seed.dropDuplicates().localCheckpoint(eager=False)
     prev = closure.count()
+    rounds = max_iterations
+    if depth_bound is not None:
+        # seed covers depth ≤2; after r rounds, depth ≤ 2^(r+1) — the
+        # bound proves convergence, no trailing no-growth probe needed
+        rounds = min(rounds, max(0, math.ceil(math.log2(max(depth_bound, 2))) - 1))
     with adaptive_rounds(edges.sparkSession) as resize:
-        for _ in range(max_iterations):
+        for _ in range(rounds):
             resize(prev * 2)  # next round at most doubles the relation
             # R ∪ R∘R: (s, m) ⋈ (m, d) → (s, d)
             left = closure.withColumnRenamed(dst, "__mid")
@@ -139,6 +156,8 @@ def _doubling(
             if cur == prev:
                 return closure
             prev = cur
+    if depth_bound is not None:
+        return closure
     if strict:
         raise _nonconverged("doubling", max_iterations)
     return closure

@@ -651,7 +651,10 @@ def q_recursive_closure(spark, sf_dir):
     edges = p.filter((F.col("p_partkey") >= 2) & (F.col("p_partkey") <= 2000)).select(
         F.col("p_partkey").alias("src"), F.expr("p_partkey DIV 2").alias("dst")
     )
-    closure = ops.transitive_closure(edges, "src", "dst")
+    # the k→k/2 forest's longest path is ⌈log₂ 2000⌉ = 11, known from
+    # the edge construction itself — the bound lets doubling skip the
+    # final no-growth probe round
+    closure = ops.transitive_closure(edges, "src", "dst", depth_bound=11)
     return closure.groupBy("src").agg(
         F.count(F.lit(1)).alias("n_reachable"), F.min("dst").alias("min_dst")
     )
@@ -815,6 +818,7 @@ def q_datalog_rule(spark, sf_dir):
             (("?a", "edge/dst", "?b"),),
             (("reach", "?a", "?m"), ("reach", "?m", "?b")),
         ),
+        depth_bound=11,  # ⌈log₂ 2000⌉, from the DIV-2 edge construction
     )
     out = db.q(
         find=["?a", "?name"],
