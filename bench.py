@@ -28,7 +28,9 @@ def _sf(sf_dir: str) -> float:
         return -1.0
 
 
-def run_spark(warm: bool = True, passes: int = 2) -> tuple[dict[str, float], dict[str, float]]:
+def run_spark(
+    warm: bool = True, passes: int = 2
+) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
     """Run every query ``passes`` times; return (cold, steady) per-query
     seconds. Cold = first execution (includes Catalyst analysis + Java
     codegen compilation, the ~0.2-0.5 s/query floor an embedded engine
@@ -47,20 +49,31 @@ def run_spark(warm: bool = True, passes: int = 2) -> tuple[dict[str, float], dic
         from dataworks_spark.session import TABLES
 
         for t in TABLES:
-            _t(spark, SF_DIR, t).count()
+            try:
+                _t(spark, SF_DIR, t).count()
+            except Exception:  # noqa: BLE001 — a broken fixture surfaces
+                pass  # as per-query error rows below, not a dead bench
+
         # spin up the Arrow Python-UDF worker pool (session-level process
         # state, like the JVM itself) so the one mapInPandas query isn't
         # charged ~2 s of interpreter fork cost
         spark.range(1).mapInPandas(lambda it: it, "id long").count()
+    errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
         for p in range(max(passes, 1)):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()  # materialize the full result
+            try:
+                fn(spark, SF_DIR).count()  # materialize the full result
+            except Exception as exc:  # noqa: BLE001 — one broken query must
+                # never destroy the round's entire perf record (BENCH_r03
+                # was a stack trace); record the error row and keep going.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
             dt = round(time.perf_counter() - t0, 4)
             if p == 0:
                 cold[name] = dt
             steady[name] = dt
-    return cold, steady
+    return cold, steady, errors
 
 
 def run_duckdb() -> dict[str, float]:
@@ -77,7 +90,7 @@ def run_duckdb() -> dict[str, float]:
 
 
 def main() -> None:
-    cold, steady = run_spark()
+    cold, steady, errors = run_spark()
     total = round(sum(cold.values()), 4)
     out = {
         "metric": "total_query_wall_clock",
@@ -88,6 +101,8 @@ def main() -> None:
         "steady_total": round(sum(steady.values()), 4),
         "sf": _sf(SF_DIR),
     }
+    if errors:
+        out["errors"] = errors
     if "--duckdb" in sys.argv:
         out["duckdb"] = run_duckdb()
     print(json.dumps(out))

@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 #: every fixture table (TESTDATA.md); one parquet file per table.
 TABLES = (
@@ -70,14 +70,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prunes columns, so callers should express predicates declaratively
     rather than pre-materializing.
 
-    The events fixture stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and convert to a microsecond
-    TimestampType (same floor-truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP, so oracle comparisons stay exact)."""
+    ``events.ts`` is normalized to session-UTC ``TimestampType`` whatever
+    the physical parquet type, mirroring the reference's consume-time
+    coercion (utils/time.clj:11-86 accepts every wire representation and
+    yields one Instant):
+
+    - ``timestamp[ns]`` → read nanos-as-long, floor to micros (same
+      truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
+      oracle comparisons stay exact);
+    - ``timestamp[us]`` (no tz → Spark TIMESTAMP_NTZ) → cast to
+      TIMESTAMP — exact under the UTC session timezone;
+    - ``timestamp[us, tz=...]`` (Spark TIMESTAMP) → already normalized.
+
+    Without this, downstream epoch math (``unix_millis`` in window
+    frames / sessionization) fails analysis on NTZ inputs. Other tables'
+    date-ish columns (o_orderdate, l_shipdate) deliberately stay NTZ:
+    literal comparisons on them are exact and push down to the parquet
+    scan, and a cast wrapper would block that pushdown."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
