@@ -354,7 +354,10 @@ class DatalogDB:
             base = b if base is None else base.unionByName(b)
         if base is None:
             raise ValueError(f"rule {rule.name} needs at least one non-recursive body")
-        rel = base.dropDuplicates().localCheckpoint()
+        # non-eager: for a transitive rule the closure's seed count
+        # materializes this in the same action; for semi-naive it's the
+        # round-0 tag's count — either way one job instead of two
+        rel = base.dropDuplicates().localCheckpoint(eager=False)
         if not rec_bodies:
             rule_env[rule.name] = rel
             return rel
@@ -370,7 +373,11 @@ class DatalogDB:
             # semantics are identical (proved against the general path
             # and DuckDB WITH RECURSIVE in tests).
             closure = transitive_closure(
-                rel, head_vars[0], head_vars[1], depth_bound=rule.depth_bound
+                rel,
+                head_vars[0],
+                head_vars[1],
+                depth_bound=rule.depth_bound,
+                assume_distinct=True,  # rel is a checkpointed dropDuplicates
             )
             rel = closure.select(*head_vars)
             rule_env[rule.name] = rel

