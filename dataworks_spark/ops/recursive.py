@@ -147,28 +147,34 @@ def _doubling(
             .select(src, dst)
         )
 
-    base = edges.select(src, dst)
-    if not assume_distinct:
-        base = base.dropDuplicates()
-    seed = _square(base)
-    seed_depth = 2
-    if depth_bound is None or depth_bound > 2:
-        seed = _square(seed.dropDuplicates())
-        seed_depth = 4
-    # seed materializes at session config (AQE on — its size is unknown);
-    # only the measured rounds run under the loop's explicit sizing
-    closure = seed.dropDuplicates().localCheckpoint(eager=False)
-    prev = closure.count()
-    rounds = max_iterations
-    if depth_bound is not None:
-        # seed covers depth ≤ seed_depth; after r rounds, depth ≤
-        # seed_depth·2^r — the bound proves convergence, no trailing
-        # no-growth probe needed
-        rounds = min(
-            rounds,
-            max(0, math.ceil(math.log2(max(depth_bound, seed_depth) / seed_depth))),
-        )
     with adaptive_rounds(edges.sparkSession) as resize:
+        # the seed, too, runs under driver-sized shuffles: one cheap
+        # |E| count (edges are a scan/filter — trivial next to the
+        # closure's repeated self-joins) prices the seed's shuffles the
+        # same way every later round is priced from its own count;
+        # unsized, the two seed squarings materialize under the session
+        # config and AQE's re-planning round-trips (measured ~2× on the
+        # whole fixpoint at bench scale)
+        resize(edges.count() * 4)
+        base = edges.select(src, dst)
+        if not assume_distinct:
+            base = base.dropDuplicates()
+        seed = _square(base)
+        seed_depth = 2
+        if depth_bound is None or depth_bound > 2:
+            seed = _square(seed.dropDuplicates())
+            seed_depth = 4
+        closure = seed.dropDuplicates().localCheckpoint(eager=False)
+        prev = closure.count()
+        rounds = max_iterations
+        if depth_bound is not None:
+            # seed covers depth ≤ seed_depth; after r rounds, depth ≤
+            # seed_depth·2^r — the bound proves convergence, no trailing
+            # no-growth probe needed
+            rounds = min(
+                rounds,
+                max(0, math.ceil(math.log2(max(depth_bound, seed_depth) / seed_depth))),
+            )
         for _ in range(rounds):
             resize(prev * 2)  # next round at most doubles the relation
             # R ∪ R∘R: (s, m) ⋈ (m, d) → (s, d)
@@ -204,12 +210,13 @@ def _semi_naive(
     # materialized by the convergence count. The anti-join against the
     # accumulated closure keeps rounds |frontier ⋈ E|, and guarantees a
     # revisited pair never re-enters the frontier (cycle safety).
-    tagged = edges.select(src, dst)
-    if not assume_distinct:
-        tagged = tagged.dropDuplicates()
-    tagged = tagged.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
-    prev = tagged.count()
     with adaptive_rounds(edges.sparkSession) as resize:
+        resize(edges.count())  # price the base dedup like every round
+        tagged = edges.select(src, dst)
+        if not assume_distinct:
+            tagged = tagged.dropDuplicates()
+        tagged = tagged.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
+        prev = tagged.count()
         for rnd in range(1, max_iterations + 1):
             resize(prev * 2)
             base = tagged.filter(F.col("__round") == 0).drop("__round")
