@@ -89,6 +89,19 @@ def run_duckdb() -> dict[str, float]:
     return times
 
 
+def _ratio(steady: dict[str, float], duck: dict[str, float]) -> dict[str, float]:
+    """Same-machine same-run ratio over the oracle query set — machine
+    contention hits both engines in the same window, so this is the
+    fairest single number for 'PySpark vs the DuckDB baseline'."""
+    sp = round(sum(steady.get(q, 0.0) for q in duck), 4)
+    du = round(sum(duck.values()), 4)
+    return {
+        "oracle_spark_steady_total": sp,
+        "oracle_duckdb_total": du,
+        "steady_ratio": round(sp / du, 3) if du else None,
+    }
+
+
 def main() -> None:
     cold, steady, errors = run_spark()
     total = round(sum(cold.values()), 4)
@@ -103,8 +116,15 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    if "--duckdb" in sys.argv:
+    # DuckDB baseline always rides along (same machine, same run, same
+    # contention window — the fairest ratio); guarded so a baseline
+    # failure can never take the Spark numbers down with it.
+    # --duckdb is accepted for back-compat and is now the default.
+    try:
         out["duckdb"] = run_duckdb()
+        out.update(_ratio(steady, out["duckdb"]))
+    except Exception as exc:  # noqa: BLE001
+        out["duckdb_error"] = f"{type(exc).__name__}: {exc}"[:500]
     print(json.dumps(out))
 
 

@@ -101,7 +101,16 @@ def adaptive_rounds(spark):
     the loop AQE's per-stage re-planning round-trips are pure latency on
     work whose partitioning was just set from exact counts. This is the
     measured reason fixpoints previously required AQE (un-coalesced
-    32-task rounds); with driver-sized rounds the dependency inverts."""
+    32-task rounds); with driver-sized rounds the dependency inverts.
+
+    CAVEAT — session-scoped, not query-scoped: these are session-global
+    SQL confs, so a CONCURRENT query planned on the same SparkSession
+    while a fixpoint loop is running would plan under the loop's tiny
+    partition count and without AQE. Single-threaded drivers (this
+    repo's harnesses, typical batch jobs) are unaffected. If you need
+    fixpoints concurrent with other work, give the fixpoint its own
+    ``spark.newSession()`` (separate conf, shared cache/cluster) and
+    build the edge relation there."""
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
 
