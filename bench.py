@@ -1,8 +1,10 @@
 """Benchmark harness (driver contract): run every declared query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line with per-query
-wall-clock seconds. Optionally records the DuckDB baseline side-by-side
-(--duckdb) for BASELINE.md's ratio table.
+wall-clock seconds. The DuckDB baseline ALWAYS runs side-by-side so the
+artifact carries a same-machine same-contention ratio (steady_ratio);
+pass --no-duckdb to skip it for a faster Spark-only iteration loop
+(--duckdb is accepted for back-compat and is the default behavior).
 """
 
 from __future__ import annotations
@@ -89,17 +91,27 @@ def run_duckdb() -> dict[str, float]:
     return times
 
 
-def _ratio(steady: dict[str, float], duck: dict[str, float]) -> dict[str, float]:
+def _ratio(steady: dict[str, float], duck: dict[str, float]) -> dict:
     """Same-machine same-run ratio over the oracle query set — machine
     contention hits both engines in the same window, so this is the
-    fairest single number for 'PySpark vs the DuckDB baseline'."""
-    sp = round(sum(steady.get(q, 0.0) for q in duck), 4)
-    du = round(sum(duck.values()), 4)
-    return {
+    fairest single number for 'PySpark vs the DuckDB baseline'.
+
+    A query that errored on the Spark side has no steady entry; it is
+    excluded from BOTH sums (and named in ratio_excluded) so a broken
+    query can never flatter the ratio by contributing 0 s to Spark
+    while DuckDB's time stays in the denominator."""
+    common = [q for q in duck if q in steady]
+    excluded = sorted(q for q in duck if q not in steady)
+    sp = round(sum(steady[q] for q in common), 4)
+    du = round(sum(duck[q] for q in common), 4)
+    out = {
         "oracle_spark_steady_total": sp,
         "oracle_duckdb_total": du,
         "steady_ratio": round(sp / du, 3) if du else None,
     }
+    if excluded:
+        out["ratio_excluded"] = excluded
+    return out
 
 
 def main() -> None:
@@ -120,11 +132,12 @@ def main() -> None:
     # contention window — the fairest ratio); guarded so a baseline
     # failure can never take the Spark numbers down with it.
     # --duckdb is accepted for back-compat and is now the default.
-    try:
-        out["duckdb"] = run_duckdb()
-        out.update(_ratio(steady, out["duckdb"]))
-    except Exception as exc:  # noqa: BLE001
-        out["duckdb_error"] = f"{type(exc).__name__}: {exc}"[:500]
+    if "--no-duckdb" not in sys.argv:
+        try:
+            out["duckdb"] = run_duckdb()
+            out.update(_ratio(steady, out["duckdb"]))
+        except Exception as exc:  # noqa: BLE001
+            out["duckdb_error"] = f"{type(exc).__name__}: {exc}"[:500]
     print(json.dumps(out))
 
 

@@ -391,8 +391,19 @@ class DatalogDB:
         # checkpoint formulation's three. Convergence = the relation
         # stopped growing (the anti-join guarantees the union only adds
         # genuinely new tuples, so |rel| is strictly monotone).
+        #
+        # Round 0 (the base-relation dedup) materializes OUTSIDE
+        # adaptive_rounds: its size is the output of arbitrary clause
+        # joins — unknown until counted — so it keeps AQE's runtime
+        # sizing; the loop rounds run AQE-off under exact-count sizing
+        # (same split as ops.recursive._doubling's seed vs rounds).
+        head_vars = [_vcol(v) for v in rule.head]
+        tagged = rel.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
+        prev = tagged.count()
         with adaptive_rounds(self.spark) as resize:
-            return self._fixpoint(rule, rule_map, rule_env, rec_bodies, rel, resize)
+            return self._fixpoint(
+                rule, rule_map, rule_env, rec_bodies, head_vars, tagged, prev, resize
+            )
 
     @staticmethod
     def _is_transitive_rule(rule: "Rule", rec_bodies: list[list[tuple]]) -> bool:
@@ -420,11 +431,10 @@ class DatalogDB:
             and mid not in rule.head
         )
 
-    def _fixpoint(self, rule, rule_map, rule_env, rec_bodies, rel, resize) -> DataFrame:
-        head_vars = [_vcol(v) for v in rule.head]
+    def _fixpoint(
+        self, rule, rule_map, rule_env, rec_bodies, head_vars, tagged, prev, resize
+    ) -> DataFrame:
         delta_name = f"{rule.name}@delta"
-        tagged = rel.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
-        prev = tagged.count()
         for rnd in range(1, MAX_FIXPOINT_ROUNDS + 1):
             resize(prev * 2)
             rule_env[rule.name] = tagged.drop("__round")

@@ -156,15 +156,22 @@ def _doubling(
             .select(src, dst)
         )
 
-    with adaptive_rounds(edges.sparkSession) as resize:
-        # the seed, too, runs under driver-sized shuffles: one cheap
-        # |E| count (edges are a scan/filter — trivial next to the
-        # closure's repeated self-joins) prices the seed's shuffles the
-        # same way every later round is priced from its own count;
-        # unsized, the two seed squarings materialize under the session
-        # config and AQE's re-planning round-trips (measured ~2× on the
-        # whole fixpoint at bench scale)
-        resize(edges.count() * 4)
+    spark = edges.sparkSession
+    # the seed's shuffles START from an |E|-informed partition count
+    # (one cheap count — edges are a scan/filter, trivial next to the
+    # closure's self-joins) instead of the session default, but AQE
+    # stays ON for the seed: |E∘E| is NOT bounded by any multiple of
+    # |E| (a hub vertex squares quadratically), so the unknown-size
+    # seed keeps Spark's runtime defense (coalescing down, skew-split
+    # up). Only the loop rounds below run AQE-off — there the driver
+    # holds an exact materialized count each round.
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    n_e = edges.count()
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, math.ceil(n_e * 4 * _ROW_BYTES / _TARGET_PARTITION_BYTES))),
+        )
         base = edges.select(src, dst)
         if not assume_distinct:
             base = base.dropDuplicates()
@@ -175,29 +182,29 @@ def _doubling(
             seed_depth = 4
         closure = seed.dropDuplicates().localCheckpoint(eager=False)
         prev = closure.count()
-        rounds = max_iterations
-        if depth_bound is not None:
-            # seed covers depth ≤ seed_depth; after r rounds, depth ≤
-            # seed_depth·2^r — the bound proves convergence, no trailing
-            # no-growth probe needed
-            rounds = min(
-                rounds,
-                max(0, math.ceil(math.log2(max(depth_bound, seed_depth) / seed_depth))),
-            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+    rounds = max_iterations
+    bound_proven = False
+    if depth_bound is not None:
+        # seed covers depth ≤ seed_depth; after r rounds, depth ≤
+        # seed_depth·2^r — the bound proves convergence, no trailing
+        # no-growth probe needed. The proof only holds if the loop
+        # actually runs that many rounds: when max_iterations clamps
+        # below the bound-derived count, convergence is NOT proven and
+        # strict mode must still raise.
+        need = max(0, math.ceil(math.log2(max(depth_bound, seed_depth) / seed_depth)))
+        bound_proven = need <= max_iterations
+        rounds = min(rounds, need)
+    with adaptive_rounds(spark) as resize:
         for _ in range(rounds):
             resize(prev * 2)  # next round at most doubles the relation
-            # R ∪ R∘R: (s, m) ⋈ (m, d) → (s, d)
-            left = closure.withColumnRenamed(dst, "__mid")
-            right = closure.withColumnRenamed(src, "__mid")
-            grown = left.join(right, on="__mid").select(src, dst)
-            closure = (
-                closure.unionByName(grown).dropDuplicates().localCheckpoint(eager=False)
-            )
+            closure = _square(closure).dropDuplicates().localCheckpoint(eager=False)
             cur = closure.count()
             if cur == prev:
                 return closure
             prev = cur
-    if depth_bound is not None:
+    if bound_proven:
         return closure
     if strict:
         raise _nonconverged("doubling", max_iterations)

@@ -1,11 +1,19 @@
 """Analysis smoke for every declared query (VERDICT r3 §Next-round 4).
 
 Building the DataFrame and touching ``.schema`` forces full Catalyst
-analysis (column resolution, type checking, UDF signatures) without
-executing a single job — seconds for the whole suite. A plan-level
-breakage in ANY query at ANY scale factor (exactly what the r3 fixture
-drift caused: AnalysisException on ``unix_millis(TIMESTAMP_NTZ)``) is
-caught here by plain pytest instead of surfacing mid-bench.
+analysis (column resolution, type checking, UDF signatures) for every
+query at every scale factor, so a plan-level breakage anywhere
+(exactly what the r3 fixture drift caused: AnalysisException on
+``unix_millis(TIMESTAMP_NTZ)``) is caught by plain pytest instead of
+surfacing mid-bench.
+
+Honest contract note: most queries are fully lazy here (no jobs), but
+a handful execute bounded construction-time work by design — the
+fixpoint queries run their driver loop at build time (the result
+relation IS materialized state), and the ANN queries build/cache their
+index and query vector. Whole-module wall-clock is ~1 min; a runtime
+failure in those construction jobs also fails this test, which is
+acceptable — it is still the earliest, cheapest signal.
 """
 
 from __future__ import annotations
@@ -18,6 +26,12 @@ import pytest
 from dataworks_spark.queries import QUERIES
 
 SF_DIRS = [d for d in sorted(glob.glob("/root/testdata/sf*")) if os.path.isdir(d)]
+
+
+def test_sf_dirs_exist():
+    """Guard against vacuous passes if the fixture root moves (see
+    test_fixture_schemas.test_sf_dirs_exist)."""
+    assert SF_DIRS, "no /root/testdata/sf* dirs found — fixture root moved or empty"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -30,6 +30,14 @@ from dataworks_spark.session import TABLES, load_table, table_path
 
 SF_DIRS = [d for d in sorted(glob.glob("/root/testdata/sf*")) if os.path.isdir(d)]
 
+
+def test_sf_dirs_exist():
+    """Unparametrized guard: if the driver moves/renames the fixture
+    root, the parametrized tests below would be generated over an empty
+    list and pass vacuously — exactly the silent drift this module
+    exists to catch. This test cannot be skipped by an empty glob."""
+    assert SF_DIRS, "no /root/testdata/sf* dirs found — fixture root moved or empty"
+
 #: physical parquet types load_table can normalize for events.ts
 #: (keep in sync with dataworks_spark/session.py::load_table)
 SUPPORTED_TS_TYPES = {
@@ -51,7 +59,6 @@ def _timestamp_columns(arrow_schema):
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
 def test_timestamp_physical_types_supported(sf_dir):
-    assert SF_DIRS, "no /root/testdata/sf* dirs found"
     problems = []
     for table in TABLES:
         path = table_path(sf_dir, table)
@@ -72,6 +79,7 @@ def test_timestamp_physical_types_supported(sf_dir):
 def test_loader_normalizes_events_ts(spark):
     from pyspark.sql.types import TimestampType
 
+    assert SF_DIRS, "no /root/testdata/sf* dirs found"
     for sf_dir in SF_DIRS:
         ts_type = load_table(spark, sf_dir, "events").schema["ts"].dataType
         assert isinstance(ts_type, TimestampType), (

@@ -49,3 +49,32 @@ def test_closure_matches_bruteforce(spark, method, edges):
         for r in transitive_closure(df, "src", "dst", method=method).collect()
     }
     assert got == _brute_closure(edges), f"method={method} edges={edges}"
+
+
+def test_depth_bound_clamped_by_max_iterations_still_strict(spark):
+    """depth_bound proves convergence only if the loop actually runs the
+    bound-derived number of rounds; when max_iterations clamps below it,
+    strict mode must raise instead of returning a partial closure."""
+    # chain 0->1->...->40: depth 40 needs ceil(log2(40/4)) = 4 rounds
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        transitive_closure(df, "src", "dst", depth_bound=40, max_iterations=1)
+    # unclamped, the same bound closes the chain without a probe round
+    got = {
+        (r.src, r.dst)
+        for r in transitive_closure(df, "src", "dst", depth_bound=40).collect()
+    }
+    assert got == _brute_closure(edges)
+
+
+def test_depth_bound_loose_is_still_exact(spark):
+    """A depth_bound far above the true depth must not change results
+    (extra rounds are no-growth; early cur==prev exit fires)."""
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r.src, r.dst)
+        for r in transitive_closure(df, "src", "dst", depth_bound=1000).collect()
+    }
+    assert got == _brute_closure(edges)
