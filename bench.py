@@ -116,15 +116,16 @@ def _ratio(steady: dict[str, float], duck: dict[str, float]) -> dict:
 
 def main() -> None:
     cold, steady, errors = run_spark()
-    total = round(sum(cold.values()), 4)
+    # Key order is deliberate: the large per-query dicts come FIRST and
+    # every headline scalar comes LAST, so a recorder that keeps only
+    # the tail of this (long) line still captures value / steady_total /
+    # steady_ratio intact (the round-2 driver artifact stored exactly
+    # such a tail).
     out = {
         "metric": "total_query_wall_clock",
-        "value": total,
         "unit": "sec",
         "queries": cold,
         "steady_queries": steady,
-        "steady_total": round(sum(steady.values()), 4),
-        "sf": _sf(SF_DIR),
     }
     if errors:
         out["errors"] = errors
@@ -132,12 +133,17 @@ def main() -> None:
     # contention window — the fairest ratio); guarded so a baseline
     # failure can never take the Spark numbers down with it.
     # --duckdb is accepted for back-compat and is now the default.
+    ratio: dict = {}
     if "--no-duckdb" not in sys.argv:
         try:
             out["duckdb"] = run_duckdb()
-            out.update(_ratio(steady, out["duckdb"]))
+            ratio = _ratio(steady, out["duckdb"])
         except Exception as exc:  # noqa: BLE001
             out["duckdb_error"] = f"{type(exc).__name__}: {exc}"[:500]
+    out["sf"] = _sf(SF_DIR)
+    out["value"] = round(sum(cold.values()), 4)
+    out["steady_total"] = round(sum(steady.values()), 4)
+    out.update(ratio)
     print(json.dumps(out))
 
 
