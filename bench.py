@@ -58,8 +58,13 @@ def run_spark(
 
         # spin up the Arrow Python-UDF worker pool (session-level process
         # state, like the JVM itself) so the one mapInPandas query isn't
-        # charged ~2 s of interpreter fork cost
-        spark.range(1).mapInPandas(lambda it: it, "id long").count()
+        # charged ~2 s of interpreter fork cost; guarded like the table
+        # preload — a broken Arrow/pandas stack surfaces as that one
+        # query's error row, not a dead bench
+        try:
+            spark.range(1).mapInPandas(lambda it: it, "id long").count()
+        except Exception:  # noqa: BLE001
+            pass
     errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
         for p in range(max(passes, 1)):
@@ -69,7 +74,14 @@ def run_spark(
             except Exception as exc:  # noqa: BLE001 — one broken query must
                 # never destroy the round's entire perf record (BENCH_r03
                 # was a stack trace); record the error row and keep going.
+                # An error on a LATER pass also invalidates the steady
+                # number (it would silently be the cold time), so the
+                # query is dropped from steady — _ratio then excludes it
+                # from both sides and names it in ratio_excluded. The
+                # cold entry, if pass 0 succeeded, stays: it is a real
+                # measurement.
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                steady.pop(name, None)
                 break
             dt = round(time.perf_counter() - t0, 4)
             if p == 0:

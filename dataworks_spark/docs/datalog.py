@@ -397,7 +397,6 @@ class DatalogDB:
         # joins — unknown until counted — so it keeps AQE's runtime
         # sizing; the loop rounds run AQE-off under exact-count sizing
         # (same split as ops.recursive._doubling's seed vs rounds).
-        head_vars = [_vcol(v) for v in rule.head]
         tagged = rel.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
         prev = tagged.count()
         with adaptive_rounds(self.spark) as resize:

@@ -157,21 +157,22 @@ def _doubling(
         )
 
     spark = edges.sparkSession
-    # the seed's shuffles START from an |E|-informed partition count
-    # (one cheap count — edges are a scan/filter, trivial next to the
-    # closure's self-joins) instead of the session default, but AQE
-    # stays ON for the seed: |E∘E| is NOT bounded by any multiple of
-    # |E| (a hub vertex squares quadratically), so the unknown-size
-    # seed keeps Spark's runtime defense (coalescing down, skew-split
-    # up). Only the loop rounds below run AQE-off — there the driver
-    # holds an exact materialized count each round.
-    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    n_e = edges.count()
+    # The seed materializes under AQE with aggressive byte-based
+    # coalescing: |E∘E| is NOT bounded by any multiple of |E| (a hub
+    # vertex squares quadratically), so no driver-side estimate can
+    # safely CAP the seed's partitions — a hard cap is a floor AQE
+    # cannot raise, and a dense graph would funnel a quadratic dedup
+    # through one task. Instead the shuffle starts at the session
+    # partition count (the pre-existing safe behavior) and
+    # ``parallelismFirst=false`` lets AQE coalesce post-shuffle
+    # partitions down to the 64 MB advisory size from RUNTIME stats —
+    # a tiny seed lands on 1-2 tasks per stage (the measured win)
+    # while a blown-up seed keeps its parallelism. Only the loop
+    # rounds below run AQE-off — there the driver holds an exact
+    # materialized count each round.
+    orig_pf = spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(1, math.ceil(n_e * 4 * _ROW_BYTES / _TARGET_PARTITION_BYTES))),
-        )
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         base = edges.select(src, dst)
         if not assume_distinct:
             base = base.dropDuplicates()
@@ -183,7 +184,7 @@ def _doubling(
         closure = seed.dropDuplicates().localCheckpoint(eager=False)
         prev = closure.count()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", orig_pf)
     rounds = max_iterations
     bound_proven = False
     if depth_bound is not None:
@@ -226,13 +227,16 @@ def _semi_naive(
     # materialized by the convergence count. The anti-join against the
     # accumulated closure keeps rounds |frontier ⋈ E|, and guarantees a
     # revisited pair never re-enters the frontier (cycle safety).
+    # round 0 (base dedup) materializes under session AQE: its size is
+    # unknown until counted, and an extra sizing count would re-execute
+    # the whole upstream edges plan; the loop rounds run under
+    # exact-count sizing (same split as _doubling's seed vs rounds)
+    tagged = edges.select(src, dst)
+    if not assume_distinct:
+        tagged = tagged.dropDuplicates()
+    tagged = tagged.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
+    prev = tagged.count()
     with adaptive_rounds(edges.sparkSession) as resize:
-        resize(edges.count())  # price the base dedup like every round
-        tagged = edges.select(src, dst)
-        if not assume_distinct:
-            tagged = tagged.dropDuplicates()
-        tagged = tagged.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
-        prev = tagged.count()
         for rnd in range(1, max_iterations + 1):
             resize(prev * 2)
             base = tagged.filter(F.col("__round") == 0).drop("__round")

@@ -37,11 +37,12 @@ def main() -> None:
     shuffled.count()
 
     rows = []
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     for aqe in ("true", "false"):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         rows.append((f"cached_1row_count aqe={aqe}", med(one.count)))
         rows.append((f"one_shuffle_count aqe={aqe}", med(shuffled.count)))
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
 
     try:
         import duckdb
