@@ -83,8 +83,21 @@ def ivf_build_centroids(
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means on a driver-side sample (numpy,
     seeded — deterministic). At 100 TB the sample is still thousands of
-    rows; training cost is O(sample), independent of table size."""
-    rows = df.select(vec_col).limit(sample).collect()
+    rows; training cost is O(sample), independent of table size.
+
+    The sample is the ``sample`` hash-smallest rows, NOT ``limit``:
+    a bare limit takes rows in partition order, so the trained
+    centroids would silently change whenever the table's partitioning
+    does (repartition, different cpu count, file split). Hash-ordered
+    top-k is deterministic under ANY partitioning and compiles to
+    TakeOrderedAndProject — only ``sample`` rows per partition move,
+    never a full sort."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)).asc(), F.col(vec_col).asc())
+        .limit(sample)
+        .collect()
+    )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
