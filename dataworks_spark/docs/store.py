@@ -346,14 +346,73 @@ class DocumentStore:
         is rewritten to parquet partitioned by (namespace,
         date(valid_from)) — the 100 TB layout — and the returned store
         reads from the rewritten files (lineage truncated to a scan).
-        With Delta/Iceberg jars this same job becomes an incremental
-        MERGE instead of a snapshot rewrite; without them (this image)
-        the rewrite itself is the honest executable form. Without a
-        path, falls back to an in-process localCheckpoint."""
+        For the append/streaming workload prefer
+        :meth:`compact_incremental`, which rewrites only the partitions
+        the delta touched (IO proportional to the batch, not the
+        corpus). With Delta/Iceberg jars both become row-level MERGE
+        with snapshot isolation; without them (this image) these are
+        the honest executable forms. Without a path, falls back to an
+        in-process localCheckpoint."""
         if path is None:
             return DocumentStore(self.versions.localCheckpoint(), self._now)
         spark = spark or self.versions.sparkSession
         self.save(path)
+        return DocumentStore.load(spark, path, self._now)
+
+    def compact_incremental(
+        self, path: str, since: _dt.datetime, spark=None
+    ) -> "DocumentStore":
+        """Partition-scoped incremental compaction: rewrite ONLY the
+        (namespace, valid_date) partitions containing rows written or
+        retired at-or-after ``since`` (the previous compaction's
+        timestamp), leaving every other partition's files untouched.
+
+        Exactness: every mutation in this store stamps the transaction
+        clock — new/corrected rows carry ``tx_from = now``, retirements
+        set ``tx_to = now`` — so "changed since the last compaction" is
+        a precise predicate, not a heuristic, and the full current
+        content of a changed partition is available in this store's
+        version log. The write uses Spark's dynamic partition overwrite
+        (``partitionOverwriteMode=dynamic``): ``mode("overwrite")``
+        replaces only the partitions present in the written frame.
+
+        This is the incremental form of :meth:`compact` for the
+        append/streaming workload (§3.2 `put_log`): at 100 TB a nightly
+        batch touches a bounded set of (namespace, date) partitions and
+        pays IO proportional to the delta, not the corpus. With
+        Delta/Iceberg jars the same job becomes a row-level MERGE with
+        snapshot isolation; dynamic overwrite is the honest pure-parquet
+        equivalent at partition granularity (readers see partition-level
+        atomicity only).
+        """
+        spark = spark or self.versions.sparkSession
+        sincel = F.lit(since).cast("timestamp")
+        never = F.lit(NEVER).cast("timestamp")
+        with_parts = self.versions.withColumn(
+            "namespace", F.element_at(F.split("id", "/"), 1)
+        ).withColumn("valid_date", F.to_date("valid_from"))
+        changed_parts = (
+            with_parts.filter(
+                (F.col("tx_from") >= sincel)
+                | ((F.col("tx_to") != never) & (F.col("tx_to") >= sincel))
+            )
+            .select("namespace", "valid_date")
+            .dropDuplicates()
+        )
+        # full current content of every changed partition (broadcast
+        # semi-join: the changed-partition list is bounded by the delta,
+        # never by the corpus)
+        to_write = with_parts.join(
+            F.broadcast(changed_parts), on=["namespace", "valid_date"], how="left_semi"
+        )
+        orig = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            to_write.write.mode("overwrite").partitionBy(
+                "namespace", "valid_date"
+            ).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", orig)
         return DocumentStore.load(spark, path, self._now)
 
     # -- persistence (A5 document-store sink) ---------------------------

@@ -144,3 +144,67 @@ def test_version_log_never_sentinel(spark):
     s, _ = _store(spark, [("x", "v")], T0)
     row = s.versions.collect()[0]
     assert row.valid_to == NEVER and row.tx_to == NEVER
+
+
+def test_compact_incremental_rewrites_only_touched_partitions(spark, tmp_path):
+    """compact_incremental must (a) produce a durable store identical to
+    a full rewrite and (b) leave untouched partitions' files byte-for-
+    byte alone (dynamic partition overwrite, delta-proportional IO)."""
+    import glob as _glob
+    import os as _os
+
+    path = str(tmp_path / "store")
+    # seed: two namespaces, two valid dates
+    rows = [("app/1", "a0"), ("app/2", "b0"), ("user/9", "u0")]
+    s, clock = _store(spark, rows, T0)
+    clock["now"] = T1
+    batch1 = spark.createDataFrame(
+        [("app/1", "a1", T1), ("user/9", "u1", T1)], "id string, body string, ts timestamp"
+    )
+    s = s.put_log(batch1)
+    s.save(path)
+    snap = {
+        f: (_os.path.getmtime(f), _os.path.getsize(f))
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+    assert snap, "no parquet files written"
+
+    # new batch touches ONLY app/2 (new version at T2 retires its T0 row)
+    clock["now"] = T2
+    batch2 = spark.createDataFrame(
+        [("app/2", "b1", T2)], "id string, body string, ts timestamp"
+    )
+    s = s.put_log(batch2)
+    s2 = s.compact_incremental(path, since=T2)
+
+    # (a) durable content == in-memory content
+    cols = ["id", "body", "valid_from", "valid_to", "tx_from", "tx_to"]
+    durable = sorted(tuple(r) for r in s2.versions.select(cols).collect())
+    memory = sorted(tuple(r) for r in s.versions.select(cols).collect())
+    assert durable == memory
+
+    # (b) only partitions of app/2's rows were rewritten: app/2 has
+    # valid dates T0 (retired row) and T2 (new row), namespace 'app'.
+    # user/* partitions and app dates not belonging to app/2's rows
+    # must be untouched.
+    changed_prefixes = (
+        f"{path}/namespace=app/valid_date={T0:%Y-%m-%d}",
+        f"{path}/namespace=app/valid_date={T2:%Y-%m-%d}",
+    )
+    for f, meta in snap.items():
+        if f.startswith(changed_prefixes):
+            continue
+        assert _os.path.exists(f), f"untouched partition file deleted: {f}"
+        assert (_os.path.getmtime(f), _os.path.getsize(f)) == meta, (
+            f"untouched partition file rewritten: {f}"
+        )
+    # and the changed partitions WERE rewritten (old files replaced)
+    assert any(
+        not _os.path.exists(f) or _os.path.getmtime(f) != snap[f][0]
+        for f in snap
+        if f.startswith(changed_prefixes)
+    ), "no changed partition was rewritten"
+
+    # the compacted store serves reads correctly
+    assert s2.entity("app/2").select("body").collect()[0][0] == "b1"
+    assert s2.as_of(T1).filter(F.col("id") == "app/2").select("body").collect()[0][0] == "b0"
