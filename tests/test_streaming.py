@@ -368,3 +368,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.stop()
     out = spark.sql("SELECT k FROM dedup_out").collect()
     assert sorted(r.k for r in out) == ["a", "b"]  # the redelivery was dropped
+
+
+def test_docstore_sink_durable_incremental(spark, tmp_path):
+    """Durable sink mode: each durable point incrementally compacts to
+    partitioned parquet; the durable store matches the in-memory one
+    and untouched partitions are not rewritten between batches."""
+    import datetime as dt
+    import glob
+    import os
+
+    from dataworks_spark.docs.sink import DocStoreSink
+    from dataworks_spark.docs.store import DocumentStore
+
+    path = str(tmp_path / "durable")
+    empty = spark.createDataFrame(
+        [],
+        "id string, value double, valid_from timestamp, valid_to timestamp, "
+        "tx_from timestamp, tx_to timestamp, deleted boolean",
+    )
+    sink = DocStoreSink(
+        DocumentStore(empty), id_col="k", ts_col="ts", durable_path=path
+    )
+    b1 = spark.createDataFrame(
+        [("app/a", 1.0, dt.datetime(2024, 1, 1)), ("user/u", 5.0, dt.datetime(2024, 2, 1))],
+        "k string, value double, ts timestamp",
+    )
+    sink.foreach_batch(b1, epoch_id=1)
+    snap = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+    assert snap, "durable compaction wrote nothing"
+
+    # second batch touches only app/a (new valid date)
+    b2 = spark.createDataFrame(
+        [("app/a", 2.0, dt.datetime(2024, 3, 1))], "k string, value double, ts timestamp"
+    )
+    sink.foreach_batch(b2, epoch_id=2)
+
+    # user/* partition untouched
+    for f, mtime in snap.items():
+        if "/namespace=user/" in f:
+            assert os.path.exists(f) and os.path.getmtime(f) == mtime
+
+    durable = DocumentStore.load(spark, path)
+    assert {r.value for r in durable.latest().collect()} == {2.0, 5.0}
+    cols = ["id", "value", "valid_from", "valid_to", "tx_from", "tx_to"]
+    assert sorted(map(tuple, durable.versions.select(cols).collect())) == sorted(
+        map(tuple, sink.store.versions.select(cols).collect())
+    )
