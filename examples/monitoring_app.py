@@ -89,11 +89,16 @@ def main(workdir: str | None = None, spark=None) -> dict:
                 },
             )
 
-        # 2. ingest spool → bitemporal user db (id = app/<name>)
+        # 2. ingest spool → bitemporal user db (id = app/<name>),
+        # durably: every epoch incrementally compacts to partitioned
+        # parquet (only delta-touched partitions rewritten)
         stream = collector.stream(spark, "demo-app", "app string, event string, ts string")
         typed = stream.withColumn("ts", F.col("ts").cast("timestamp"))
         sink = DocStoreSink(
-            engine.user_db_ref, id_col=F.concat(F.lit("app/"), F.col("app")), ts_col="ts"
+            engine.user_db_ref,
+            id_col=F.concat(F.lit("app/"), F.col("app")),
+            ts_col="ts",
+            durable_path=os.path.join(workdir, "user_db"),
         )
         q = sink.attach(typed, checkpoint=os.path.join(workdir, "ck"))
         q.processAllAvailable()
