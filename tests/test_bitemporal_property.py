@@ -129,3 +129,55 @@ def _spark_holder(spark):
 @pytest.fixture
 def spark_global(_spark_holder):
     return _spark_holder
+
+
+# -- incremental compaction ≡ full rewrite under random append workloads ----
+
+batches_st = st.lists(
+    st.lists(
+        st.tuples(st.sampled_from(["app/x", "app/y", "user/z"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=batches_st)
+@settings(max_examples=4, **_SETTINGS)
+def test_compact_incremental_equals_full_rewrite(spark, tmp_path_factory, batches):
+    """After any sequence of put_log batches with per-batch incremental
+    compaction, the durable partitioned store must hold exactly the
+    rows a full rewrite would — the watermark predicate may re-cover
+    rows (idempotent) but can never lose or duplicate any."""
+    base = tmp_path_factory.mktemp("inc_store")
+    inc_path, full_path = str(base / "inc"), str(base / "full")
+    clock = {"now": BASE}
+    store = None
+    since = dt.datetime.min
+    for i, batch in enumerate(batches):
+        clock["now"] = BASE + dt.timedelta(days=i)
+        rows = [
+            (doc_id, float(v), BASE + dt.timedelta(days=i, minutes=j))
+            for j, (doc_id, v) in enumerate(batch)
+        ]
+        df = spark.createDataFrame(rows, "id string, value double, ts timestamp")
+        log = version_log(df, "id", "ts")
+        if store is None:
+            store = DocumentStore(log, now_fn=lambda: clock["now"])
+        else:
+            store = store.put_log(df)
+        boundary = clock["now"]
+        store = store.compact_incremental(inc_path, since=since)
+        store._now = lambda: clock["now"]  # load() reset the clock fn
+        since = boundary
+    store.save(full_path)
+    cols = ["id", "value", "valid_from", "valid_to", "tx_from", "tx_to"]
+    inc_rows = sorted(
+        map(tuple, DocumentStore.load(spark, inc_path).versions.select(cols).collect())
+    )
+    full_rows = sorted(
+        map(tuple, DocumentStore.load(spark, full_path).versions.select(cols).collect())
+    )
+    assert inc_rows == full_rows
