@@ -66,6 +66,23 @@ def version_log(
     return out.drop(ts_col)  # superseded by valid_from/tx_from
 
 
+def _check_payload_types(store_df: DataFrame, new_df: DataFrame) -> None:
+    """Schemaless widening guard: attributes shared by the store and an
+    incoming batch must agree on type — silently unioning an int batch
+    column into a string store column would corrupt both."""
+    store_t, new_t = dict(store_df.dtypes), dict(new_df.dtypes)
+    conflicts = {
+        c: (store_t[c], new_t[c])
+        for c in store_t.keys() & new_t.keys()
+        if store_t[c] != new_t[c]
+    }
+    if conflicts:
+        raise ValueError(
+            "batch column types conflict with the store schema: "
+            + ", ".join(f"{c}: store={a} batch={b}" for c, (a, b) in sorted(conflicts.items()))
+        )
+
+
 def _visible(vt: Column, tt: Column | None = None) -> Column:
     cond = (F.col("valid_from") <= vt) & (vt < F.col("valid_to"))
     if tt is not None:
@@ -287,7 +304,14 @@ class DocumentStore:
             .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
             .withColumn("deleted", F.lit(tombstone))
         )
-        merged = retired.unionByName(corrected).unionByName(new.select(retired.columns))
+        # schemaless docs (reference semantics, SURVEY §1.2): a batch may
+        # carry new attributes (widen the store; old rows read NULL) or
+        # omit known ones (NULL in the new rows) — same-name attributes
+        # must keep their type
+        _check_payload_types(self.versions, new)
+        merged = retired.unionByName(corrected).unionByName(
+            new, allowMissingColumns=True
+        )
         return DocumentStore(merged, self._now)
 
     def put_log(self, df: DataFrame, ts_col: str = "ts") -> "DocumentStore":
@@ -307,17 +331,12 @@ class DocumentStore:
         new = version_log(df, "id", ts_col).withColumn(
             "tx_from", nowl
         )
-        if set(new.columns) != set(self.versions.columns):
-            if self.versions.isEmpty():
-                # schema-on-first-write: an empty store adopts the first
-                # batch's payload shape (the reference is schemaless —
-                # docs define their own attributes, SURVEY §1.2)
-                return DocumentStore(new, self._now)
-            raise ValueError(
-                f"batch payload columns {sorted(set(new.columns))} do not match "
-                f"store schema {sorted(set(self.versions.columns))}; align the "
-                "batch or start from an empty store"
-            )
+        if set(new.columns) != set(self.versions.columns) and self.versions.isEmpty():
+            # schema-on-first-write: an empty store adopts the first
+            # batch's payload shape (the reference is schemaless —
+            # docs define their own attributes, SURVEY §1.2); a
+            # non-empty store widens at the union below instead
+            return DocumentStore(new, self._now)
         firsts = df.groupBy("id").agg(F.min(ts_col).alias("__first_ts"))
         marked = self.versions.join(firsts, on="id", how="left")
         open_cur = (
@@ -335,7 +354,14 @@ class DocumentStore:
             .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
             .drop("__first_ts")
         )
-        merged = retired.unionByName(corrected).unionByName(new.select(retired.columns))
+        # schemaless docs (reference semantics, SURVEY §1.2): a batch may
+        # carry new attributes (widen the store; old rows read NULL) or
+        # omit known ones (NULL in the new rows) — same-name attributes
+        # must keep their type
+        _check_payload_types(self.versions, new)
+        merged = retired.unionByName(corrected).unionByName(
+            new, allowMissingColumns=True
+        )
         return DocumentStore(merged, self._now)
 
     def compact(self, path: str | None = None, spark=None) -> "DocumentStore":
@@ -434,12 +460,16 @@ class DocumentStore:
         """Read-only serving view over a partitioned save: keeps the
         (namespace, valid_date) partition columns so
         :func:`as_of_snapshot` and namespace filters prune at the
-        source."""
-        return spark.read.parquet(path)
+        source. ``mergeSchema`` because schemaless widening plus
+        incremental compaction legitimately leaves older (narrower)
+        parquet files in untouched partitions — a single-footer schema
+        would silently drop the widened columns."""
+        return spark.read.option("mergeSchema", "true").parquet(path)
 
     @classmethod
     def load(cls, spark, path: str, now_fn=None) -> "DocumentStore":
         """Reopen as a mutable store: partition columns are dropped —
-        they are derived storage layout, not document payload."""
-        df = spark.read.parquet(path)
+        they are derived storage layout, not document payload.
+        ``mergeSchema`` for the same reason as :meth:`open_partitioned`."""
+        df = spark.read.option("mergeSchema", "true").parquet(path)
         return cls(df.drop("valid_date", "namespace"), now_fn)

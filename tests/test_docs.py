@@ -208,3 +208,56 @@ def test_compact_incremental_rewrites_only_touched_partitions(spark, tmp_path):
     # the compacted store serves reads correctly
     assert s2.entity("app/2").select("body").collect()[0][0] == "b1"
     assert s2.as_of(T1).filter(F.col("id") == "app/2").select("body").collect()[0][0] == "b0"
+
+
+def test_schemaless_widening_put_log(spark):
+    """Reference docs are schemaless (SURVEY §1.2): a later batch may
+    carry new attributes (store widens, old rows read NULL) or omit
+    known ones (NULL in new rows)."""
+    s, clock = _store(spark, [("app/1", "a0")], T0)
+    clock["now"] = T1
+    batch = spark.createDataFrame(
+        [("app/1", "a1", 7, T1)], "id string, body string, score int, ts timestamp"
+    )
+    s2 = s.put_log(batch)
+    latest = {r.id: (r.body, r.score) for r in s2.latest().collect()}
+    assert latest["app/1"] == ("a1", 7)
+    # the T0 version still exists and reads NULL for the new attribute
+    old = s2.as_of(T0).collect()[0]
+    assert old.body == "a0" and old.score is None
+    # a narrower later batch: omitted attribute is NULL in the new row
+    clock["now"] = T2
+    narrow = spark.createDataFrame([("app/1", T2)], "id string, ts timestamp")
+    s3 = s2.put_log(narrow)
+    top = s3.latest().collect()[0]
+    assert top.body is None and top.score is None
+
+
+def test_schemaless_widening_put_and_type_conflict(spark):
+    s, clock = _store(spark, [("app/1", "a0")], T0)
+    clock["now"] = T1
+    wide = spark.createDataFrame([("app/1", "a1", 3.5)], "id string, body string, w double")
+    s2 = s.put(wide)
+    assert s2.latest().collect()[0].w == 3.5
+    assert s2.as_of(T0).collect()[0].w is None
+    clock["now"] = T2
+    clash = spark.createDataFrame([("app/1", 9)], "id string, body int")
+    with pytest.raises(ValueError, match="types conflict"):
+        s2.put(clash)
+
+
+def test_widening_survives_incremental_compaction(spark, tmp_path):
+    """Untouched partitions keep old (narrower) parquet files after a
+    widened batch's incremental compaction; mergeSchema must surface
+    the widened column as NULL for them."""
+    path = str(tmp_path / "wstore")
+    s, clock = _store(spark, [("app/1", "a0"), ("user/9", "u0")], T0)
+    s.save(path)
+    clock["now"] = T1
+    batch = spark.createDataFrame(
+        [("app/1", "a1", 7, T1)], "id string, body string, score int, ts timestamp"
+    )
+    s2 = s.put_log(batch).compact_incremental(path, since=T1)
+    rows = {r.id: r for r in s2.latest().collect()}
+    assert rows["app/1"].score == 7
+    assert rows["user/9"].score is None and rows["user/9"].body == "u0"
