@@ -44,9 +44,25 @@ class DocStoreSink:
         only the partitions the accumulated delta touched are rewritten
         (:meth:`DocumentStore.compact_incremental`), and the in-memory
         state re-roots on the durable files (lineage truncated to a
-        scan). Between durable points, batches checkpoint in-process as
-        before. This is the §3.2 ingest loop's durability story at
-        100 TB: per-epoch IO proportional to the delta."""
+        scan). Between durable points, batches checkpoint in-process.
+        This is the §3.2 ingest loop's durability story at 100 TB:
+        per-epoch IO proportional to the delta.
+
+        RESTART RECOVERY: if ``durable_path`` already holds data, the
+        durable dataset is the source of truth — it is loaded into the
+        shared ref at construction, replacing whatever in-memory store
+        was passed, and the compaction watermark resumes from the
+        durable rows' max transaction stamp. Without this, a fresh
+        process would compute "changed partitions" from its (empty)
+        in-memory state and dynamic-overwrite durable partitions with
+        delta-only content — silent data loss.
+
+        DURABILITY TRADE: ``compact_every > 1`` amortizes write cost
+        but widens the loss window — Spark commits a foreachBatch epoch
+        to the streaming checkpoint when the callback returns, so up to
+        ``compact_every - 1`` acknowledged batches live only in process
+        memory until the next durable point and die with the process.
+        Keep the default of 1 for every-epoch durability."""
         self.ref = store if isinstance(store, StoreRef) else StoreRef(store)
         self._id_col = id_col
         self._ts_col = ts_col
@@ -56,6 +72,33 @@ class DocStoreSink:
         self._compact_every = max(int(compact_every), 1)
         self._pending = 0
         self._durable_since = _dt.datetime.min
+        if durable_path is not None:
+            self._recover(durable_path)
+
+    def _recover(self, path: str) -> None:
+        spark = self.ref.store.versions.sparkSession
+        try:
+            durable = DocumentStore.load(spark, path)
+        except Exception:  # noqa: BLE001 — no durable data yet: bootstrap run
+            return
+        from dataworks_spark.functions.timeops import NEVER
+
+        never = F.lit(NEVER).cast("timestamp")
+        hi = durable.versions.agg(
+            F.greatest(
+                F.max("tx_from"),
+                F.coalesce(
+                    F.max(F.when(F.col("tx_to") != never, F.col("tx_to"))),
+                    F.max("tx_from"),
+                ),
+            )
+        ).first()[0]
+        if hi is not None:
+            # >= semantics re-cover rows stamped exactly at the watermark:
+            # an idempotent partition rewrite, never data loss
+            self._durable_since = hi
+        now_fn = self.ref.store._now
+        self.ref.swap(lambda _s: DocumentStore(durable.versions, now_fn))
 
     @property
     def store(self) -> DocumentStore:

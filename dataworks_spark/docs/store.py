@@ -66,21 +66,31 @@ def version_log(
     return out.drop(ts_col)  # superseded by valid_from/tx_from
 
 
-def _check_payload_types(store_df: DataFrame, new_df: DataFrame) -> None:
-    """Schemaless widening guard: attributes shared by the store and an
-    incoming batch must agree on type — silently unioning an int batch
-    column into a string store column would corrupt both."""
+def _payload_type_conflicts(store_df: DataFrame, new_df: DataFrame) -> dict:
+    """Attributes shared by the store and an incoming batch that
+    disagree on type — silently unioning an int batch column into a
+    string store column would corrupt both."""
     store_t, new_t = dict(store_df.dtypes), dict(new_df.dtypes)
-    conflicts = {
+    return {
         c: (store_t[c], new_t[c])
         for c in store_t.keys() & new_t.keys()
         if store_t[c] != new_t[c]
     }
+
+
+def _widen_union(store_df: DataFrame, retired: DataFrame, corrected: DataFrame, new: DataFrame) -> DataFrame:
+    """Schemaless merge of a write's three row sets (reference docs
+    define their own attributes, SURVEY §1.2): a batch may carry new
+    attributes (widen the store; old rows read NULL) or omit known
+    ones (NULL in the new rows); same-name attributes must keep their
+    type (explicit error, never a silent cross-type union)."""
+    conflicts = _payload_type_conflicts(store_df, new)
     if conflicts:
         raise ValueError(
             "batch column types conflict with the store schema: "
             + ", ".join(f"{c}: store={a} batch={b}" for c, (a, b) in sorted(conflicts.items()))
         )
+    return retired.unionByName(corrected).unionByName(new, allowMissingColumns=True)
 
 
 def _visible(vt: Column, tt: Column | None = None) -> Column:
@@ -304,14 +314,12 @@ class DocumentStore:
             .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
             .withColumn("deleted", F.lit(tombstone))
         )
-        # schemaless docs (reference semantics, SURVEY §1.2): a batch may
-        # carry new attributes (widen the store; old rows read NULL) or
-        # omit known ones (NULL in the new rows) — same-name attributes
-        # must keep their type
-        _check_payload_types(self.versions, new)
-        merged = retired.unionByName(corrected).unionByName(
-            new, allowMissingColumns=True
-        )
+        if _payload_type_conflicts(self.versions, new) and self.versions.isEmpty():
+            # schema-on-first-write also covers a same-named, differently-
+            # typed column against a rowless store: nothing to corrupt,
+            # the batch defines the schema
+            return DocumentStore(new, self._now)
+        merged = _widen_union(self.versions, retired, corrected, new)
         return DocumentStore(merged, self._now)
 
     def put_log(self, df: DataFrame, ts_col: str = "ts") -> "DocumentStore":
@@ -354,14 +362,12 @@ class DocumentStore:
             .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
             .drop("__first_ts")
         )
-        # schemaless docs (reference semantics, SURVEY §1.2): a batch may
-        # carry new attributes (widen the store; old rows read NULL) or
-        # omit known ones (NULL in the new rows) — same-name attributes
-        # must keep their type
-        _check_payload_types(self.versions, new)
-        merged = retired.unionByName(corrected).unionByName(
-            new, allowMissingColumns=True
-        )
+        if _payload_type_conflicts(self.versions, new) and self.versions.isEmpty():
+            # schema-on-first-write also covers a same-named, differently-
+            # typed column against a rowless store: nothing to corrupt,
+            # the batch defines the schema
+            return DocumentStore(new, self._now)
+        merged = _widen_union(self.versions, retired, corrected, new)
         return DocumentStore(merged, self._now)
 
     def compact(self, path: str | None = None, spark=None) -> "DocumentStore":
@@ -439,7 +445,15 @@ class DocumentStore:
             ).parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", orig)
-        return DocumentStore.load(spark, path, self._now)
+        # re-root on the durable files with the EXPLICIT merged schema the
+        # writer already holds — not mergeSchema, whose footer sweep over
+        # every file in the dataset would make per-epoch read cost grow
+        # with corpus size instead of the delta (mergeSchema remains the
+        # cold-open path in load()/open_partitioned(), where no in-memory
+        # schema exists). Older, narrower files in untouched partitions
+        # surface the widened columns as NULL under the explicit schema.
+        reread = spark.read.schema(to_write.schema).parquet(path)
+        return DocumentStore(reread.drop("valid_date", "namespace"), self._now)
 
     # -- persistence (A5 document-store sink) ---------------------------
     def save(self, path: str, partitioned: bool = True) -> None:

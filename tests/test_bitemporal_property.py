@@ -149,12 +149,17 @@ batches_st = st.lists(
 def test_compact_incremental_equals_full_rewrite(spark, tmp_path_factory, batches):
     """After any sequence of put_log batches with per-batch incremental
     compaction, the durable partitioned store must hold exactly the
-    rows a full rewrite would — the watermark predicate may re-cover
-    rows (idempotent) but can never lose or duplicate any."""
+    rows an INDEPENDENT store (same batches, no incremental compaction,
+    one full save at the end) holds — the watermark predicate may
+    re-cover rows (idempotent) but can never lose, duplicate, or leave
+    stale rows in partially-rewritten partitions. The shadow store is
+    the oracle; comparing the incremental store to a re-save of itself
+    would be a tautology."""
     base = tmp_path_factory.mktemp("inc_store")
     inc_path, full_path = str(base / "inc"), str(base / "full")
     clock = {"now": BASE}
-    store = None
+    inc_store = None
+    shadow = None  # same batches, never incrementally compacted
     since = dt.datetime.min
     for i, batch in enumerate(batches):
         clock["now"] = BASE + dt.timedelta(days=i)
@@ -163,16 +168,17 @@ def test_compact_incremental_equals_full_rewrite(spark, tmp_path_factory, batche
             for j, (doc_id, v) in enumerate(batch)
         ]
         df = spark.createDataFrame(rows, "id string, value double, ts timestamp")
-        log = version_log(df, "id", "ts")
-        if store is None:
-            store = DocumentStore(log, now_fn=lambda: clock["now"])
+        if inc_store is None:
+            log = version_log(df, "id", "ts")
+            inc_store = DocumentStore(log, now_fn=lambda: clock["now"])
+            shadow = DocumentStore(log, now_fn=lambda: clock["now"])
         else:
-            store = store.put_log(df)
+            inc_store = inc_store.put_log(df)
+            shadow = shadow.put_log(df)
         boundary = clock["now"]
-        store = store.compact_incremental(inc_path, since=since)
-        store._now = lambda: clock["now"]  # load() reset the clock fn
+        inc_store = inc_store.compact_incremental(inc_path, since=since)
         since = boundary
-    store.save(full_path)
+    shadow.save(full_path)
     cols = ["id", "value", "valid_from", "valid_to", "tx_from", "tx_to"]
     inc_rows = sorted(
         map(tuple, DocumentStore.load(spark, inc_path).versions.select(cols).collect())

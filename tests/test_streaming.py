@@ -418,3 +418,47 @@ def test_docstore_sink_durable_incremental(spark, tmp_path):
     assert sorted(map(tuple, durable.versions.select(cols).collect())) == sorted(
         map(tuple, sink.store.versions.select(cols).collect())
     )
+
+
+def test_docstore_sink_restart_recovers_durable_state(spark, tmp_path):
+    """A fresh sink pointed at an existing durable_path must treat the
+    durable dataset as the source of truth: without recovery, its
+    first compaction would dynamic-overwrite partitions with delta-only
+    content and silently destroy previously durable versions."""
+    import datetime as dt
+
+    from dataworks_spark.docs.sink import DocStoreSink
+    from dataworks_spark.docs.store import DocumentStore
+
+    path = str(tmp_path / "durable")
+    empty_schema = (
+        "id string, value double, valid_from timestamp, valid_to timestamp, "
+        "tx_from timestamp, tx_to timestamp, deleted boolean"
+    )
+    sink1 = DocStoreSink(
+        DocumentStore(spark.createDataFrame([], empty_schema)),
+        id_col="k",
+        ts_col="ts",
+        durable_path=path,
+    )
+    b1 = spark.createDataFrame(
+        [("app/a", 1.0, dt.datetime(2024, 1, 1))], "k string, value double, ts timestamp"
+    )
+    sink1.foreach_batch(b1, epoch_id=1)
+
+    # process restart: new sink, fresh empty in-memory store, same path
+    sink2 = DocStoreSink(
+        DocumentStore(spark.createDataFrame([], empty_schema)),
+        id_col="k",
+        ts_col="ts",
+        durable_path=path,
+    )
+    # recovery must have loaded the durable rows into the ref
+    assert sink2.store.versions.count() == 1
+    b2 = spark.createDataFrame(
+        [("app/b", 2.0, dt.datetime(2024, 1, 1))], "k string, value double, ts timestamp"
+    )
+    sink2.foreach_batch(b2, epoch_id=1)  # epoch ids restart with the query
+
+    durable = DocumentStore.load(spark, path)
+    assert {r.value for r in durable.latest().collect()} == {1.0, 2.0}
