@@ -25,6 +25,7 @@ from dataworks_spark.llm.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
+from dataworks_spark.llm.pipeline import CorpusConfig, prepare_corpus
 from dataworks_spark.llm.text import (
     document_fingerprint,
     language_scores,
@@ -51,4 +52,6 @@ __all__ = [
     "language_scores",
     "quality_features",
     "document_fingerprint",
+    "CorpusConfig",
+    "prepare_corpus",
 ]

@@ -335,3 +335,53 @@ def test_repetition_features(spark):
     }
     assert rows[1].dl > 0.5 and rows[1].dg > 0.5
     assert rows[2].dl == 0.0 and rows[2].dg == 0.0
+
+
+def test_prepare_corpus_end_to_end(spark, docs):
+    """L1-L6 composed: the full corpus-preparation flow removes exact
+    and near dups, filters junk, keeps real text, and appends the
+    accounting columns a shard-writer needs."""
+    import datetime  # noqa: F401 — parity with module style
+
+    from dataworks_spark.llm.pipeline import CorpusConfig, prepare_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base),                                    # exact dup of 1
+        (3, base + " tonight"),                       # near dup of 1
+        (4, "short"),                                 # under min_tokens
+        (5, "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((("),  # punct junk
+        (6, "we are here because the water is wide and the night is long " * 2),
+        (7, "spam spam spam spam spam spam spam spam spam spam spam spam"),  # repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(df, config=CorpusConfig(near_dup_threshold=0.4))
+    kept = {r.doc_id: r for r in out.collect()}
+    assert 1 in kept, "canonical survivor must stay"
+    assert 2 not in kept, "exact dup must be removed"
+    assert 3 not in kept, "near dup must be removed"
+    assert 4 not in kept, "too-short doc must be filtered"
+    assert 5 not in kept, "punctuation junk must be filtered"
+    assert 7 not in kept, "repetitive doc must be filtered"
+    assert 6 in kept, "real text must survive"
+    row = kept[6]
+    assert row.lang == "en" and row.n_tokens > 10 and row.fingerprint
+    assert 0.0 <= row.quality_score <= 1.0
+
+    # determinism under layout (the rows-only anchor, as everywhere)
+    out2 = prepare_corpus(df.repartition(5), config=CorpusConfig(near_dup_threshold=0.4))
+    assert sorted(r.doc_id for r in out2.collect()) == sorted(kept)
+
+
+def test_prepare_corpus_on_fixture(spark, docs):
+    """Runs on the documents fixture: output is a strict subset with
+    the accounting schema, and dedup actually removes something (the
+    fixture ships intentional dups)."""
+    from dataworks_spark.llm.pipeline import prepare_corpus
+
+    out = prepare_corpus(docs)
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out < n_in
+    for c in ("lang", "n_tokens", "n_bpe_tokens", "quality_score", "fingerprint"):
+        assert c in out.columns
