@@ -25,7 +25,12 @@ from dataworks_spark.llm.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
-from dataworks_spark.llm.pipeline import CorpusConfig, prepare_corpus
+from dataworks_spark.llm.pipeline import (
+    CorpusConfig,
+    hash_split,
+    prepare_corpus,
+    stratified_sample_by_hash,
+)
 from dataworks_spark.llm.text import (
     document_fingerprint,
     language_scores,
@@ -54,4 +59,6 @@ __all__ = [
     "document_fingerprint",
     "CorpusConfig",
     "prepare_corpus",
+    "hash_split",
+    "stratified_sample_by_hash",
 ]

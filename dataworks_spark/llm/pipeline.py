@@ -117,3 +117,73 @@ def prepare_corpus(
     if config.languages:
         kept = kept.filter(F.col("lang").isin(*config.languages))
     return kept.drop("punct_ratio", "dup_ngram_ratio")
+
+
+#: denominator for hash-bucket arithmetic — fine enough that a split
+#: weight of 0.1% is still exact to ~1e-6
+_HASH_BUCKETS = 1_000_000
+
+
+def _hash_bucket(col, seed: int):
+    """Uniform bucket in [0, _HASH_BUCKETS) from a value hash —
+    deterministic in the VALUE (never partition order, row order, or an
+    RNG stream), so assignments survive recomputation, repartitioning,
+    and incremental corpus rebuilds. pmod keeps negatives positive."""
+    return F.pmod(F.xxhash64(F.lit(seed), col), F.lit(_HASH_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of (seed, id) — the property randomSplit does NOT
+    have (its RNG is per-partition, so a repartition or a rerun deals
+    different rows to different splits). A document keeps its split
+    forever, across corpus versions, as long as its id is stable —
+    which is what prevents silent train/test contamination when the
+    corpus is regenerated. One projection, no shuffle, no state."""
+    total = sum(weights.values())
+    if not weights or any(w < 0 for w in weights.values()) or total <= 0:
+        raise ValueError(f"weights must be positive and non-empty: {weights}")
+    bucket = _hash_bucket(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cut = int(acc * _HASH_BUCKETS)
+        branch = F.when(bucket < F.lit(cut), F.lit(name))
+        expr = branch if expr is None else expr.when(bucket < F.lit(cut), F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ~``fractions[stratum]``
+    of each stratum, selected by id-hash threshold — unlike
+    ``DataFrame.sampleBy`` the selection is reproducible and
+    layout-independent, and a row once sampled stays sampled under any
+    rerun (stable dataset cards / eval subsets). Pure filter: pushes
+    into the scan, no shuffle."""
+    bad = {k: v for k, v in {**fractions, "__default": default_fraction}.items()
+           if not (0.0 <= float(v) <= 1.0)}
+    if bad:
+        raise ValueError(f"fractions must be in [0, 1]: {bad}")
+    bucket = _hash_bucket(F.col(id_col), seed)
+    cut = F.lit(int(default_fraction * _HASH_BUCKETS))
+    for stratum, frac in fractions.items():
+        cut = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(int(float(frac) * _HASH_BUCKETS))
+        ).otherwise(cut)
+    return df.filter(bucket < cut)

@@ -385,3 +385,44 @@ def test_prepare_corpus_on_fixture(spark, docs):
     assert 0 < n_out < n_in
     for c in ("lang", "n_tokens", "n_bpe_tokens", "quality_score", "fingerprint"):
         assert c in out.columns
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from dataworks_spark.llm.pipeline import hash_split
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.02
+    # layout-independence + stability: identical assignment under
+    # repartition and rerun (the anti-randomSplit property)
+    again = hash_split(df.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in again.collect()}
+    assert a == b
+    # a different seed deals a different (but still deterministic) hand
+    other = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    assert {r.doc_id: r.split for r in other.collect()} != a
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {})
+
+
+def test_stratified_sample_by_hash(spark):
+    from dataworks_spark.llm.pipeline import stratified_sample_by_hash
+
+    df = spark.range(30000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de").otherwise("es").alias("lang"),
+    )
+    out = stratified_sample_by_hash(df, "lang", "doc_id", {"en": 0.5, "de": 0.1})
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(counts["en"] / 10000 - 0.5) < 0.03
+    assert abs(counts["de"] / 10000 - 0.1) < 0.03
+    assert "es" not in counts  # default fraction 0
+    # deterministic under layout: same kept set
+    again = stratified_sample_by_hash(df.repartition(11), "lang", "doc_id", {"en": 0.5, "de": 0.1})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
