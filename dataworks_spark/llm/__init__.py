@@ -29,6 +29,7 @@ from dataworks_spark.llm.pipeline import (
     CorpusConfig,
     hash_split,
     prepare_corpus,
+    select_token_budget,
     stratified_sample_by_hash,
 )
 from dataworks_spark.llm.text import (
@@ -61,4 +62,5 @@ __all__ = [
     "prepare_corpus",
     "hash_split",
     "stratified_sample_by_hash",
+    "select_token_budget",
 ]

@@ -162,6 +162,48 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Keep the highest-``quality_col`` documents whose combined
+    ``tokens_col`` stays within ``budget_tokens`` — the final selection
+    step of a pretraining mix.
+
+    Scale shape: a global quality sort with a cumulative-sum window
+    would serialize the corpus through one partition; instead quality
+    is histogrammed into ``buckets`` fixed bins (one map-side-combined
+    aggregation; the collect is ``buckets`` rows, corpus-size
+    independent), the driver picks the lowest bin whose suffix token
+    sum fits the budget, and the result is a plain pushed-down filter.
+    Granularity: the kept set lands within one bin's token mass of the
+    budget — raise ``buckets`` for tighter tolerance. Deterministic:
+    bin edges are fixed in [0, 1], no sampling."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    q = F.col(quality_col)
+    bin_col = F.least(
+        F.greatest(F.floor(q * buckets).cast("int"), F.lit(0)), F.lit(buckets - 1)
+    )
+    hist = (
+        df.groupBy(bin_col.alias("__bin"))
+        .agg(F.sum(tokens_col).alias("__toks"))
+        .collect()
+    )
+    toks_by_bin = {r["__bin"]: r["__toks"] for r in hist}
+    acc = 0
+    cutoff_bin = buckets  # empty result if even the top bin overflows
+    for b in sorted(toks_by_bin, reverse=True):
+        if acc + toks_by_bin[b] > budget_tokens:
+            break
+        acc += toks_by_bin[b]
+        cutoff_bin = b
+    return df.filter(bin_col >= F.lit(cutoff_bin))
+
+
 def stratified_sample_by_hash(
     df: DataFrame,
     strata_col: str,

@@ -426,3 +426,30 @@ def test_stratified_sample_by_hash(spark):
     # deterministic under layout: same kept set
     again = stratified_sample_by_hash(df.repartition(11), "lang", "doc_id", {"en": 0.5, "de": 0.1})
     assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_select_token_budget(spark):
+    """Budget selection keeps the highest-quality bins whose total
+    tokens fit; the kept set is within one bin's mass of the budget and
+    never exceeds it."""
+    from dataworks_spark.llm.pipeline import select_token_budget
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") / 1000.0).alias("quality_score"),  # quality == rank
+        F.lit(100).alias("n_tokens"),
+    )
+    out = select_token_budget(df, budget_tokens=10_000)  # fits 100 docs
+    rows = out.collect()
+    total = sum(r.n_tokens for r in rows)
+    assert total <= 10_000
+    assert total >= 10_000 - 100 * (1000 // 1000 + 1)  # within one bin
+    # the kept docs are exactly the top-quality ones
+    assert min(r.quality_score for r in rows) >= 0.89
+    # determinism under layout
+    again = select_token_budget(df.repartition(7), budget_tokens=10_000)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(r.doc_id for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        select_token_budget(df, budget_tokens=0)
