@@ -124,12 +124,25 @@ def prepare_corpus(
 _HASH_BUCKETS = 1_000_000
 
 
-def _hash_bucket(col, seed: int):
+def _hash_bucket(col, seed: int, salt: str):
     """Uniform bucket in [0, _HASH_BUCKETS) from a value hash —
     deterministic in the VALUE (never partition order, row order, or an
     RNG stream), so assignments survive recomputation, repartitioning,
-    and incremental corpus rebuilds. pmod keeps negatives positive."""
-    return F.pmod(F.xxhash64(F.lit(seed), col), F.lit(_HASH_BUCKETS))
+    and incremental corpus rebuilds. pmod keeps negatives positive.
+
+    ``salt`` decorrelates the hash streams of different consumers:
+    without it, hash_split and stratified_sample_by_hash at the same
+    seed would read the SAME bucket per id — sampling a non-first
+    split would then silently return 0 rows (perfect correlation).
+
+    NULL ids would all collapse into one bucket (xxhash64 skips null
+    children), silently skewing every proportion — rejected at
+    execution time instead."""
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.lit(seed), col), F.lit(_HASH_BUCKETS))
+    guard = F.assert_true(
+        col.isNotNull(), F.lit(f"{salt}: null id — hash assignment undefined")
+    )
+    return F.when(guard.isNull(), bucket)
 
 
 def hash_split(
@@ -145,19 +158,33 @@ def hash_split(
     different rows to different splits). A document keeps its split
     forever, across corpus versions, as long as its id is stable —
     which is what prevents silent train/test contamination when the
-    corpus is regenerated. One projection, no shuffle, no state."""
+    corpus is regenerated. One projection, no shuffle, no state.
+
+    Band order is canonicalized (sorted split names), so the assignment
+    depends only on (seed, id, weight VALUES) — never on dict insertion
+    order, which would otherwise re-deal documents between splits when
+    the same weights arrive ordered differently from a config file."""
+    import math
+
+    if not weights or any(
+        not math.isfinite(w) or w < 0 for w in weights.values()
+    ):
+        raise ValueError(f"weights must be finite and non-negative: {weights}")
     total = sum(weights.values())
-    if not weights or any(w < 0 for w in weights.values()) or total <= 0:
-        raise ValueError(f"weights must be positive and non-empty: {weights}")
-    bucket = _hash_bucket(F.col(id_col), seed)
+    if total <= 0:
+        raise ValueError(f"weights must sum to a positive total: {weights}")
+    bucket = _hash_bucket(F.col(id_col), seed, "hash_split")
     expr = None
     acc = 0.0
-    names = list(weights)
+    names = sorted(weights)
     for name in names[:-1]:
         acc += weights[name] / total
         cut = int(acc * _HASH_BUCKETS)
-        branch = F.when(bucket < F.lit(cut), F.lit(name))
-        expr = branch if expr is None else expr.when(bucket < F.lit(cut), F.lit(name))
+        expr = (
+            F.when(bucket < F.lit(cut), F.lit(name))
+            if expr is None
+            else expr.when(bucket < F.lit(cut), F.lit(name))
+        )
     expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, expr)
 
@@ -181,10 +208,21 @@ def select_token_budget(
     sum fits the budget, and the result is a plain pushed-down filter.
     Granularity: the kept set lands within one bin's token mass of the
     budget — raise ``buckets`` for tighter tolerance. Deterministic:
-    bin edges are fixed in [0, 1], no sampling."""
+    bin edges are fixed in [0, 1] (scores outside that range are an
+    error — a 0-100 scale would silently clamp the whole corpus into
+    one bin and make selection all-or-nothing). Rows with NULL quality
+    or NULL token counts are excluded from both the histogram and the
+    result."""
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
     q = F.col(quality_col)
+    df = df.filter(q.isNotNull() & F.col(tokens_col).isNotNull())
+    rng = df.agg(F.min(q).alias("lo"), F.max(q).alias("hi")).first()
+    if rng["lo"] is not None and (rng["lo"] < 0.0 or rng["hi"] > 1.0):
+        raise ValueError(
+            f"{quality_col} must lie in [0, 1] (observed "
+            f"[{rng['lo']}, {rng['hi']}]); normalize the score first"
+        )
     bin_col = F.least(
         F.greatest(F.floor(q * buckets).cast("int"), F.lit(0)), F.lit(buckets - 1)
     )
@@ -218,11 +256,12 @@ def stratified_sample_by_hash(
     layout-independent, and a row once sampled stays sampled under any
     rerun (stable dataset cards / eval subsets). Pure filter: pushes
     into the scan, no shuffle."""
-    bad = {k: v for k, v in {**fractions, "__default": default_fraction}.items()
-           if not (0.0 <= float(v) <= 1.0)}
+    bad = {k: v for k, v in fractions.items() if not (0.0 <= float(v) <= 1.0)}
     if bad:
         raise ValueError(f"fractions must be in [0, 1]: {bad}")
-    bucket = _hash_bucket(F.col(id_col), seed)
+    if not (0.0 <= float(default_fraction) <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1]: {default_fraction}")
+    bucket = _hash_bucket(F.col(id_col), seed, "stratified_sample")
     cut = F.lit(int(default_fraction * _HASH_BUCKETS))
     for stratum, frac in fractions.items():
         cut = F.when(

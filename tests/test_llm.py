@@ -453,3 +453,43 @@ def test_select_token_budget(spark):
 
     with _pytest.raises(ValueError):
         select_token_budget(df, budget_tokens=0)
+
+
+def test_sampling_guards_and_decorrelation(spark):
+    """Review-pass regressions: composed split+sample must not be
+    hash-correlated; weight order must not matter; null ids, NaN
+    weights, and out-of-range quality must raise."""
+    from dataworks_spark.llm.pipeline import (
+        hash_split,
+        select_token_budget,
+        stratified_sample_by_hash,
+    )
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    split = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # decorrelated streams: sampling 50% of the val split must return
+    # ~50% of it, not the empty set a shared hash stream would produce
+    val = split.filter(F.col("split") == "val")
+    n_val = val.count()
+    kept = stratified_sample_by_hash(val, "split", "doc_id", {"val": 0.5}).count()
+    assert abs(kept / n_val - 0.5) < 0.05, f"{kept}/{n_val}"
+
+    # weight-order canonicalization: same weights, different dict order,
+    # identical assignment
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, "doc_id", {"test": 0.1, "val": 0.1, "train": 0.8}).collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="finite"):
+        hash_split(df, "doc_id", {"train": float("nan")})
+    nulls = spark.createDataFrame([(None,), (1,)], "doc_id int")
+    with _pytest.raises(Exception, match="null id"):
+        # two splits so the bucket (and its null guard) is evaluated;
+        # a single-weight split is a constant and never hashes
+        hash_split(nulls, "doc_id", {"train": 0.5, "val": 0.5}).collect()
+
+    scored = df.select("doc_id", (F.col("doc_id") / 100.0).alias("quality_score"), F.lit(10).alias("n_tokens"))
+    with _pytest.raises(ValueError, match="normalize"):
+        select_token_budget(scored, budget_tokens=100)
