@@ -41,7 +41,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataworks_spark.ops.recursive import adaptive_rounds, transitive_closure
+from dataworks_spark.ops.recursive import _lift, adaptive_rounds, transitive_closure
 
 #: semi-naive fixpoint round cap for general recursive rules. Exhausting
 #: it RAISES (ADVICE r2: a silent partial relation is a wrong answer);
@@ -399,9 +399,9 @@ class DatalogDB:
         # (same split as ops.recursive._doubling's seed vs rounds).
         tagged = rel.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
         prev = tagged.count()
-        with adaptive_rounds(self.spark) as resize:
+        with adaptive_rounds(self.spark) as rt:
             return self._fixpoint(
-                rule, rule_map, rule_env, rec_bodies, head_vars, tagged, prev, resize
+                rule, rule_map, rule_env, rec_bodies, head_vars, tagged, prev, rt
             )
 
     @staticmethod
@@ -431,11 +431,11 @@ class DatalogDB:
         )
 
     def _fixpoint(
-        self, rule, rule_map, rule_env, rec_bodies, head_vars, tagged, prev, resize
+        self, rule, rule_map, rule_env, rec_bodies, head_vars, tagged, prev, rt
     ) -> DataFrame:
         delta_name = f"{rule.name}@delta"
         for rnd in range(1, MAX_FIXPOINT_ROUNDS + 1):
-            resize(prev * 2)
+            rt(prev * 2)
             rule_env[rule.name] = tagged.drop("__round")
             rule_env[delta_name] = tagged.filter(
                 F.col("__round") == rnd - 1
@@ -459,7 +459,10 @@ class DatalogDB:
                 .join(tagged, on=head_vars, how="left_anti")
                 .withColumn("__round", F.lit(rnd))
             )
-            tagged = tagged.unionByName(new).localCheckpoint(eager=False)
+            # lift the round's relation onto the loop session so its
+            # checkpoint+count action plans under loop-sized confs
+            # without touching the caller's session (adaptive_rounds)
+            tagged = rt.lift(tagged.unionByName(new)).localCheckpoint(eager=False)
             cur = tagged.count()
             if cur == prev:
                 break
@@ -471,7 +474,7 @@ class DatalogDB:
                 f"{MAX_FIXPOINT_ROUNDS} rounds; raise "
                 "dataworks_spark.docs.datalog.MAX_FIXPOINT_ROUNDS or bound the rule"
             )
-        rel = tagged.drop("__round")
+        rel = _lift(tagged.drop("__round"), self.spark)
         rule_env[rule.name] = rel
         rule_env.pop(delta_name, None)
         return rel

@@ -121,6 +121,18 @@ class DocStoreSink:
         def _apply(s: DocumentStore) -> DocumentStore:
             if epoch_id in self._applied_epochs:  # raced retry
                 return s
+            if self._durable_path is not None and s._now() < self._durable_since:
+                # the durable watermark assumes a monotone clock: a
+                # regression (NTP step back, or a caller-supplied now_fn
+                # behind the recovered max-tx stamp) would stamp this
+                # batch's rows BELOW _durable_since, and the next
+                # compaction's tx_from >= since predicate would silently
+                # never flush them to the durable dataset — fail loudly
+                raise RuntimeError(
+                    f"DocStoreSink clock regression: now={s._now()} is before "
+                    f"the durable watermark {self._durable_since}; refusing to "
+                    "stamp rows the incremental compactor would never flush"
+                )
             # record the epoch only AFTER put_log/compact returned (still
             # inside the swap lock): compact's checkpoint runs eagerly,
             # and marking first would make a failed apply look applied —

@@ -314,10 +314,17 @@ class DocumentStore:
             .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
             .withColumn("deleted", F.lit(tombstone))
         )
-        if _payload_type_conflicts(self.versions, new) and self.versions.isEmpty():
-            # schema-on-first-write also covers a same-named, differently-
-            # typed column against a rowless store: nothing to corrupt,
-            # the batch defines the schema
+        if (
+            set(new.columns) != set(self.versions.columns)
+            or _payload_type_conflicts(self.versions, new)
+        ) and self.versions.isEmpty():
+            # schema-on-first-write, mirroring put_log: a rowless store
+            # adopts the first batch's payload shape whether the
+            # declared schema differs in column SET or in a column's
+            # type — falling through to _widen_union would permanently
+            # carry the stale schema's columns as all-NULL. The cheap
+            # schema comparisons run first so the isEmpty job is only
+            # paid when a difference exists.
             return DocumentStore(new, self._now)
         merged = _widen_union(self.versions, retired, corrected, new)
         return DocumentStore(merged, self._now)
@@ -437,14 +444,13 @@ class DocumentStore:
         to_write = with_parts.join(
             F.broadcast(changed_parts), on=["namespace", "valid_date"], how="left_semi"
         )
-        orig = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        try:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            to_write.write.mode("overwrite").partitionBy(
-                "namespace", "valid_date"
-            ).parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", orig)
+        # per-write option, NOT a session conf flip: a concurrent write
+        # on the same SparkSession (plausible under streaming
+        # foreachBatch alongside other jobs) must never plan under — or
+        # have restored mid-flight — this write's overwrite mode
+        to_write.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("namespace", "valid_date").parquet(path)
         # re-root on the durable files with the EXPLICIT merged schema the
         # writer already holds — not mergeSchema, whose footer sweep over
         # every file in the dataset would make per-epoch read cost grow

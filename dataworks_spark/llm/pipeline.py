@@ -51,6 +51,9 @@ class CorpusConfig:
     """Thresholds for :func:`prepare_corpus` (defaults follow the
     common C4/Gopher-family ranges; tune per corpus)."""
 
+    near_dup: bool = True              # False = exact dedup only (L1);
+                                       # the deterministic, SQL-oracle-
+                                       # checkable pipeline mode
     near_dup_threshold: float = 0.5    # MinHash est. Jaccard to call a dup
     min_tokens: int = 5
     max_punct_ratio: float = 0.5
@@ -79,11 +82,18 @@ def prepare_corpus(
     deduped = df.join(keepers, on=id_col, how="left_semi")
 
     # L2 — near-dup dedup: banded MinHash candidates → connected
-    # components → canonical survivor (min id per component)
-    pairs = minhash_near_dup_pairs(
-        deduped, id_col, text_col, threshold=config.near_dup_threshold
-    )
-    surviving = dedup_keep_canonical(deduped, id_col, pairs)
+    # components → canonical survivor (min id per component).
+    # ``near_dup=False`` skips this stage: the remaining pipeline is
+    # then a pure deterministic function of the input (exact dedup +
+    # per-doc filters), which is what makes the composed flow
+    # SQL-oracle-checkable end-to-end.
+    if config.near_dup:
+        pairs = minhash_near_dup_pairs(
+            deduped, id_col, text_col, threshold=config.near_dup_threshold
+        )
+        surviving = dedup_keep_canonical(deduped, id_col, pairs)
+    else:
+        surviving = deduped
 
     # L4 — language, quality, repetition, accounting: ONE projection
     text = F.col(text_col)
@@ -202,35 +212,52 @@ def select_token_budget(
 
     Scale shape: a global quality sort with a cumulative-sum window
     would serialize the corpus through one partition; instead quality
-    is histogrammed into ``buckets`` fixed bins (one map-side-combined
-    aggregation; the collect is ``buckets`` rows, corpus-size
-    independent), the driver picks the lowest bin whose suffix token
-    sum fits the budget, and the result is a plain pushed-down filter.
+    is histogrammed into ``buckets`` fixed bins in a SINGLE
+    map-side-combined aggregation that also carries the per-bin
+    min/max used for the range check (the collect is ``buckets`` rows,
+    corpus-size independent — one scan of the corpus total), the
+    driver picks the lowest bin whose suffix token sum fits the
+    budget, and the result is a plain pushed-down filter.
     Granularity: the kept set lands within one bin's token mass of the
     budget — raise ``buckets`` for tighter tolerance. Deterministic:
-    bin edges are fixed in [0, 1] (scores outside that range are an
-    error — a 0-100 scale would silently clamp the whole corpus into
-    one bin and make selection all-or-nothing). Rows with NULL quality
-    or NULL token counts are excluded from both the histogram and the
-    result."""
+    bin edges are fixed in [0, 1] (scores outside that range — or NaN
+    scores, which no bin can hold — are an error: a 0-100 scale would
+    silently clamp the whole corpus into one bin and make selection
+    all-or-nothing). Rows with NULL quality or NULL token counts are
+    excluded from both the histogram and the result."""
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
     q = F.col(quality_col)
     df = df.filter(q.isNotNull() & F.col(tokens_col).isNotNull())
-    rng = df.agg(F.min(q).alias("lo"), F.max(q).alias("hi")).first()
-    if rng["lo"] is not None and (rng["lo"] < 0.0 or rng["hi"] > 1.0):
-        raise ValueError(
-            f"{quality_col} must lie in [0, 1] (observed "
-            f"[{rng['lo']}, {rng['hi']}]); normalize the score first"
+    # NaN sorts greatest under min/max, so a NaN score would silently
+    # pass a plain `hi > 1.0` Python check (nan > 1.0 is False) — bin
+    # it to a sentinel instead and reject after the aggregation. isnan
+    # only types on float/double; other numeric types can't hold NaN.
+    dtype = dict(df.dtypes).get(quality_col)
+    is_nan = F.isnan(q) if dtype in ("float", "double") else F.lit(False)
+    bin_col = F.when(is_nan, F.lit(-1)).otherwise(
+        F.least(
+            F.greatest(F.floor(q * buckets).cast("int"), F.lit(0)), F.lit(buckets - 1)
         )
-    bin_col = F.least(
-        F.greatest(F.floor(q * buckets).cast("int"), F.lit(0)), F.lit(buckets - 1)
     )
     hist = (
         df.groupBy(bin_col.alias("__bin"))
-        .agg(F.sum(tokens_col).alias("__toks"))
+        .agg(
+            F.sum(tokens_col).alias("__toks"),
+            F.min(q).alias("__lo"),
+            F.max(q).alias("__hi"),
+        )
         .collect()
     )
+    lows = [r["__lo"] for r in hist if r["__bin"] >= 0]
+    highs = [r["__hi"] for r in hist if r["__bin"] >= 0]
+    if any(r["__bin"] == -1 for r in hist):
+        raise ValueError(f"{quality_col} contains NaN — no bin can hold it")
+    if lows and (min(lows) < 0.0 or max(highs) > 1.0):
+        raise ValueError(
+            f"{quality_col} must lie in [0, 1] (observed "
+            f"[{min(lows)}, {max(highs)}]); normalize the score first"
+        )
     toks_by_bin = {r["__bin"]: r["__toks"] for r in hist}
     acc = 0
     cutoff_bin = buckets  # empty result if even the top bin overflows

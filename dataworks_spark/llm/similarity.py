@@ -172,10 +172,25 @@ class LshIndex:
         self, query_vec: list[float], k: int = 10, n_probe: int = 1,
         id_cols: list[str] | None = None,
     ) -> DataFrame:
+        """Probe the ``n_probe`` most-promising buckets, then re-rank
+        exactly. COMBINATORIAL multi-probe (Lv et al., VLDB'07): every
+        bucket is the query signature with some bit SET flipped, and
+        the probe order is ascending total flipped-margin |q·plane| —
+        flipping two near-zero hyperplanes is more promising than one
+        confident bit. The enumeration is over all 2^planes buckets
+        driver-side (n_planes is small by construction: it is a
+        partition-key cardinality knob, not a dimension), so n_probe
+        ranges up to the full bucket count — n_probe = 2^planes
+        degrades gracefully to exact search."""
         margins = self.planes @ np.asarray(query_vec, dtype=np.float64)
         qsig = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
-        weakest = np.argsort(np.abs(margins)).tolist()
-        probes = [qsig] + [qsig ^ (1 << b) for b in weakest[: max(n_probe - 1, 0)]]
+        n_planes = len(self.planes)
+        costs = []  # (sum of |margin| over flipped bits, bucket)
+        for mask in range(1 << n_planes):
+            cost = sum(abs(margins[i]) for i in range(n_planes) if mask & (1 << i))
+            costs.append((cost, qsig ^ mask))
+        costs.sort()
+        probes = [b for _, b in costs[: max(n_probe, 1)]]
         cands = self.df.filter(F.col("lsh_bucket").isin(probes))
         return brute_force_cosine_topk(
             cands.drop("lsh_bucket"), self.vec_col, query_vec, k, id_cols

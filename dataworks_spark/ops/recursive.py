@@ -81,49 +81,102 @@ _ROW_BYTES = 64
 _TARGET_PARTITION_BYTES = 64 << 20
 
 
+def _fixpoint_session(spark):
+    """The dedicated fixpoint session for ``spark``: a cached
+    ``newSession()`` — same SparkContext, executors, and (shared)
+    cache manager, but its OWN SQL conf — so fixpoint loops can size
+    shuffles and suspend AQE without mutating the caller's
+    session-global confs (a concurrent query on the caller's session
+    is never planned under loop-tuned settings). Confs a query's
+    semantics depend on (session timezone) are mirrored from the
+    parent on every entry, since runtime ``conf.set`` calls on the
+    parent don't propagate to an already-created child session."""
+    fs = getattr(spark, "_dataworks_fixpoint_session", None)
+    if fs is None:
+        fs = spark.newSession()
+        # byte-based coalescing (not a parallelism floor) for the one
+        # AQE-on materialization (the seed): a tiny seed lands on 1-2
+        # tasks, a hub-blown seed keeps byte-proportional parallelism
+        fs.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        try:
+            spark._dataworks_fixpoint_session = fs
+        except Exception:  # noqa: BLE001 — unexpected immutable session obj
+            pass
+    fs.conf.set(
+        "spark.sql.session.timeZone", spark.conf.get("spark.sql.session.timeZone")
+    )
+    return fs
+
+
+def _lift(df: DataFrame, session) -> DataFrame:
+    """Re-root ``df``'s logical plan on another same-context session, so
+    the next ACTION on it plans under that session's conf. Falls back to
+    returning ``df`` unchanged if the internal Dataset API is absent
+    (e.g. a future Connect-only runtime) — the loop then runs unisolated
+    on the caller's session, which is correct, just less polite."""
+    try:
+        jdf = session._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            session._jsparkSession, df._jdf.logicalPlan()
+        )
+        return DataFrame(jdf, session)
+    except Exception:  # noqa: BLE001
+        return df
+
+
+class _FixpointRuntime:
+    """Yielded by :func:`adaptive_rounds`. Callable (``rt(rows)``)
+    resizes the loop session's shuffle partitions from the exact
+    materialized count; ``rt.lift(df)`` re-roots a round's relation on
+    the loop session so its checkpoint+count action executes there."""
+
+    def __init__(self, spark):
+        self.session = _fixpoint_session(spark)
+
+    def __call__(self, rows: int) -> None:
+        n = max(1, math.ceil(rows * _ROW_BYTES / _TARGET_PARTITION_BYTES))
+        self.session.conf.set("spark.sql.shuffle.partitions", str(n))
+
+    def lift(self, df: DataFrame) -> DataFrame:
+        return _lift(df, self.session)
+
+
 @contextmanager
 def adaptive_rounds(spark):
     """Per-round adaptive shuffle parallelism for driver-side fixpoint
-    loops.
+    loops, scoped to an ISOLATED session.
 
     Every fixpoint round materializes and counts its relation, so the
     driver KNOWS the data size before planning the next round — the same
     runtime statistic AQE coalescing uses, available one stage earlier.
-    Yields ``resize(rows)``, which sets ``spark.sql.shuffle.partitions``
-    to ``rows·row_bytes / 64 MB`` (floor 1, no cap: a cluster-scale
+    Yields a runtime whose ``rt(rows)`` sets shuffle partitions to
+    ``rows·row_bytes / 64 MB`` (floor 1, no cap: a cluster-scale
     relation gets cluster-scale parallelism) so a 20k-row round
     schedules 1 task per stage instead of the session default's 32+ —
     task scheduling, not join work, dominates small fixpoint rounds.
+    Loop relations are re-rooted onto the loop session with
+    ``rt.lift(df)`` before their materializing action.
 
     AQE is suspended INSIDE the loop (and restored on exit): adaptive
     execution exists to fix unknown post-shuffle sizes at runtime, but a
     fixpoint driver measures every round's cardinality anyway — inside
     the loop AQE's per-stage re-planning round-trips are pure latency on
-    work whose partitioning was just set from exact counts. This is the
-    measured reason fixpoints previously required AQE (un-coalesced
-    32-task rounds); with driver-sized rounds the dependency inverts.
+    work whose partitioning was just set from exact counts.
 
-    CAVEAT — session-scoped, not query-scoped: these are session-global
-    SQL confs, so a CONCURRENT query planned on the same SparkSession
-    while a fixpoint loop is running would plan under the loop's tiny
-    partition count and without AQE. Single-threaded drivers (this
-    repo's harnesses, typical batch jobs) are unaffected. If you need
-    fixpoints concurrent with other work, give the fixpoint its own
-    ``spark.newSession()`` (separate conf, shared cache/cluster) and
-    build the edge relation there."""
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-
-    def resize(rows: int) -> None:
-        n = max(1, math.ceil(rows * _ROW_BYTES / _TARGET_PARTITION_BYTES))
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
-
+    All of this happens on :func:`_fixpoint_session` — the caller's
+    session confs are never touched, so queries planned concurrently on
+    the caller's session are unaffected. (Two fixpoint loops on the
+    same parent session still share the loop session — fixpoints
+    themselves are driver-sequential by construction.)"""
+    rt = _FixpointRuntime(spark)
+    fs = rt.session
+    orig = fs.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = fs.conf.get("spark.sql.adaptive.enabled")
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        yield resize
+        fs.conf.set("spark.sql.adaptive.enabled", "false")
+        yield rt
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+        fs.conf.set("spark.sql.shuffle.partitions", orig)
+        fs.conf.set("spark.sql.adaptive.enabled", orig_aqe)
 
 
 def _doubling(
@@ -157,6 +210,12 @@ def _doubling(
         )
 
     spark = edges.sparkSession
+    # Seed depth stays at TWO squarings (depth ≤4 in one job): folding
+    # more was measured SLOWER (r5) — the squaring join's two sides
+    # rename different columns to __mid, so they are different subplans
+    # whose exchanges can't fully reuse each other, and the recomputed
+    # work compounds per nesting level. Two levels is the measured
+    # sweet spot between driver barriers saved and plan re-execution.
     # The seed materializes under AQE with aggressive byte-based
     # coalescing: |E∘E| is NOT bounded by any multiple of |E| (a hub
     # vertex squares quadratically), so no driver-side estimate can
@@ -169,22 +228,24 @@ def _doubling(
     # a tiny seed lands on 1-2 tasks per stage (the measured win)
     # while a blown-up seed keeps its parallelism. Only the loop
     # rounds below run AQE-off — there the driver holds an exact
-    # materialized count each round.
-    orig_pf = spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        base = edges.select(src, dst)
-        if not assume_distinct:
-            base = base.dropDuplicates()
-        seed = _square(base)
-        seed_depth = 2
-        if depth_bound is None or depth_bound > 2:
-            seed = _square(seed.dropDuplicates())
-            seed_depth = 4
-        closure = seed.dropDuplicates().localCheckpoint(eager=False)
-        prev = closure.count()
-    finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", orig_pf)
+    # materialized count each round. The seed is LIFTED onto the
+    # dedicated fixpoint session (parallelismFirst=false lives there
+    # permanently), so the caller's session confs are never touched.
+    base = edges.select(src, dst)
+    if not assume_distinct:
+        base = base.dropDuplicates()
+    seed = _square(base)
+    seed_depth = 2
+    if depth_bound is None or depth_bound > 2:
+        seed = _square(seed.dropDuplicates())
+        seed_depth = 4
+    closure = _lift(
+        seed.dropDuplicates(), _fixpoint_session(spark)
+    ).localCheckpoint(eager=False)
+    prev = closure.count()
+    if depth_bound is not None and seed_depth >= depth_bound:
+        # the seed alone covers the bound — converged by construction
+        return _lift(closure, spark)
     rounds = max_iterations
     bound_proven = False
     if depth_bound is not None:
@@ -197,19 +258,28 @@ def _doubling(
         need = max(0, math.ceil(math.log2(max(depth_bound, seed_depth) / seed_depth)))
         bound_proven = need <= max_iterations
         rounds = min(rounds, need)
-    with adaptive_rounds(spark) as resize:
-        for _ in range(rounds):
-            resize(prev * 2)  # next round at most doubles the relation
-            closure = _square(closure).dropDuplicates().localCheckpoint(eager=False)
+    with adaptive_rounds(spark) as rt:
+        for r in range(rounds):
+            rt(prev * 2)  # next round at most doubles the relation
+            closure = rt.lift(
+                _square(closure).dropDuplicates()
+            ).localCheckpoint(eager=False)
+            if bound_proven and r == rounds - 1:
+                # the bound proves this round converges — skip its
+                # convergence count and let the CALLER's action
+                # materialize the final round (one fewer barrier; the
+                # round executes under the caller's session confs,
+                # where AQE's runtime coalescing takes over the sizing)
+                return _lift(closure, spark)
             cur = closure.count()
             if cur == prev:
-                return closure
+                return _lift(closure, spark)
             prev = cur
     if bound_proven:
-        return closure
+        return _lift(closure, spark)
     if strict:
         raise _nonconverged("doubling", max_iterations)
-    return closure
+    return _lift(closure, spark)
 
 
 def _semi_naive(
@@ -231,14 +301,15 @@ def _semi_naive(
     # unknown until counted, and an extra sizing count would re-execute
     # the whole upstream edges plan; the loop rounds run under
     # exact-count sizing (same split as _doubling's seed vs rounds)
+    caller = edges.sparkSession
     tagged = edges.select(src, dst)
     if not assume_distinct:
         tagged = tagged.dropDuplicates()
     tagged = tagged.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
     prev = tagged.count()
-    with adaptive_rounds(edges.sparkSession) as resize:
+    with adaptive_rounds(caller) as rt:
         for rnd in range(1, max_iterations + 1):
-            resize(prev * 2)
+            rt(prev * 2)
             base = tagged.filter(F.col("__round") == 0).drop("__round")
             frontier = tagged.filter(F.col("__round") == rnd - 1).drop("__round")
             grown = (
@@ -250,11 +321,11 @@ def _semi_naive(
             new = grown.join(tagged, on=[src, dst], how="left_anti").withColumn(
                 "__round", F.lit(rnd)
             )
-            tagged = tagged.unionByName(new).localCheckpoint(eager=False)
+            tagged = rt.lift(tagged.unionByName(new)).localCheckpoint(eager=False)
             cur = tagged.count()
             if cur == prev:
-                return tagged.drop("__round")
+                return _lift(tagged.drop("__round"), caller)
             prev = cur
     if strict:
         raise _nonconverged("semi_naive", max_iterations)
-    return tagged.drop("__round")
+    return _lift(tagged.drop("__round"), caller)

@@ -69,6 +69,19 @@ _WIDE_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 _COMPUTE_HEAVY = {"documents"}
 
 
+def _evict_stale(cache: dict, app_id: str) -> None:
+    """Drop (and unpersist) cache entries from dead applications: the
+    memo keys lead with applicationId, so a long-lived process spanning
+    several sessions would otherwise accumulate persisted RDDs forever.
+    Unpersist is best-effort — the old app's context may be stopped."""
+    for key in [k for k in cache if k[0] != app_id]:
+        val = cache.pop(key)
+        try:
+            val.unpersist()
+        except Exception:  # noqa: BLE001 — stopped context / non-DataFrame
+            pass
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoized, memory-cached fixture table.
 
@@ -78,7 +91,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bounded-fixture tactic: at cluster scale the same role is played by
     broadcast dims and bucketed hot tables — never a full-corpus cache."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    _evict_stale(_TABLE_CACHE, app_id)
+    _evict_stale(_QVEC_CACHE, app_id)
+    _evict_stale(_ANN_INDEX_CACHE, app_id)
+    key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = load_table(spark, sf_dir, name)
@@ -216,10 +233,15 @@ def q_join_asof(spark, sf_dir):
 def q_join_enrich(spark, sf_dir):
     """Enrichment join staged the way a NON-broadcastable skewed
     dimension must run at 100 TB: salted_join spreads each hot key over
-    8 reducers, and the merge hint forces a real shuffle join so the
-    salt is load-bearing (under broadcast it would be a no-op — the
-    round-1 staging error VERDICT flagged). Semantics identical to the
-    plain broadcast join; hash-checked against it."""
+    8 reducers, and the shuffle_hash hint forces a real shuffle join so
+    the salt is load-bearing (under broadcast it would be a no-op — the
+    round-1 staging error VERDICT flagged). shuffle_hash, not merge:
+    the salt spreads keys across reducers either way, but a sort-merge
+    join pays two full sorts the hash join doesn't — the same reason
+    a skew-salted production join would pick shuffled-hash when the
+    per-partition build side fits memory (it does by construction: the
+    salt bounds each build partition to |dim|/n_salts). Semantics
+    identical to the plain broadcast join; hash-checked against it."""
     from dataworks_spark.ops.scale import salted_join
 
     ev = _t(spark, sf_dir, "events")
@@ -227,7 +249,7 @@ def q_join_enrich(spark, sf_dir):
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     return (
-        salted_join(ev, c.hint("merge"), "user_id", n_salts=8)
+        salted_join(ev, c.hint("shuffle_hash"), "user_id", n_salts=8)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
@@ -604,7 +626,9 @@ def _docs_from_events(spark, sf_dir):
     harness passes would otherwise re-run the version-log window each
     call. A real document store materializes its version log anyway
     (``DocumentStore.compact`` is exactly this relation persisted)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    _evict_stale(_DOCS_CACHE, app_id)
+    key = (app_id, sf_dir)
     docs = _DOCS_CACHE.get(key)
     if docs is None:
         ev = _t(spark, sf_dir, "events")
@@ -747,6 +771,30 @@ def q_token_join(spark, sf_dir):
                 "jaccard"
             ),
         )
+    )
+
+
+def q_prepare_corpus(spark, sf_dir):
+    """The composed L1→L4 corpus-preparation pipeline (llm/pipeline.py)
+    run in its deterministic mode: exact dedup → language / quality /
+    repetition filters → per-doc accounting (token counts, quality
+    score, fingerprint). ``near_dup=False`` switches the MinHash stage
+    off, so the whole flow is a pure function of the input and
+    hash-checkable against SQL end-to-end (the near-dup stage's own
+    anchors are q_dedup_minhash + q_dedup_ngram + the partition-
+    invariance suite). Integer widths cast to bigint to match the
+    oracle's len() outputs."""
+    from dataworks_spark.llm.pipeline import CorpusConfig, prepare_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = prepare_corpus(d, config=CorpusConfig(near_dup=False))
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round("quality_score", 6).alias("quality"),
+        "fingerprint",
     )
 
 
@@ -1139,6 +1187,56 @@ ORACLE_SQL: dict[str, str] = {
                     AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_prepare_corpus": """
+        WITH kept AS (
+          SELECT doc_id, text FROM documents
+          QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+        ), f AS (
+          SELECT doc_id, text,
+            len(string_split(text, ' ')) AS n_tokens,
+            len(regexp_extract_all(text,
+                '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS n_bpe_tokens,
+            (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+              / greatest(LENGTH(text), 1) AS punct_ratio,
+            len(list_filter(string_split(lower(text), ' '),
+                t -> list_contains(['the','a','of','and','to','in','is'], t)))
+              / greatest(len(string_split(lower(text), ' ')), 1) AS s_en,
+            len(list_filter(string_split(lower(text), ' '),
+                t -> list_contains(['der','die','das','und','zu','ist'], t)))
+              / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
+            len(list_filter(string_split(lower(text), ' '),
+                t -> list_contains(['el','la','de','que','y','es'], t)))
+              / greatest(len(string_split(lower(text), ' ')), 1) AS s_es,
+            len(list_transform(generate_series(1,
+                  greatest(len(string_split(text, ' ')) - 2, 0)),
+                i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+              AS n_grams,
+            len(list_distinct(list_transform(generate_series(1,
+                  greatest(len(string_split(text, ' ')) - 2, 0)),
+                i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
+              AS n_distinct_grams
+          FROM kept
+        ), scored AS (
+          SELECT doc_id, text, n_tokens, n_bpe_tokens, punct_ratio,
+                 s_en, s_de, s_es,
+                 least(n_tokens / 100.0, 1.0) * 0.4
+                   + (1 - punct_ratio) * 0.3
+                   + least(s_en * 5.0, 1.0) * 0.3 AS quality_score,
+                 (n_grams - n_distinct_grams)
+                   / greatest(n_grams, 1) AS dup_ngram_ratio
+          FROM f
+        )
+        SELECT doc_id,
+               CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang,
+               n_tokens, n_bpe_tokens,
+               ROUND(quality_score, 6) AS quality,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS fingerprint
+        FROM scored
+        WHERE n_tokens >= 5 AND punct_ratio <= 0.5
+          AND quality_score >= 0.3 AND dup_ngram_ratio <= 0.5
     """,
     "q_pivot": """
         WITH wide AS (

@@ -49,6 +49,14 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the byte-based advisory target when coalescing instead
+        # of refusing to go below default parallelism — the setting the
+        # Spark tuning docs recommend for exactly this reason: post-
+        # shuffle partitions should hold real bytes. A tiny shuffle
+        # lands on 1-2 tasks instead of a fixed 32 (pure scheduler
+        # overhead), while a 100 TB shuffle still gets its parallelism
+        # from the 64 MB advisory size, not from this floor.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

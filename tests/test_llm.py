@@ -493,3 +493,73 @@ def test_sampling_guards_and_decorrelation(spark):
     scored = df.select("doc_id", (F.col("doc_id") / 100.0).alias("quality_score"), F.lit(10).alias("n_tokens"))
     with _pytest.raises(ValueError, match="normalize"):
         select_token_budget(scored, budget_tokens=100)
+
+    # NaN quality must raise, not silently drop: nan > 1.0 is False in
+    # Python, so the old min/max range check let NaN scores through
+    nan_scored = spark.createDataFrame(
+        [(1, 0.5, 10), (2, float("nan"), 10)],
+        "doc_id int, quality_score double, n_tokens int",
+    )
+    with _pytest.raises(ValueError, match="NaN"):
+        select_token_budget(nan_scored, budget_tokens=100)
+
+
+def test_ann_recall_at_10_vs_exact(spark, emb):
+    """Recall gate for the rows-only ANN entries (VERDICT r4 item 4):
+    partition invariance proves determinism, not QUALITY — this pins
+    recall@10 of the LSH and IVF probes against the exact brute-force
+    oracle over several fixture query vectors (everything is seeded and
+    exact, so the measured recalls are deterministic constants).
+
+    Fixture reality, measured: the embeddings are ISOTROPIC random
+    (within-label mean cosine 0.023 vs cross-label 0.0017 — no cluster
+    structure), and on structure-free vectors recall ≈ fraction of data
+    scanned is the information-theoretic ceiling for ANY bucketing
+    method. The gates therefore pin two properties that survive that
+    regime and would catch a real regression:
+
+    1. at high-scan settings the probes must converge on the exact
+       answer (IVF 6-of-8 lists ≥ 0.9; combinatorial multi-probe LSH
+       8-of-16 buckets ≥ 0.7 — measured 0.96 / 0.72);
+    2. at pruning settings the probes must beat the random-scan
+       baseline (recall ≥ its scanned fraction) — the signal that the
+       buckets rank candidates better than chance even here (on
+       clustered real embeddings the same operators prune far harder:
+       IVF probe-1-of-8 already recalls 2× its scan fraction)."""
+    from dataworks_spark.llm.similarity import (
+        IvfIndex,
+        LshIndex,
+        brute_force_cosine_topk,
+    )
+
+    base = emb.filter(F.col("vec_id") >= 10)
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).orderBy("vec_id").collect()
+    ]
+    dim = len(queries[0])
+    lsh = LshIndex(base, "embedding", dim=dim, n_planes=4)
+    ivf = IvfIndex(base, "embedding", n_centroids=8)
+
+    def ids(df):
+        return {r["vec_id"] for r in df.select("vec_id").collect()}
+
+    k = 10
+    exacts = [
+        ids(brute_force_cosine_topk(base, "embedding", q, k=k, id_cols=["vec_id"]))
+        for q in queries
+    ]
+
+    def recall(idx, n_probe):
+        hits = sum(
+            len(ids(idx.topk(q, k=k, n_probe=n_probe, id_cols=["vec_id"])) & ex)
+            for q, ex in zip(queries, exacts)
+        )
+        return hits / sum(len(ex) for ex in exacts)
+
+    # 1. high-scan convergence gates
+    assert recall(ivf, 6) >= 0.9, "IVF recall@10 at 6/8 lists regressed below 0.9"
+    assert recall(lsh, 8) >= 0.7, "LSH recall@10 at 8/16 buckets regressed below 0.7"
+    # 2. better-than-random-scan gates at pruning settings
+    assert recall(ivf, 2) >= 2 / 8, "IVF probe ranking no better than random scan"
+    assert recall(lsh, 4) >= 4 / 16, "LSH probe ranking no better than random scan"

@@ -78,3 +78,31 @@ def test_depth_bound_loose_is_still_exact(spark):
         for r in transitive_closure(df, "src", "dst", depth_bound=1000).collect()
     }
     assert got == _brute_closure(edges)
+
+
+def test_fixpoint_confs_isolated_from_caller_session(spark):
+    """The fixpoint loop must never mutate the caller's session confs
+    (VERDICT r4 item 8): rounds size their shuffles and suspend AQE on
+    a dedicated child session, so a query planned concurrently on the
+    caller's session sees its own settings throughout."""
+    before = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    }
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    for method in ("doubling", "semi_naive"):
+        got = {
+            (r.src, r.dst)
+            for r in transitive_closure(df, "src", "dst", method=method).collect()
+        }
+        assert got == _brute_closure(edges)
+        after = {k: spark.conf.get(k) for k in before}
+        assert after == before, f"caller confs mutated by {method}: {after}"
+    # the child session exists, is cached, and carries the loop confs
+    fs = getattr(spark, "_dataworks_fixpoint_session", None)
+    assert fs is not None and fs is not spark
+    assert (
+        fs.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        == "false"
+    )
