@@ -23,9 +23,26 @@ from pyspark.sql import functions as F
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """L1: one row per distinct content, keeping the lowest id (a
     deterministic survivor, unlike dropDuplicates' arbitrary pick).
-    Map-side partial agg → shuffle is |distinct| not |rows|."""
+    Map-side partial agg → shuffle is |distinct| not |rows|. The
+    shuffle rows still carry the CONTENT (this form returns it); when
+    only survivor ids are needed, :func:`exact_dedup_keepers` shuffles
+    8-byte hashes instead."""
     return df.groupBy(content_col).agg(
         F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def exact_dedup_keepers(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """L1 at corpus scale: the surviving (min) id per distinct content,
+    keyed by xxhash64 of the content — the dedup shuffle then carries
+    (long, id) pairs, never the documents themselves, so shuffle bytes
+    are |distinct|·16 B instead of |distinct|·avg-doc-size. Two
+    distinct documents colliding on 64 bits would alias (~|distinct|²
+    / 2⁶⁵ — vanishing against the data-parallel error budget, same
+    trade the shingle kernels already make); use :func:`exact_dedup`
+    when the grouped content must surface exactly."""
+    return df.groupBy(F.xxhash64(content_col).alias("content_hash")).agg(
+        F.min(id_col).alias("keeper_id")
     )
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from dataworks_spark.llm.dedup import (
     dedup_keep_canonical,
-    exact_dedup,
+    exact_dedup_keepers,
     minhash_near_dup_pairs,
 )
 from dataworks_spark.llm.text import (
@@ -75,8 +75,11 @@ def prepare_corpus(
     Stage order matters and is deliberate: dedup FIRST (cheap hash
     work shrinks the corpus before per-doc feature extraction), then
     the per-doc filters in one fused projection pass."""
-    # L1 — exact dedup: keep the deterministic (min-id) survivor row
-    keepers = exact_dedup(df, text_col, id_col).select(
+    # L1 — exact dedup: keep the deterministic (min-id) survivor row.
+    # Hash-keyed keepers: the dedup shuffle carries 16-byte rows, not
+    # document text (exact_dedup_keepers), which is what survives when
+    # the corpus is 100 TB of documents rather than 10 KB fixtures.
+    keepers = exact_dedup_keepers(df, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
     deduped = df.join(keepers, on=id_col, how="left_semi")

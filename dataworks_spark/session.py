@@ -48,15 +48,19 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
+        # parallelismFirst stays at its DEFAULT (true): byte-based
+        # advisory coalescing (false) was measured to serialize
+        # byte-small but CPU-heavy post-shuffle stages — the n-gram
+        # pair-explosion stage shuffles ~MBs of longs then expands them
+        # combinatorially, and coalescing it to 1-2 "64 MB" partitions
+        # ran the whole explosion on one core (12 s vs 1.5 s at sf0.1).
+        # Shuffle BYTES are a bad proxy for downstream CPU whenever an
+        # operator expands its input; the parallelism floor is the
+        # robust default for an engine whose hot kernels do exactly
+        # that. (The fixpoint loop session keeps parallelismFirst=false
+        # for its seed: there the driver sizes rounds from exact counts
+        # and rounds never expand.)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect the byte-based advisory target when coalescing instead
-        # of refusing to go below default parallelism — the setting the
-        # Spark tuning docs recommend for exactly this reason: post-
-        # shuffle partitions should hold real bytes. A tiny shuffle
-        # lands on 1-2 tasks instead of a fixed 32 (pure scheduler
-        # overhead), while a 100 TB shuffle still gets its parallelism
-        # from the 64 MB advisory size, not from this floor.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

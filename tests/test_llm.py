@@ -563,3 +563,16 @@ def test_ann_recall_at_10_vs_exact(spark, emb):
     # 2. better-than-random-scan gates at pruning settings
     assert recall(ivf, 2) >= 2 / 8, "IVF probe ranking no better than random scan"
     assert recall(lsh, 4) >= 4 / 16, "LSH probe ranking no better than random scan"
+
+
+def test_exact_dedup_keepers_matches_text_grouping(spark, docs):
+    """The hash-keyed keeper set (16-byte shuffle rows) must equal the
+    text-grouped keeper set on the fixture — the scale form trades a
+    ~|distinct|²/2⁶⁵ collision chance for content-free shuffles."""
+    from dataworks_spark.llm.dedup import exact_dedup, exact_dedup_keepers
+
+    by_text = {r.keeper_id for r in exact_dedup(docs, "text", "doc_id").collect()}
+    by_hash = {
+        r.keeper_id for r in exact_dedup_keepers(docs, "text", "doc_id").collect()
+    }
+    assert by_text == by_hash
