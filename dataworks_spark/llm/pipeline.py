@@ -272,6 +272,143 @@ def select_token_budget(
     return df.filter(bin_col >= F.lit(cutoff_bin))
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    ngram_n: int = 5,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Remove (or flag, with ``mark_only=True``) training documents
+    that share any word ``ngram_n``-gram with the evaluation set — the
+    standard benchmark-decontamination step a pretraining pipeline
+    runs before training (the public n-gram-overlap construction from
+    the GPT-3/PaLM data-card methodology).
+
+    Scale shape: both sides shingle to xxhash64 longs (the same
+    hashed-shingle kernel the dedup tier uses — no shingle strings are
+    built); the eval side of a decontamination run is benchmarks —
+    tiny against the corpus — so its DISTINCT shingle set broadcasts,
+    contaminated ids fall out of a broadcast semi-join over a
+    (id, shingle) projection, and the clean set is a broadcast-able
+    anti-join of the corpus against those ids: the corpus is scanned
+    once and never shuffles. A train doc with fewer than ``ngram_n``
+    tokens has no shingles and can never be flagged. 64-bit shingle
+    collisions can only OVER-remove (a train shingle falsely matching
+    an eval one) — the safe direction for contamination; rate
+    ~|shingles|²/2⁶⁵."""
+    from dataworks_spark.llm.dedup import shingle_hashes
+
+    ev_col = eval_text_col or text_col
+    eval_shingles = (
+        eval_df.select(F.explode(shingle_hashes(F.col(ev_col), ngram_n)).alias("__sh"))
+        .dropDuplicates()
+    )
+    contaminated_ids = (
+        train.select(
+            F.col(id_col), F.explode(shingle_hashes(F.col(text_col), ngram_n)).alias("__sh")
+        )
+        .join(F.broadcast(eval_shingles), on="__sh", how="left_semi")
+        .select(id_col)
+        .dropDuplicates()
+    )
+    # the contaminated-id set is NOT force-broadcast: it is bounded by
+    # how much of the corpus matches (a widely-quoted benchmark could
+    # flag millions of docs) — AQE picks broadcast when it is small
+    if mark_only:
+        flags = contaminated_ids.withColumn("__hit", F.lit(True))
+        return (
+            train.join(flags, on=id_col, how="left")
+            .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+            .drop("__hit")
+        )
+    return train.join(contaminated_ids, on=id_col, how="left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    target_tokens: int = 4096,
+    lanes: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs (the
+    greedy concat-and-chunk packing every pretraining data loader
+    performs): appends ``pack_lane`` and ``pack_seq`` — documents
+    sharing (lane, seq) are concatenated into one training sequence.
+
+    Scale shape: one GLOBAL running-token-total window would serialize
+    the corpus through a single partition, so documents are first
+    hash-assigned to ``lanes`` independent packing lanes and each lane
+    packs by exclusive running token count over a deterministic
+    (hash, id) order — ``pack_seq = floor(cum_before / target)``.
+    One shuffle (by lane), each lane a window partition; lanes scale
+    the same way shuffle partitions do. Deterministic in values (the
+    order inside a lane is a function of seed+id, never physical
+    layout), so a rerun packs identically. Greedy semantics: a pack's
+    total may overrun ``target_tokens`` by at most its last document —
+    the standard trade against bin-packing shuffles; the data loader
+    truncates or rolls the tail into the next sequence.
+
+    NULL token counts are rejected (they would poison every downstream
+    running sum in their lane)."""
+    if target_tokens <= 0:
+        raise ValueError(f"target_tokens must be positive: {target_tokens}")
+    from pyspark.sql import Window
+
+    guard = F.assert_true(
+        F.col(tokens_col).isNotNull(), F.lit(f"pack_sequences: null {tokens_col}")
+    )
+    lane = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(lanes)).cast("int")
+    out = df.withColumn("pack_lane", F.when(guard.isNull(), lane))
+    w = (
+        Window.partitionBy("pack_lane")
+        .orderBy(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return out.withColumn(
+        "pack_seq", F.floor(cum_before / F.lit(target_tokens)).cast("bigint")
+    )
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    partition_by: tuple = ("split",),
+    files_per_partition: int = 8,
+    max_records_per_file: int = 100_000,
+) -> None:
+    """Shard the prepared corpus to parquet the way a trainer consumes
+    it: directory-partitioned by ``partition_by`` (split/lang — readers
+    prune at the directory level), each directory holding
+    ``files_per_partition`` hash-spread files (deterministic spread by
+    id, so shard membership survives rewrites) with
+    ``maxRecordsPerFile`` bounding the tail. The repartition clusters
+    each output file's rows into one task — no tiny-file spray, no
+    single-writer bottleneck per directory. The task count is set
+    EXPLICITLY (dirs × files_per_partition): an expression-only
+    repartition lets AQE coalesce a byte-small shuffle into one task,
+    which would silently collapse every directory to a single file.
+    Counting the distinct directory combos is a metadata-scale job —
+    partition columns with unbounded cardinality are a broken layout
+    long before this count hurts."""
+    n_dirs = max(df.select(*partition_by).dropDuplicates().count(), 1)
+    spread = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_partition))
+    cols = [F.col(c) for c in partition_by] + [spread]
+    (
+        df.repartition(n_dirs * files_per_partition, *cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def stratified_sample_by_hash(
     df: DataFrame,
     strata_col: str,

@@ -798,6 +798,20 @@ def q_prepare_corpus(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (llm/pipeline.py): docs 0-24 stand in
+    for an eval set; every other document is flagged when it shares any
+    word 5-gram with them. Deterministic (hashed-shingle overlap, no
+    thresholds) → hash-checked against the SQL n-gram construction."""
+    from dataworks_spark.llm.pipeline import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = d.filter(F.col("doc_id") < 25)
+    train = d.filter(F.col("doc_id") >= 25)
+    marked = decontaminate(train, eval_df, ngram_n=5, mark_only=True)
+    return marked.select("doc_id", "contaminated")
+
+
 def q_datalog_join(spark, sf_dir):
     """A query routed through the Datalog-lite front-end (§4 #1): the
     multi-entity unification shape of db/app_db.clj:128-132, compiled
@@ -1187,6 +1201,21 @@ ORACLE_SQL: dict[str, str] = {
                     AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_decontaminate": """
+        WITH ev AS (
+          SELECT list(DISTINCT g) AS shs FROM (
+            SELECT unnest(list_transform(generate_series(1,
+                     greatest(len(string_split(text, ' ')) - 4, 0)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS g
+            FROM documents WHERE doc_id < 25))
+        SELECT t.doc_id,
+               len(list_intersect(
+                 list_transform(generate_series(1,
+                   greatest(len(string_split(t.text, ' ')) - 4, 0)),
+                 i -> array_to_string(string_split(t.text, ' ')[i:i+4], ' ')),
+                 ev.shs)) > 0 AS contaminated
+        FROM documents t CROSS JOIN ev WHERE t.doc_id >= 25
     """,
     "q_prepare_corpus": """
         WITH kept AS (

@@ -64,7 +64,11 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] puts driver + all executor threads + every cached
+        # table + accumulated localCheckpoint blocks in ONE heap; 8g
+        # produced intermittent multi-second full-GC stalls on heavy
+        # kernels mid-bench (the image has 128 GiB — headroom is free)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

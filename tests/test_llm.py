@@ -576,3 +576,90 @@ def test_exact_dedup_keepers_matches_text_grouping(spark, docs):
         r.keeper_id for r in exact_dedup_keepers(docs, "text", "doc_id").collect()
     }
     assert by_text == by_hash
+
+
+def test_decontaminate_removes_eval_overlap(spark):
+    """Train docs sharing any word 5-gram with the eval set are removed
+    (or flagged with mark_only); short docs (< n tokens) never match."""
+    from dataworks_spark.llm.pipeline import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps over something else"),
+            (2, "completely unrelated text with no overlapping phrases at all here"),
+            (3, "tiny doc"),  # < 5 tokens: no shingles, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    clean = decontaminate(train, eval_df, ngram_n=5)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    marked = decontaminate(train, eval_df, ngram_n=5, mark_only=True)
+    flags = {r.doc_id: r.contaminated for r in marked.collect()}
+    assert flags == {1: True, 2: False, 3: False}
+    # layout invariance: same result after repartition
+    again = decontaminate(train.repartition(7), eval_df, ngram_n=5)
+    assert sorted(r.doc_id for r in again.collect()) == [2, 3]
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Every pack's token total stays within target + its last doc
+    (greedy overrun bound); assignment is deterministic under layout."""
+    from dataworks_spark.llm.pipeline import pack_sequences
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(500)) + 1).alias("n_tokens"),
+    )
+    packed = pack_sequences(df, target_tokens=1000, lanes=8)
+    rows = packed.collect()
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r.pack_lane, r.pack_seq), []).append(r.n_tokens)
+    for toks in by_pack.values():
+        # exclusive-cumsum packing: total ≤ target + max single doc
+        assert sum(toks) <= 1000 + 500
+    # packs are filled, not degenerate singletons (mean fill > half)
+    fills = [sum(t) for t in by_pack.values()]
+    assert sum(fills) / len(fills) > 500
+    again = {
+        (r.doc_id): (r.pack_lane, r.pack_seq)
+        for r in pack_sequences(df.repartition(13), target_tokens=1000, lanes=8).collect()
+    }
+    first = {r.doc_id: (r.pack_lane, r.pack_seq) for r in rows}
+    assert first == again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, target_tokens=0)
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, n_tokens int")
+    with _pytest.raises(Exception, match="null n_tokens"):
+        pack_sequences(nulls).collect()
+
+
+def test_write_corpus_shards_layout(spark, tmp_path):
+    """Sharded write: directory-partitioned, multiple hash-spread files
+    per directory, round-trips the rows exactly."""
+    from dataworks_spark.llm.pipeline import hash_split, write_corpus_shards
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    split = hash_split(df, "doc_id", {"train": 0.9, "val": 0.1})
+    out = str(tmp_path / "shards")
+    write_corpus_shards(split, out, files_per_partition=4)
+    import glob as _glob
+    import os as _os
+
+    dirs = sorted(
+        _os.path.basename(p) for p in _glob.glob(f"{out}/split=*") if _os.path.isdir(p)
+    )
+    assert dirs == ["split=train", "split=val"]
+    train_files = _glob.glob(f"{out}/split=train/*.parquet")
+    assert 2 <= len(train_files) <= 8  # hash-spread, not one giant file
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert sorted(r.doc_id for r in back.collect()) == list(range(2000))
