@@ -258,25 +258,40 @@ def _doubling(
         need = max(0, math.ceil(math.log2(max(depth_bound, seed_depth) / seed_depth)))
         bound_proven = need <= max_iterations
         rounds = min(rounds, need)
+    if bound_proven:
+        # Bound-proven rounds need no convergence counts at all — the
+        # counts were only ever the convergence probe — so rounds run
+        # in chained PAIRS between materializations: two squarings with
+        # a mid-plan dedup is exactly the (measured-good) seed shape —
+        # the mid dedup's exchange is identical on both sides of the
+        # next squaring, so ReuseExchange runs it once, and the plan
+        # stays two levels deep over a materialized checkpoint. A
+        # depth-≤16 closure is then ONE internal barrier (the seed
+        # count) and the caller's own action materializes the rest.
+        # (Deeper lazy chaining re-derives unmaterialized intermediates
+        # exponentially — the r2/r5 measured dead end.)
+        with adaptive_rounds(spark) as rt:
+            while rounds > 2:
+                rt(prev * 4)  # two chained squarings: ≤4× the relation
+                closure = rt.lift(
+                    _square(_square(closure).dropDuplicates()).dropDuplicates()
+                ).localCheckpoint(eager=False)
+                prev = closure.count()
+                rounds -= 2
+        out = closure
+        for _ in range(rounds):
+            out = _square(out).dropDuplicates()
+        return _lift(out, spark)
     with adaptive_rounds(spark) as rt:
-        for r in range(rounds):
+        for _ in range(rounds):
             rt(prev * 2)  # next round at most doubles the relation
             closure = rt.lift(
                 _square(closure).dropDuplicates()
             ).localCheckpoint(eager=False)
-            if bound_proven and r == rounds - 1:
-                # the bound proves this round converges — skip its
-                # convergence count and let the CALLER's action
-                # materialize the final round (one fewer barrier; the
-                # round executes under the caller's session confs,
-                # where AQE's runtime coalescing takes over the sizing)
-                return _lift(closure, spark)
             cur = closure.count()
             if cur == prev:
                 return _lift(closure, spark)
             prev = cur
-    if bound_proven:
-        return _lift(closure, spark)
     if strict:
         raise _nonconverged("doubling", max_iterations)
     return _lift(closure, spark)
