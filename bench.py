@@ -44,13 +44,18 @@ def _sf(sf_dir: str) -> float:
 
 
 def run_spark(
-    warm: bool = True, passes: int = 2, duck_con=None
+    warm: bool = True, passes: int = 3, duck_con=None
 ) -> tuple[dict[str, float], dict[str, float], dict[str, str], dict[str, float]]:
     """Run every query ``passes`` times; return (cold, steady, errors,
     duckdb) per-query seconds. Cold = first execution (includes Catalyst
     analysis + Java codegen compilation, the ~0.2-0.5 s/query floor an
-    embedded engine doesn't pay); steady = last execution (what a
-    resident engine serves once code is JIT-cached). Both are reported —
+    embedded engine doesn't pay); steady = MIN over the post-warm
+    executions (what a resident engine serves once code is JIT-cached).
+    Min-of-N, not last: this VM shows ±3-4× hypervisor contention
+    spikes, and the minimum is the standard spike-stripping estimator
+    of an engine's actual cost — applied IDENTICALLY to both engines
+    (DuckDB's steady is also min over its post-warm passes), so it
+    cannot flatter either side. Both cold and steady are reported —
     neither is hidden.
 
     When ``duck_con`` is provided, the DuckDB oracle runs INTERLEAVED —
@@ -66,6 +71,7 @@ def run_spark(
     # queries cheap (q_recursive_closure regresses 2 s → 33 s without
     # it). One engine config, no per-query special cases.
     spark = get_spark("dataworks_spark_bench")
+    passes = max(passes, 2)  # steady needs ≥1 post-warm pass
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     if warm:  # materialize the shared fixture-table caches once, off the clock
@@ -123,15 +129,19 @@ def run_spark(
             dt = round(time.perf_counter() - t0, 4)
             if p == 0:
                 cold[name] = dt
-            steady[name] = dt
+            else:
+                steady[name] = min(steady.get(name, dt), dt)
         if duck_con is not None and name in ORACLE_SQL:
             # DuckDB immediately after this query's Spark passes:
-            # symmetric 2-pass last-recorded, same contention window
+            # symmetric passes, min over post-warm, same contention
+            # window
             try:
-                for _ in range(max(passes, 1)):
+                for p in range(max(passes, 1)):
                     t0 = time.perf_counter()
                     duck_con.execute(ORACLE_SQL[name]).fetchall()
-                    duck_times[name] = round(time.perf_counter() - t0, 4)
+                    dt = round(time.perf_counter() - t0, 4)
+                    if p > 0:
+                        duck_times[name] = min(duck_times.get(name, dt), dt)
             except Exception as exc:  # noqa: BLE001 — a broken oracle row
                 errors[f"duckdb:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
                 duck_times.pop(name, None)
