@@ -334,6 +334,7 @@ def pack_sequences(
     target_tokens: int = 4096,
     lanes: int = 256,
     seed: int = 42,
+    assign: str = "hash",
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training packs (the
     greedy concat-and-chunk packing every pretraining data loader
@@ -353,20 +354,36 @@ def pack_sequences(
     the standard trade against bin-packing shuffles; the data loader
     truncates or rolls the tail into the next sequence.
 
+    ``assign`` picks the lane/order construction: ``"hash"`` (default)
+    hash-assigns lanes and orders by a decorrelated id-hash — the
+    production mode, which also SHUFFLES document order so a pack mixes
+    unrelated documents (the curriculum-neutral property trainers
+    want); ``"id"`` assigns ``id % lanes`` ordered by id — same packing
+    machinery, but reproducible by any engine (the mode the SQL oracle
+    checks; also the right choice when the caller has pre-ordered ids
+    deliberately).
+
     NULL token counts are rejected (they would poison every downstream
     running sum in their lane)."""
     if target_tokens <= 0:
         raise ValueError(f"target_tokens must be positive: {target_tokens}")
+    if assign not in ("hash", "id"):
+        raise ValueError(f"assign must be 'hash' or 'id': {assign!r}")
     from pyspark.sql import Window
 
     guard = F.assert_true(
         F.col(tokens_col).isNotNull(), F.lit(f"pack_sequences: null {tokens_col}")
     )
-    lane = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(lanes)).cast("int")
+    if assign == "hash":
+        lane = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(lanes)).cast("int")
+        order = [F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.col(id_col)]
+    else:
+        lane = F.pmod(F.col(id_col), F.lit(lanes)).cast("int")
+        order = [F.col(id_col)]
     out = df.withColumn("pack_lane", F.when(guard.isNull(), lane))
     w = (
         Window.partitionBy("pack_lane")
-        .orderBy(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.col(id_col))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))

@@ -224,6 +224,73 @@ class IvfIndex:
         return brute_force_cosine_topk(cands, self.vec_col, query_vec, k, id_cols)
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    query_id: str = "q_id",
+    query_vec_col: str = "qvec",
+    k: int = 10,
+) -> DataFrame:
+    """Batch k-nearest-neighbor join: for EVERY query row, the top-``k``
+    corpus rows by cosine — the set-valued generalization of
+    :func:`brute_force_cosine_topk` (one query) that an eval-retrieval
+    or hard-negative-mining pass runs over thousands of queries at once.
+    Output: ``(query_id, corpus_id, cos_sim, rank)``.
+
+    Scale shape (the part a naive one-window formulation gets wrong):
+    the query side broadcasts (queries are driver-bounded by definition
+    — thousands, not billions), scoring happens inside the corpus scan,
+    and top-k selection runs in TWO window passes. Pass 1 partitions by
+    ``(query, scan-partition-id)``: parallelism is ``n_parts × |Q|``
+    skew-free reducer groups with bounded per-group sorts, where a
+    single window keyed only by query would funnel ``|corpus|`` scored
+    rows through ONE reducer per query (5 queries → 5 reducers own the
+    whole corpus — the classic window-skew failure). Pass 2 ranks the
+    ``≤ n_parts × k`` survivors per query — a metadata-scale exchange.
+    Shuffled columns are the compact ``(qid, cid, cos)`` triple, never
+    vectors: the embedding column dies at the scan projection.
+
+    Ordering is deterministic: cosine is ROUNDed to 6 before ranking
+    (cross-engine float reduction convention, queries.py header) with
+    the corpus id as tiebreak. At 100 TB, compose with the ANN indexes:
+    probe an LshIndex/IvfIndex per query to cut the scanned fraction,
+    then re-rank the candidates through this exact join."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec_col).alias("__qv")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col("__qid"),
+        F.col(corpus_id).alias("__cid"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6).alias("__cos"),
+        F.spark_partition_id().alias("__part"),
+    )
+    w_local = Window.partitionBy("__qid", "__part").orderBy(
+        F.col("__cos").desc(), F.col("__cid")
+    )
+    survivors = (
+        scored.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__part")
+    )
+    w_global = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            F.col("__cos").alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def cosine_pairs_above(
     df: DataFrame,
     id_col: str,

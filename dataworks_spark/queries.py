@@ -774,6 +774,56 @@ def q_token_join(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (llm/retrieval.py): top-10 documents for
+    a 3-term query. Stats pass (N, Σdl, per-term df) is one map-side-
+    combined aggregation broadcast into the scoring scan; top-k is
+    TakeOrderedAndProject. Deterministic (exact integer counts, rounded
+    scores) → hash-checked against the same closed form in SQL."""
+    from dataworks_spark.llm.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["vector", "stream", "merge"], k=10)
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join (L3): 5 query vectors × top-3 corpus neighbors in
+    one pass — the two-window skew-free formulation (per-scan-partition
+    top-k, then a metadata-scale global rank)."""
+    from dataworks_spark.llm.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    return knn_join(corpus, queries, corpus_id="vec_id", vec_col="embedding", k=3)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (llm/pipeline.py) in its oracle-reproducible
+    ``assign="id"`` mode: fixed-token-budget training packs via hash
+    lanes + in-lane exclusive running totals — no global sort. The
+    production ``assign="hash"`` mode is the same machinery over a
+    decorrelated hash order (anchored by unit tests; xxhash64 isn't
+    reproducible in the oracle engine)."""
+    from dataworks_spark.llm.pipeline import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        d, id_col="doc_id", tokens_col="n_tokens",
+        target_tokens=512, lanes=8, assign="id",
+    )
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "pack_lane",
+        "pack_seq",
+    )
+
+
 def q_prepare_corpus(spark, sf_dir):
     """The composed L1→L4 corpus-preparation pipeline (llm/pipeline.py)
     run in its deterministic mode: exact dedup → language / quality /
@@ -1575,6 +1625,65 @@ ORACLE_SQL: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS win_start, event_type,
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "q_bm25_search": """
+        WITH feat AS (
+          SELECT doc_id, len(tk) AS dl,
+                 len(list_filter(tk, t -> t = 'vector')) AS tf0,
+                 len(list_filter(tk, t -> t = 'stream')) AS tf1,
+                 len(list_filter(tk, t -> t = 'merge'))  AS tf2
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                 SUM(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS df0,
+                 SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS df1,
+                 SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS df2
+          FROM feat
+        )
+        SELECT doc_id, ROUND(
+            ln(1 + (n_docs - df0 + 0.5)/(df0 + 0.5))
+              * tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+          + ln(1 + (n_docs - df1 + 0.5)/(df1 + 0.5))
+              * tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+          + ln(1 + (n_docs - df2 + 0.5)/(df2 + 0.5))
+              * tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs))), 6)
+          AS bm25
+        FROM feat CROSS JOIN stats
+        WHERE tf0>0 OR tf1>0 OR tf2>0
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    "q_knn_join": """
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+        ), c AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+        ), scored AS (
+          SELECT q_id, c.vec_id,
+                 ROUND(
+                   list_aggregate(list_transform(list_zip(embedding, qvec),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (SQRT(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * SQRT(list_aggregate(list_transform(qvec,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)
+                   AS cos_sim
+          FROM c, q
+        )
+        SELECT q_id, vec_id, cos_sim,
+               CAST(row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 3
+    """,
+    "q_pack_sequences": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS pack_lane,
+               CAST(floor(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / 512) AS BIGINT) AS pack_seq
+        FROM documents
     """,
 }
 

@@ -663,3 +663,96 @@ def test_write_corpus_shards_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2000
     assert sorted(r.doc_id for r in back.collect()) == list(range(2000))
+
+
+def test_bm25_ranks_rare_terms_higher(spark):
+    """BM25 sanity on a controlled corpus: the document containing the
+    rare query term outranks documents with only the common term; a
+    document with no query term never appears; precomputed-stats path
+    (the ingest-time split) returns identical scores."""
+    from dataworks_spark.llm.retrieval import bm25_topk, corpus_term_stats
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "quantum cat physics"),   # rare term: quantum
+        (4, "nothing relevant here at all"),
+        (5, "the the the the the the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["quantum", "the"], k=5).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids                      # no query term → no row
+    assert ids[0] == 3                       # rare-term doc wins
+    # doc 5 spams "the": tf saturation (k1) must keep it from winning
+    assert ids.index(5) > ids.index(3)
+    stats = corpus_term_stats(df, ["quantum", "the"])
+    again = bm25_topk(df, ["quantum", "the"], k=5, stats=stats).collect()
+    assert [(r.doc_id, r.bm25) for r in again] == [(r.doc_id, r.bm25) for r in out]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        bm25_topk(df, ["the", "the"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, [])
+
+
+def test_tfidf_vectors_shape_and_zeroes(spark):
+    from dataworks_spark.llm.retrieval import tfidf_vectors
+
+    rows = [(1, "alpha beta beta"), (2, "alpha gamma"), (3, "delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.tfidf for r in tfidf_vectors(df, ["alpha", "beta"]).collect()}
+    assert len(out) == 3 and all(len(v) == 2 for v in out.values())
+    assert out[3] == [0.0, 0.0]              # no vocab terms → zero vector
+    assert out[1][1] > out[1][0]             # beta: higher tf AND rarer
+    assert out[2][1] == 0.0
+
+
+def test_knn_join_matches_per_query_bruteforce(spark, emb):
+    """knn_join = brute_force_cosine_topk run per query: same ids, same
+    rounded scores, for every query vector."""
+    from dataworks_spark.llm.similarity import brute_force_cosine_topk, knn_join
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    got = knn_join(corpus, queries, "vec_id", "embedding", k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert sorted(by_q) == [0, 1, 2]
+    for q in by_q:
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == q).first()["embedding"]]
+        exact = brute_force_cosine_topk(
+            corpus.select("vec_id", "embedding"),
+            "embedding", qvec, k=5, id_cols=["vec_id"],
+        ).collect()
+        want_ids = [r.vec_id for r in exact]
+        got_sorted = [v for _, v, _ in sorted(by_q[q])]
+        assert got_sorted == want_ids, f"query {q}: {got_sorted} != {want_ids}"
+
+
+def test_pack_sequences_id_mode_matches_manual(spark):
+    """assign='id' packing equals the hand-computed running-total pack
+    for a small corpus; invalid modes rejected."""
+    import pytest as _pytest
+
+    from dataworks_spark.llm.pipeline import pack_sequences
+
+    rows = [(i, 10 * (i % 3 + 1)) for i in range(12)]  # tokens 10/20/30
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = {
+        r.doc_id: (r.pack_lane, r.pack_seq)
+        for r in pack_sequences(
+            df, target_tokens=25, lanes=2, assign="id"
+        ).collect()
+    }
+    # lane 0: ids 0,2,4,6,8,10 → tokens 10,30,20,10,30,20; exclusive
+    # cums 0,10,40,60,70,100 → seqs 0,0,1,2,2,4
+    assert [out[i] for i in (0, 2, 4, 6, 8, 10)] == [
+        (0, 0), (0, 0), (0, 1), (0, 2), (0, 2), (0, 4)
+    ]
+    with _pytest.raises(ValueError, match="assign"):
+        pack_sequences(df, assign="random")
