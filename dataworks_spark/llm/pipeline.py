@@ -272,6 +272,109 @@ def select_token_budget(
     return df.filter(bin_col >= F.lit(cutoff_bin))
 
 
+def mix_corpus(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    total_tokens: int | None = None,
+    seed: int = 42,
+    sample_mode: str = "hash",
+) -> DataFrame:
+    """Domain mixing: re-weight the corpus so each stratum (source /
+    domain / language) contributes ``weights``-proportional TOKEN mass —
+    the mixture step every pretraining data recipe runs (the public
+    Pile/LLaMA-style domain-weights construction). Appends an ``epoch``
+    column (0-based copy index; >0 only when a stratum upsamples).
+
+    Two modes:
+      ``total_tokens=None`` (default) — the LARGEST mix achievable
+      without upsampling: scale ``T = min_s(actual_s / w_s)``, keep
+      fraction ``f_s = w_s·T / actual_s`` (≤1 by construction; the
+      binding stratum keeps everything). No weight normalization is
+      involved, so the fractions are exact IEEE expressions of
+      (weights, totals) — reproducible by any engine.
+      ``total_tokens=N`` — hit an explicit token budget: ``f_s =
+      (w_s/Σw)·N / actual_s``; a stratum whose fraction exceeds 1 is
+      UPSAMPLED — ``floor(f_s)`` full copies plus a hash-selected
+      remainder, written as extra ``epoch`` values (repeat-epochs
+      semantics, the standard trade for scarce high-quality domains).
+
+    Scale shape: per-stratum token totals are ONE map-side-combined
+    aggregation (|strata| rows to the driver — domains are bounded by
+    construction); selection is a pure projection-time filter (hash
+    threshold), and upsampling is ``explode(sequence(...))`` — no
+    shuffle anywhere, composable with the scan. Sampling docs at rate
+    ``f_s`` keeps ``f_s`` of the stratum's token mass in expectation
+    (doc length is independent of the id hash by construction).
+
+    ``sample_mode``: ``"hash"`` (default) selects by salted id-hash —
+    layout/rerun-stable like :func:`hash_split`; ``"id"`` selects by a
+    Knuth multiplicative bucket ``((id % 1e6) · 2654435761) % 1e6`` —
+    same machinery in exact integer arithmetic any engine reproduces
+    (the SQL-oracle mode). The multiplier is odd and coprime to 1e6,
+    so it permutes the residues: DENSE ids spread uniformly over the
+    bucket space (a plain ``id % 1e6`` would keep every id below the
+    cut — a vacuous filter for small-id corpora). Products stay under
+    2.7e15, no 64-bit overflow either side.
+
+    Strata present in the corpus but absent from ``weights`` are
+    DROPPED (weight 0). Strata named in ``weights`` but absent from
+    the corpus raise — a silent miss would skew every other stratum's
+    share."""
+    import math
+
+    if sample_mode not in ("hash", "id"):
+        raise ValueError(f"sample_mode must be 'hash' or 'id': {sample_mode!r}")
+    if not weights or any(
+        not math.isfinite(w) or w <= 0 for w in weights.values()
+    ):
+        raise ValueError(f"weights must be finite and positive: {weights}")
+    totals = {
+        r["s"]: r["t"]
+        for r in df.filter(F.col(strata_col).isin(*weights))
+        .groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(tokens_col).alias("t"))
+        .collect()
+    }
+    missing = sorted(set(weights) - set(totals))
+    if missing:
+        raise ValueError(f"strata in weights but not in corpus: {missing}")
+    if total_tokens is None:
+        scale = min(totals[s] / weights[s] for s in weights)
+        fracs = {s: weights[s] * scale / totals[s] for s in weights}
+    else:
+        if total_tokens <= 0:
+            raise ValueError(f"total_tokens must be positive: {total_tokens}")
+        wsum = sum(weights[s] for s in sorted(weights))
+        fracs = {s: (weights[s] / wsum) * total_tokens / totals[s] for s in weights}
+    if sample_mode == "hash":
+        bucket = _hash_bucket(F.col(id_col), seed, "mix_corpus")
+    else:
+        bucket = F.pmod(
+            F.pmod(F.col(id_col), F.lit(_HASH_BUCKETS)) * F.lit(2654435761),
+            F.lit(_HASH_BUCKETS),
+        )
+    full, rem_cut = None, None
+    for s in sorted(weights):
+        nf = F.lit(int(fracs[s]))
+        rc = F.lit(int((fracs[s] - int(fracs[s])) * _HASH_BUCKETS))
+        cond = F.col(strata_col) == F.lit(s)
+        full = F.when(cond, nf) if full is None else full.when(cond, nf)
+        rem_cut = F.when(cond, rc) if rem_cut is None else rem_cut.when(cond, rc)
+    copies = full + (bucket < rem_cut).cast("int")
+    return (
+        df.filter(F.col(strata_col).isin(*weights))
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+        )
+        .drop("__copies")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

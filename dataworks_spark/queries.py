@@ -824,6 +824,27 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_mix_corpus(spark, sf_dir):
+    """Domain mixing (llm/pipeline.py): 0.5/0.3/0.2 token-share targets
+    over three sources, largest no-upsample mix, in the
+    oracle-reproducible ``sample_mode="id"``. The oracle SQL recomputes
+    the whole construction — per-stratum token totals, the binding
+    ``min(actual/w)`` scale, keep fractions, the modular-bucket filter
+    — so the driver hash-checks the selection logic end-to-end, not
+    just the row shape."""
+    from dataworks_spark.llm.pipeline import mix_corpus
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    mixed = mix_corpus(
+        d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, sample_mode="id"
+    )
+    return mixed.select("doc_id", "source", "n_tokens", "epoch")
+
+
 def q_prepare_corpus(spark, sf_dir):
     """The composed L1→L4 corpus-preparation pipeline (llm/pipeline.py)
     run in its deterministic mode: exact dedup → language / quality /
@@ -1674,6 +1695,28 @@ ORACLE_SQL: dict[str, str] = {
                  PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
         FROM scored
         QUALIFY rank <= 3
+    """,
+    "q_mix_corpus": """
+        WITH tok AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        ), tw(source, w) AS (
+          VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                 ('src1', CAST(0.3 AS DOUBLE)),
+                 ('src2', CAST(0.2 AS DOUBLE))
+        ), tot AS (
+          SELECT source, SUM(n_tokens) AS actual FROM tok GROUP BY source
+        ), scale AS (
+          SELECT MIN(CAST(actual AS DOUBLE) / w) AS t FROM tot JOIN tw USING (source)
+        ), frac AS (
+          SELECT source, w * t / CAST(actual AS DOUBLE) AS f
+          FROM tot JOIN tw USING (source) CROSS JOIN scale
+        )
+        SELECT doc_id, source, n_tokens, 0 AS epoch
+        FROM tok JOIN frac USING (source)
+        WHERE ((doc_id % 1000000) * 2654435761) % 1000000 <
+              FLOOR(f) * 1000000 + FLOOR((f - FLOOR(f)) * 1000000)
     """,
     "q_pack_sequences": """
         SELECT doc_id,

@@ -756,3 +756,44 @@ def test_pack_sequences_id_mode_matches_manual(spark):
     ]
     with _pytest.raises(ValueError, match="assign"):
         pack_sequences(df, assign="random")
+
+
+def test_mix_corpus_proportions_and_upsampling(spark):
+    """Domain mixing: no-upsample mode keeps the binding stratum whole
+    and hits the target token shares within hash-sampling noise;
+    total_tokens mode upsamples scarce strata via repeat epochs;
+    guards fire on absent strata / bad weights."""
+    import pytest as _pytest
+
+    from dataworks_spark.llm.pipeline import mix_corpus
+
+    rows = [(i, "a" if i < 800 else "b", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    # a: 80k tokens, b: 20k. Targets 50/50 → binding stratum is b
+    # (20k/0.5 = 40k < 80k/0.5): b keeps all, a keeps 20k/80k = 1/4.
+    mixed = mix_corpus(df, "source", {"a": 0.5, "b": 0.5})
+    by_src = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["b"] == 200                      # binding stratum: whole
+    assert 170 <= by_src["a"] <= 230               # ~200 of 800 (hash noise)
+    assert mixed.filter(F.col("epoch") != 0).count() == 0
+    # determinism under layout: same rows after a repartition
+    again = mix_corpus(df.repartition(13), "source", {"a": 0.5, "b": 0.5})
+    assert sorted(r.doc_id for r in mixed.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # explicit budget with upsampling: 50/50 of 80k tokens → b needs
+    # 40k from its 20k → f=2.0 → every b doc appears exactly twice
+    up = mix_corpus(df, "source", {"a": 0.5, "b": 0.5}, total_tokens=80_000)
+    b_rows = up.filter(F.col("source") == "b")
+    assert b_rows.count() == 400
+    assert b_rows.groupBy("doc_id").count().filter(F.col("count") != 2).count() == 0
+    assert set(r.epoch for r in b_rows.select("epoch").distinct().collect()) == {0, 1}
+    with _pytest.raises(ValueError, match="not in corpus"):
+        mix_corpus(df, "source", {"a": 0.5, "zzz": 0.5})
+    with _pytest.raises(ValueError, match="positive"):
+        mix_corpus(df, "source", {"a": -1.0})
+    with _pytest.raises(ValueError, match="sample_mode"):
+        mix_corpus(df, "source", {"a": 1.0}, sample_mode="random")
