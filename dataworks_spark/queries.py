@@ -845,6 +845,45 @@ def q_mix_corpus(spark, sf_dir):
     return mixed.select("doc_id", "source", "n_tokens", "epoch")
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing (llm/privacy.py): deterministic synthetic PII is
+    injected per doc (the fixture corpus is clean by construction —
+    doc_id % 4 picks email/phone/ipv4/ssn), then redacted and counted.
+    Both the replacement chain and the per-kind counts are
+    hash-checked; patterns live in the Java∩RE2 regex subset so both
+    engines interpret them identically."""
+    from dataworks_spark.llm.privacy import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("mail u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("call (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+        )
+        .otherwise(F.lit("id 123-45-6789")),
+        F.lit(" "),
+        F.col("text"),
+    )
+    salted = d.select("doc_id", injected.alias("text"))
+    counts = pii_counts(F.col("text"))
+    return salted.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("clean_text"),
+        *[counts[k].cast("bigint").alias(f"n_{k}") for k in ("email", "ssn", "ipv4", "phone")],
+    )
+
+
 def q_prepare_corpus(spark, sf_dir):
     """The composed L1→L4 corpus-preparation pipeline (llm/pipeline.py)
     run in its deterministic mode: exact dedup → language / quality /
@@ -1717,6 +1756,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM tok JOIN frac USING (source)
         WHERE ((doc_id % 1000000) * 2654435761) % 1000000 <
               FLOOR(f) * 1000000 + FLOOR((f - FLOOR(f)) * 1000000)
+    """,
+    "q_redact_pii": """
+        WITH salted AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id % 4 = 0 THEN 'mail u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   WHEN doc_id % 4 = 1 THEN 'call (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   WHEN doc_id % 4 = 2 THEN 'host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                   ELSE 'id 123-45-6789'
+                 END || ' ' || text AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[PII]', 'g'),
+                   '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[PII]', 'g'),
+                 '(?:\\([0-9]{3}\\)[ .-]?|\\b[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}\\b',
+                 '[PII]', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(text,
+                 '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                 '(?:\\([0-9]{3}\\)[ .-]?|\\b[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}\\b')) AS BIGINT) AS n_phone
+        FROM salted
     """,
     "q_pack_sequences": """
         SELECT doc_id,

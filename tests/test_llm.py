@@ -797,3 +797,41 @@ def test_mix_corpus_proportions_and_upsampling(spark):
         mix_corpus(df, "source", {"a": -1.0})
     with _pytest.raises(ValueError, match="sample_mode"):
         mix_corpus(df, "source", {"a": 1.0}, sample_mode="random")
+
+
+def test_redact_pii_masks_and_counts(spark):
+    """Every built-in pattern masks its shape, counts line up, clean
+    text is idempotent under a second pass, and custom pattern sets
+    override the defaults."""
+    from dataworks_spark.llm.privacy import pii_counts, redact_pii
+
+    rows = [
+        (1, "write bob.smith+x@corp.example.org today"),
+        (2, "call (555) 010-1234 or 555-010-9999 now"),
+        (3, "ssn 123-45-6789 leaked from 192.168.1.200"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    counts = pii_counts(F.col("text"))
+    out = df.select(
+        "id",
+        redact_pii(F.col("text")).alias("clean"),
+        *[v.alias(k) for k, v in counts.items()],
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].email == 1 and "@" not in by_id[1].clean
+    assert by_id[2].phone == 2 and "555" not in by_id[2].clean
+    assert by_id[3].ssn == 1 and by_id[3].ipv4 == 1
+    assert "123-45-6789" not in by_id[3].clean and "192.168" not in by_id[3].clean
+    assert by_id[4].clean == "nothing sensitive here"
+    # idempotent: redacting clean text changes nothing
+    again = (
+        spark.createDataFrame([(r.id, r.clean) for r in out], "id long, text string")
+        .select("id", redact_pii(F.col("text")).alias("clean2"))
+        .collect()
+    )
+    assert {r.id: r.clean2 for r in again} == {r.id: r.clean for r in out}
+    custom = df.select(
+        redact_pii(F.col("text"), {"num": r"[0-9]+"}, token="#").alias("c")
+    ).collect()
+    assert all(not any(ch.isdigit() for ch in r.c) for r in custom)
