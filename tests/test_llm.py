@@ -835,3 +835,83 @@ def test_redact_pii_masks_and_counts(spark):
         redact_pii(F.col("text"), {"num": r"[0-9]+"}, token="#").alias("c")
     ).collect()
     assert all(not any(ch.isdigit() for ch in r.c) for r in custom)
+
+
+def test_incremental_corpus_dedup_across_batches(spark, tmp_path):
+    """Cross-batch exact dedup: in-batch dups collapse, previously
+    ingested content is rejected, redelivery of a whole batch appends
+    nothing (idempotent by value, no epoch ledger), and the hash-cache
+    mirror stays consistent with the derived truth."""
+    from dataworks_spark.llm.incremental import IncrementalCorpus, novel_rows
+
+    corpus = IncrementalCorpus(
+        spark, str(tmp_path / "corpus"), hash_cache_path=str(tmp_path / "hashes")
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")],  # 3 dups 1
+        "doc_id long, text string",
+    )
+    assert corpus.ingest(b1) == 2
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 2]
+    b2 = spark.createDataFrame(
+        [(4, "beta doc"), (5, "gamma doc")], "doc_id long, text string"
+    )
+    assert corpus.ingest(b2) == 1
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 2, 5]
+    # redelivery (at-least-once): absorbed, nothing appended
+    assert corpus.ingest(b2) == 0
+    assert corpus.read().count() == 3
+    # hash-cache mirror == derived hash set; rebuild is a no-op change
+    mirror = {r.content_hash for r in spark.read.parquet(str(tmp_path / "hashes")).collect()}
+    derived = {
+        r.h for r in corpus.read().select(F.xxhash64("text").alias("h")).collect()
+    }
+    assert mirror == derived
+    corpus.rebuild_hash_cache()
+    assert {
+        r.content_hash
+        for r in spark.read.parquet(str(tmp_path / "hashes")).collect()
+    } == derived
+    # novel_rows with no existing corpus = plain in-batch dedup
+    assert novel_rows(b1, None).count() == 2
+
+
+def test_incremental_corpus_streaming_ingest(spark, tmp_path):
+    """The foreachBatch adapter dedups across real micro-batch epochs:
+    two parquet drops with overlapping content, processed as separate
+    epochs, land exactly once."""
+    from dataworks_spark.llm.incremental import IncrementalCorpus
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = IncrementalCorpus(spark, str(tmp_path / "corpus"))
+    spark.createDataFrame(
+        [(1, "doc one"), (2, "doc two")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(corpus.for_each_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert corpus.read().count() == 2
+    # second drop: one dup of doc two, one novel
+    spark.createDataFrame(
+        [(9, "doc two"), (10, "doc three")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(corpus.for_each_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.doc_id, r.text) for r in corpus.read().collect()}
+    assert rows == {(1, "doc one"), (2, "doc two"), (10, "doc three")}
