@@ -242,13 +242,13 @@ def _doubling(
     closure = _lift(
         seed.dropDuplicates(), _fixpoint_session(spark)
     ).localCheckpoint(eager=False)
-    prev = closure.count()
-    if depth_bound is not None and seed_depth >= depth_bound:
-        # the seed alone covers the bound — converged by construction
-        return _lift(closure, spark)
     rounds = max_iterations
     bound_proven = False
     if depth_bound is not None:
+        if seed_depth >= depth_bound:
+            # the seed alone covers the bound — converged by
+            # construction; the caller's action materializes it
+            return _lift(closure, spark)
         # seed covers depth ≤ seed_depth; after r rounds, depth ≤
         # seed_depth·2^r — the bound proves convergence, no trailing
         # no-growth probe needed. The proof only holds if the loop
@@ -258,6 +258,22 @@ def _doubling(
         need = max(0, math.ceil(math.log2(max(depth_bound, seed_depth) / seed_depth)))
         bound_proven = need <= max_iterations
         rounds = min(rounds, need)
+    if bound_proven and rounds <= 2:
+        # ZERO internal barriers: with ≤2 bound-proven rounds left
+        # there is no sized loop to run, so the seed's convergence
+        # count — whose only remaining job was materializing the
+        # checkpoint — is dropped too. The trailing squarings chain
+        # lazily over the checkpoint-marked seed; the caller's own
+        # action materializes seed and squarings in ONE job (the
+        # checkpoint node still computes once and both join sides of
+        # each squaring read its stored partitions — this is NOT the
+        # measured unmaterialized-chain dead end, which lacked the
+        # mid-chain checkpoint).
+        out = closure
+        for _ in range(rounds):
+            out = _square(out).dropDuplicates()
+        return _lift(out, spark)
+    prev = closure.count()
     if bound_proven:
         # Bound-proven rounds need no convergence counts at all — the
         # counts were only ever the convergence probe — so rounds run

@@ -19,7 +19,17 @@ from tests.conftest import SF_DIR
 #: q_embed_neardup opts into the exact O(n²) verify kernel; the ANN /
 #: cosine queries cross-join a broadcast single-row query vector
 #: (a 1×n map-side expansion, not an n×m blowup).
-NESTED_LOOP_OK = {"q_embed_neardup", "q_cosine_topk", "q_embed_lsh_topk", "q_embed_ivf_topk"}
+#: q_knn_join broadcasts its bounded query-vector SET (|Q| rows by
+#: construction); q_bm25_search broadcasts its ONE-row stats aggregate
+#: into the scoring scan — both are 1/|Q|×n map-side expansions.
+NESTED_LOOP_OK = {
+    "q_embed_neardup",
+    "q_cosine_topk",
+    "q_embed_lsh_topk",
+    "q_embed_ivf_topk",
+    "q_knn_join",
+    "q_bm25_search",
+}
 
 
 @pytest.fixture(autouse=True)
