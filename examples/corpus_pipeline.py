@@ -1,0 +1,102 @@
+"""End-to-end training-corpus build — the LLM-pipeline tier composed
+the way a data team would run it nightly at 100 TB:
+
+    raw documents
+      → PII scrub (privacy tier — BEFORE dedup, so masked twins
+        become exact duplicates)
+      → prepare_corpus (exact + near dedup, language/quality/
+        repetition filters, per-doc accounting)
+      → decontaminate (drop docs sharing 5-grams with an eval set)
+      → mix_corpus (domain token-share targets)
+      → hash_split (layout-stable train/val/test)
+      → select_token_budget (keep best-quality docs under budget)
+      → pack_sequences (fixed-token training packs)
+      → write_corpus_shards (partitioned, hash-spread parquet)
+
+Run directly (``python examples/corpus_pipeline.py``) against the
+sf0.001 fixtures, or import :func:`main` (the smoke test does).
+Every stage is a pure DataFrame transform; the only actions are the
+bounded control-plane aggregations (domain totals, quality histogram)
+and the final write.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
+    from dataworks_spark.llm.pipeline import (
+        CorpusConfig,
+        hash_split,
+        mix_corpus,
+        pack_sequences,
+        prepare_corpus,
+        select_token_budget,
+        write_corpus_shards,
+    )
+    from dataworks_spark.llm.pipeline import decontaminate
+    from dataworks_spark.llm.privacy import redact_pii
+    from dataworks_spark.session import get_spark, load_table
+
+    spark = spark or get_spark("corpus_pipeline_demo")
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. scrub: masked PII must not survive into dedup hashes
+    scrubbed = docs.withColumn("text", redact_pii(F.col("text")))
+
+    # 2. dedup + quality filters + accounting (one fused projection)
+    prepared = prepare_corpus(
+        scrubbed, config=CorpusConfig(near_dup=True, min_tokens=5)
+    )
+
+    # 3. benchmark decontamination: first 5 docs stand in for evals
+    eval_set = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    clean = decontaminate(
+        prepared.filter(F.col("doc_id") >= 5), eval_set, ngram_n=5
+    )
+
+    # 4. domain mixing: equal token shares from the first four sources
+    mixed = mix_corpus(
+        clean,
+        "source",
+        {s: 1.0 for s in ("src0", "src1", "src2", "src3")},
+    )
+
+    # 5. deterministic splits, 6. token budget on the train split
+    split = hash_split(mixed, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = split.filter(F.col("split") == "train")
+    budgeted = select_token_budget(train, budget_tokens=2000)
+
+    # 7. pack into 512-token training sequences, 8. shard to disk
+    packed = pack_sequences(budgeted, target_tokens=512, lanes=4)
+    out_path = os.path.join(workdir, "corpus")
+    write_corpus_shards(
+        split.join(
+            packed.select("doc_id", "pack_lane", "pack_seq"), "doc_id", "left"
+        ),
+        out_path,
+        files_per_partition=2,
+    )
+
+    stats = {
+        "n_raw": docs.count(),
+        "n_prepared": prepared.count(),
+        "n_clean": clean.count(),
+        "n_mixed": mixed.count(),
+        "n_train_budgeted": budgeted.count(),
+        "n_packs": packed.select("pack_lane", "pack_seq").dropDuplicates().count(),
+        "out_path": out_path,
+    }
+    return stats
+
+
+if __name__ == "__main__":
+    import tempfile
+
+    print(main(tempfile.mkdtemp(prefix="corpus_demo_")))
