@@ -169,6 +169,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    qgram_filter: bool = False,
+    q: int = 3,
+) -> DataFrame:
+    """Approximate-string join: all ordered pairs within ``max_dist``
+    Levenshtein edits — the fuzzy-match primitive for entity
+    resolution / noisy-duplicate triage. Output (id_a, id_b, dist).
+
+    Candidate generation is SOUND length-band blocking: bucket =
+    ``len // (max_dist+1)``; since edit distance ≤ d forces length
+    difference ≤ d < bucket width, a true pair's buckets differ by at
+    most 1 — the left side expands to its bucket ± 1 (a 3× row
+    expansion, not a self-join blowup) and equi-joins the right side's
+    single bucket, so every true pair is generated EXACTLY once and
+    completeness is a theorem, not a heuristic. Verification is the
+    built-in ``levenshtein`` (JVM DP kernel). The length filter inside
+    the bucket prunes the d<width remainder before the DP runs.
+
+    ``qgram_filter=True`` adds the Gravano count filter between
+    blocking and verify: pairs must share ≥ max(n_a, n_b) − d·q
+    DISTINCT q-gram hashes (computed by the shared co-occurrence pair
+    kernel). On strings with repeated q-grams the distinct-set count
+    undercounts the multiset bound, so this path can miss highly
+    repetitive near-matches — it is the opt-in scale heuristic for
+    blocks too large to verify exhaustively; the default path is
+    exact."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be ≥ 0: {max_dist}")
+    width = max_dist + 1
+    bucket = F.floor(F.length(text_col) / width).cast("int")
+    left = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("t_a"), bucket.alias("__b0")
+    ).select(
+        "id_a",
+        "t_a",
+        F.explode(
+            F.array(F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1)
+        ).alias("__b"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("t_b"), bucket.alias("__b")
+    )
+    cands = (
+        left.join(right, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("t_a") - F.length("t_b")) <= max_dist
+        )
+    )
+    if qgram_filter:
+        grams = df.select(
+            F.col(id_col).alias("doc"), shingle_char_hashes(F.col(text_col), q).alias("g")
+        ).select("doc", F.size("g").alias("n_g"), F.explode("g").alias("gram"))
+        shared = cooccurrence_pairs(grams, "doc", "gram", size_col="n_g").filter(
+            F.col("inter") >= F.greatest(F.col("na"), F.col("nb")) - max_dist * q
+        )
+        cands = cands.join(
+            shared.select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            ),
+            on=["id_a", "id_b"],
+            how="left_semi",
+        )
+    return (
+        cands.withColumn("dist", F.levenshtein("t_a", "t_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def shingle_char_hashes(text: Column, q: int = 3) -> Column:
+    """xxhash64 of each distinct CHARACTER q-gram (array<long>) — the
+    string-join analog of :func:`shingle_hashes`' word shingles."""
+    n = F.length(text) - q + 1
+    # sequence(1, n) DESCENDS when n < 1 (it auto-steps -1), which
+    # would fabricate grams for short strings — guard to empty instead
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.xxhash64(text.substr(i, F.lit(q)))
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
     """xxhash64 of each distinct word shingle — array<long>, built
     WITHOUT shingle strings (:func:`word_ngram_hashes`). The

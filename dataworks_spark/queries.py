@@ -884,6 +884,20 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_edit_distance_join(spark, sf_dir):
+    """Approximate string join (llm/dedup.py edit_distance_pairs):
+    customer-name pairs within 2 edits over a bounded key range. The
+    Spark side blocks by length band (provably complete for edit ≤ d)
+    then verifies with the levenshtein DP; the oracle brute-forces the
+    same pairs, so a hash match proves the blocking lost nothing."""
+    from dataworks_spark.llm.dedup import edit_distance_pairs
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    return edit_distance_pairs(c, "c_custkey", "c_name", max_dist=2).select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
 def q_prepare_corpus(spark, sf_dir):
     """The composed L1→L4 corpus-preparation pipeline (llm/pipeline.py)
     run in its deterministic mode: exact dedup → language / quality /
@@ -1756,6 +1770,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM tok JOIN frac USING (source)
         WHERE ((doc_id % 1000000) * 2654435761) % 1000000 <
               FLOOR(f) * 1000000 + FLOOR((f - FLOOR(f)) * 1000000)
+    """,
+    "q_edit_distance_join": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a, customer b
+        WHERE a.c_custkey < 150 AND b.c_custkey < 150
+          AND a.c_custkey < b.c_custkey
+          AND abs(length(a.c_name) - length(b.c_name)) <= 2
+          AND levenshtein(a.c_name, b.c_name) <= 2
     """,
     "q_redact_pii": """
         WITH salted AS (

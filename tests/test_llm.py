@@ -915,3 +915,55 @@ def test_incremental_corpus_streaming_ingest(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r.doc_id, r.text) for r in corpus.read().collect()}
     assert rows == {(1, "doc one"), (2, "doc two"), (10, "doc three")}
+
+
+def test_edit_distance_pairs_blocking_and_qgram_filter(spark):
+    """Length-band blocking finds every true pair on a controlled set
+    (verified against a driver-side brute force); the q-gram prefilter
+    keeps the unique-gram pairs; short strings produce no grams."""
+    import itertools
+
+    from dataworks_spark.llm.dedup import edit_distance_pairs, shingle_char_hashes
+
+    names = [
+        (1, "jonathan smith"),
+        (2, "jonathan smyth"),     # 1 sub
+        (3, "jonathen smith jr"),  # too far from 1 (3 edits)
+        (4, "jon smith"),
+        (5, "completely other"),
+        (6, "jonathan smithe"),    # 1 insert vs 1
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    import pyspark.sql.functions  # noqa: F401 — keep module import local
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (a_id, b_id): lev(a, b)
+        for (a_id, a), (b_id, b) in itertools.combinations(names, 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+    # q-gram prefilter: recall on unique-gram strings is total here
+    filtered = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(
+            df, "id", "name", max_dist=2, qgram_filter=True
+        ).collect()
+    }
+    assert filtered == want
+    # guard: strings shorter than q yield an empty gram array, not junk
+    short = spark.createDataFrame([("ab",)], "t string").select(
+        F.size(shingle_char_hashes(F.col("t"), 3)).alias("n")
+    ).first()
+    assert short.n == 0
