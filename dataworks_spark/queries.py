@@ -1187,6 +1187,37 @@ def q_events_tumbling(spark, sf_dir):
     )
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time windows (I10 — the overlapping-window variant
+    of q_events_tumbling): 1-hour windows every 30 minutes, so each
+    event lands in exactly two. The oracle reproduces Spark's
+    epoch-aligned window starts via time_bucket + its 30-minute
+    predecessor (DuckDB's 2000-01-01 bucket origin is 30-minute-aligned
+    with the epoch, so the grids coincide)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (the inverse of D6's pivot): customer balance and
+    order-count measures as (key, measure, value) rows via the built-in
+    ``unpivot`` — wide→long is a projection-time explode, no shuffle."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "nationkey"], "measure", "value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------
@@ -1699,6 +1730,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS win_start, event_type,
                COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "q_events_sliding": """
+        WITH w AS (
+          SELECT event_type, value,
+                 unnest([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS win_start
+          FROM events
+        )
+        SELECT win_start, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM w GROUP BY 1, 2
+    """,
+    "q_unpivot": """
+        SELECT c_custkey, measure, value
+        FROM (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey
+          FROM customer WHERE c_custkey <= 100
+        )
+        UNPIVOT (value FOR measure IN (acctbal, nationkey))
     """,
     "q_bm25_search": """
         WITH feat AS (
