@@ -967,3 +967,46 @@ def test_edit_distance_pairs_blocking_and_qgram_filter(spark):
         F.size(shingle_char_hashes(F.col("t"), 3)).alias("n")
     ).first()
     assert short.n == 0
+
+
+def test_pack_sequences_reconstruction_property(spark):
+    """For random token distributions and BOTH assignment modes, the
+    (lane, seq) Spark assigns equals a driver-side reconstruction from
+    the mode's own ordering — i.e. pack_seq is exactly
+    floor(exclusive-running-total / target) in every lane, every doc
+    appears once, and the greedy bound (pack total minus its last doc
+    < target) holds for every pack."""
+    import random as _random
+
+    from dataworks_spark.llm.pipeline import pack_sequences
+
+    for seed_case in (0, 1):
+        rng = _random.Random(seed_case)
+        rows = [(i, rng.randint(1, 700)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+        for mode in ("hash", "id"):
+            packed = pack_sequences(
+                df, target_tokens=1000, lanes=7, seed=42, assign=mode
+            )
+            # surface the mode's order key so the reconstruction uses
+            # the engine's own hash values, not a python reimpl
+            order_key = (
+                F.xxhash64(F.lit(43), F.col("doc_id"))
+                if mode == "hash"
+                else F.col("doc_id")
+            )
+            got = packed.withColumn("ordkey", order_key).collect()
+            assert len(got) == 300 and len({r.doc_id for r in got}) == 300
+            lanes = {}
+            for r in got:
+                lanes.setdefault(r.pack_lane, []).append(r)
+            for lane_rows in lanes.values():
+                lane_rows.sort(key=lambda r: (r.ordkey, r.doc_id))
+                cum = 0
+                packs = {}
+                for r in lane_rows:
+                    assert r.pack_seq == cum // 1000, (mode, r)
+                    cum += r.n_tokens
+                    packs.setdefault(r.pack_seq, []).append(r.n_tokens)
+                for toks in packs.values():
+                    assert sum(toks) - toks[-1] < 1000
