@@ -281,6 +281,7 @@ def mix_corpus(
     total_tokens: int | None = None,
     seed: int = 42,
     sample_mode: str = "hash",
+    max_epochs: int = 100,
 ) -> DataFrame:
     """Domain mixing: re-weight the corpus so each stratum (source /
     domain / language) contributes ``weights``-proportional TOKEN mass —
@@ -349,6 +350,16 @@ def mix_corpus(
             raise ValueError(f"total_tokens must be positive: {total_tokens}")
         wsum = sum(weights[s] for s in sorted(weights))
         fracs = {s: (weights[s] / wsum) * total_tokens / totals[s] for s in weights}
+        blown = {s: round(f, 1) for s, f in fracs.items() if f > max_epochs}
+        if blown:
+            # a typo'd budget would otherwise explode every row of a
+            # scarce stratum into thousands of epoch copies — refuse
+            # loudly; repeat counts beyond ~tens of epochs are a recipe
+            # error, not a mixing decision
+            raise ValueError(
+                f"total_tokens={total_tokens} needs over {max_epochs} repeat "
+                f"epochs for strata {blown}; raise max_epochs if intended"
+            )
     if sample_mode == "hash":
         bucket = _hash_bucket(F.col(id_col), seed, "mix_corpus")
     else:

@@ -797,6 +797,8 @@ def test_mix_corpus_proportions_and_upsampling(spark):
         mix_corpus(df, "source", {"a": -1.0})
     with _pytest.raises(ValueError, match="sample_mode"):
         mix_corpus(df, "source", {"a": 1.0}, sample_mode="random")
+    with _pytest.raises(ValueError, match="repeat"):
+        mix_corpus(df, "source", {"a": 0.5, "b": 0.5}, total_tokens=50_000_000)
 
 
 def test_redact_pii_masks_and_counts(spark):
