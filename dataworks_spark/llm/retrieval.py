@@ -36,6 +36,23 @@ def _term_tf(toks: Column, term: str) -> Column:
     return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
 
+def _feat_struct(text_col: str, terms: list[str]) -> Column:
+    """``struct(dl, tf0..tfN)`` for a document, with the tokenization
+    evaluated ONCE: the single-element ``transform`` is a let-binding
+    (codegen does no CSE across higher-order lambdas, and
+    CollapseProject re-inlines a projected alias into every reference
+    — so without the binding each tf column would re-run the split;
+    same trick as llm/dedup.shingle_hashes)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    return F.transform(
+        F.array(toks),
+        lambda tk: F.struct(
+            F.size(tk).alias("dl"),
+            *[_term_tf(tk, t).alias(f"tf{i}") for i, t in enumerate(terms)],
+        ),
+    ).getItem(0)
+
+
 def corpus_term_stats(
     df: DataFrame,
     query_terms: list[str],
@@ -49,16 +66,12 @@ def corpus_term_stats(
 
     This is the ingest-time half of BM25 at scale: one
     map-side-combined aggregation over the scan, one row out."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    feat = df.select(
-        F.size(toks).alias("__dl"),
-        *[_term_tf(toks, t).alias(f"__tf{i}") for i, t in enumerate(query_terms)],
-    )
+    feat = df.select(_feat_struct(text_col, query_terms).alias("__s"))
     return feat.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__dl").alias("sum_dl"),
+        F.sum("__s.dl").alias("sum_dl"),
         *[
-            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"df{i}")
+            F.sum((F.col(f"__s.tf{i}") > 0).cast("long")).alias(f"df{i}")
             for i in range(len(query_terms))
         ],
     )
@@ -86,11 +99,14 @@ def bm25_score(
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError(f"duplicate query terms would double-count: {query_terms}")
-    toks = F.split(F.lower(F.col(text_col)), " ")
     feat = df.select(
-        F.col(id_col),
-        F.size(toks).alias("__dl"),
-        *[_term_tf(toks, t).alias(f"__tf{i}") for i, t in enumerate(query_terms)],
+        F.col(id_col), _feat_struct(text_col, query_terms).alias("__s")
+    ).select(
+        # field extraction from the one materialized struct column —
+        # cheap refs, the split has already run exactly once
+        id_col,
+        F.col("__s.dl").alias("__dl"),
+        *[F.col(f"__s.tf{i}").alias(f"__tf{i}") for i in range(len(query_terms))],
     )
     st = stats if stats is not None else corpus_term_stats(df, query_terms, text_col)
     scored = feat.crossJoin(F.broadcast(st))
@@ -157,10 +173,11 @@ def tfidf_vectors(
     tier (cosine_similarity over the returned array)."""
     if not vocab_terms:
         raise ValueError("vocab_terms must be non-empty")
-    toks = F.split(F.lower(F.col(text_col)), " ")
     feat = df.select(
-        F.col(id_col),
-        *[_term_tf(toks, t).alias(f"__tf{i}") for i, t in enumerate(vocab_terms)],
+        F.col(id_col), _feat_struct(text_col, vocab_terms).alias("__s")
+    ).select(
+        id_col,
+        *[F.col(f"__s.tf{i}").alias(f"__tf{i}") for i in range(len(vocab_terms))],
     )
     stats = feat.agg(
         F.count(F.lit(1)).alias("n_docs"),
