@@ -257,8 +257,6 @@ def knn_join(
     the corpus id as tiebreak. At 100 TB, compose with the ANN indexes:
     probe an LshIndex/IvfIndex per query to cut the scanned fraction,
     then re-rank the candidates through this exact join."""
-    from pyspark.sql import Window
-
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("__qid"), F.col(query_vec_col).alias("__qv")
@@ -270,6 +268,13 @@ def knn_join(
         F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6).alias("__cos"),
         F.spark_partition_id().alias("__part"),
     )
+    return _rank_scored(scored, query_id, corpus_id, k)
+
+
+def _rank_scored(scored: DataFrame, query_id: str, corpus_id: str, k: int) -> DataFrame:
+    """Shared two-window top-k over (__qid, __cid, __cos, __part)."""
+    from pyspark.sql import Window
+
     w_local = Window.partitionBy("__qid", "__part").orderBy(
         F.col("__cos").desc(), F.col("__cid")
     )
@@ -289,6 +294,73 @@ def knn_join(
             "rank",
         )
     )
+
+
+def knn_join_lsh(
+    index: "LshIndex",
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str = "q_id",
+    query_vec_col: str = "qvec",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ANN-composed batch kNN: each query scans only its ``n_probe``
+    most-promising LSH buckets instead of the whole corpus — the
+    100 TB path for :func:`knn_join` (same output schema; recall traded
+    per the index's bucket collision probabilities, degrading
+    gracefully to exact at ``n_probe = 2^planes``).
+
+    Mechanics: probe buckets are computed driver-side per query (the
+    combinatorial multi-probe enumeration — queries are
+    driver-bounded by definition, the math is |Q|·2^planes numpy), the
+    (query, bucket) pairs broadcast-join the index's bucket column —
+    at scale a PARTITION column, so each query's scan prunes to its
+    buckets at the source — and the candidates re-rank through the
+    same two-window exact kernel as the brute-force join."""
+    spark = index.df.sparkSession
+    n_planes = len(index.planes)
+    qrows = queries.select(query_id, query_vec_col).collect()
+    pairs = []
+    for r in qrows:
+        margins = index.planes @ np.asarray(
+            [float(x) for x in r[query_vec_col]], dtype=np.float64
+        )
+        qsig = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
+        costs = sorted(
+            (
+                sum(abs(margins[i]) for i in range(n_planes) if mask & (1 << i)),
+                qsig ^ mask,
+            )
+            for mask in range(1 << n_planes)
+        )
+        pairs += [(r[query_id], b) for _, b in costs[: max(n_probe, 1)]]
+    qid_type = queries.schema[query_id].dataType
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    probe_df = spark.createDataFrame(
+        pairs,
+        StructType(
+            [StructField("__qid", qid_type), StructField("__bucket", LongType())]
+        ),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid2"), F.col(query_vec_col).alias("__qv")
+        )
+    )
+    cands = index.df.join(
+        F.broadcast(probe_df), index.df["lsh_bucket"] == probe_df["__bucket"]
+    ).join(q, F.col("__qid") == F.col("__qid2"))
+    scored = cands.select(
+        F.col("__qid"),
+        F.col(corpus_id).alias("__cid"),
+        F.round(
+            cosine_similarity(F.col(index.vec_col), F.col("__qv")), 6
+        ).alias("__cos"),
+        F.spark_partition_id().alias("__part"),
+    )
+    return _rank_scored(scored, query_id, corpus_id, k)
 
 
 def cosine_pairs_above(

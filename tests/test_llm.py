@@ -1012,3 +1012,35 @@ def test_pack_sequences_reconstruction_property(spark):
                     packs.setdefault(r.pack_seq, []).append(r.n_tokens)
                 for toks in packs.values():
                     assert sum(toks) - toks[-1] < 1000
+
+
+def test_knn_join_lsh_candidates_exact_scores(spark, emb):
+    """ANN-composed batch kNN: results are a per-query subset of the
+    brute-force join with IDENTICAL rounded scores; probing every
+    bucket recovers the exact join verbatim."""
+    from dataworks_spark.llm.similarity import LshIndex, knn_join, knn_join_lsh
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    dim = len(emb.select("embedding").first()[0])
+    idx = LshIndex(corpus, "embedding", dim, n_planes=4, cache=False)
+    exact = {
+        (r.q_id, r.vec_id): r.cos_sim
+        for r in knn_join(corpus, queries, "vec_id", "embedding", k=5).collect()
+    }
+    approx = knn_join_lsh(idx, queries, "vec_id", k=5, n_probe=2).collect()
+    assert approx, "probed buckets should hold candidates"
+    full_scores = {
+        (r.q_id, r.vec_id): r.cos_sim
+        for r in knn_join(corpus, queries, "vec_id", "embedding", k=10**6).collect()
+    }
+    for r in approx:  # scores are true cosines even in the pruned search
+        assert abs(full_scores[(r.q_id, r.vec_id)] - r.cos_sim) < 1e-9
+    # n_probe = 2^planes degrades to the exact join
+    everything = {
+        (r.q_id, r.vec_id): r.cos_sim
+        for r in knn_join_lsh(idx, queries, "vec_id", k=5, n_probe=16).collect()
+    }
+    assert everything == exact
