@@ -44,7 +44,7 @@ def _sf(sf_dir: str) -> float:
 
 
 def run_spark(
-    warm: bool = True, passes: int = 3, duck_con=None
+    warm: bool = True, passes: int = 4, duck_con=None
 ) -> tuple[dict[str, float], dict[str, float], dict[str, str], dict[str, float]]:
     """Run every query ``passes`` times; return (cold, steady, errors,
     duckdb) per-query seconds. Cold = first execution (includes Catalyst
@@ -56,7 +56,10 @@ def run_spark(
     of an engine's actual cost — applied IDENTICALLY to both engines
     (DuckDB's steady is also min over its post-warm passes), so it
     cannot flatter either side. Both cold and steady are reported —
-    neither is hidden.
+    neither is hidden. Default is 4 passes (3 steady candidates):
+    with only 2, a single contention spike landing on each of two
+    passes of one query still poisons its min — measured ratio swing
+    across identical-code runs was 1.5-2.5 at passes=3.
 
     When ``duck_con`` is provided, the DuckDB oracle runs INTERLEAVED —
     immediately after each query's Spark passes, in the same
