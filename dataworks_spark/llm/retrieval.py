@@ -156,6 +156,33 @@ def bm25_topk(
     return top_k(scored, order_by=[F.col("bm25").desc(), F.col(id_col)], k=k)
 
 
+def top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1000,
+    min_df: int = 2,
+) -> list[str]:
+    """The ``n`` most-frequent corpus terms (by document frequency,
+    ties broken alphabetically for determinism), for use as a
+    :func:`tfidf_vectors` vocabulary. One explode + two shuffles over
+    (term, doc) pairs; the result is bounded by construction (``n``
+    strings to the driver). ``min_df`` drops hapax noise. At 100 TB
+    this is the ingest-time vocabulary job; hash the terms before the
+    explode only if term strings dominate the shuffle (they rarely do
+    — the distinct-per-doc projection keeps rows at |doc|·|distinct|)."""
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    counts = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("term") != ""))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(n)
+        .collect()
+    )
+    return [r["term"] for r in counts]
+
+
 def tfidf_vectors(
     df: DataFrame,
     vocab_terms: list[str],

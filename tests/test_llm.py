@@ -1044,3 +1044,24 @@ def test_knn_join_lsh_candidates_exact_scores(spark, emb):
         for r in knn_join_lsh(idx, queries, "vec_id", k=5, n_probe=16).collect()
     }
     assert everything == exact
+
+
+def test_top_terms_vocabulary(spark):
+    """top_terms: df-ordered, deterministic ties, min_df floor; feeds
+    tfidf_vectors directly."""
+    from dataworks_spark.llm.retrieval import tfidf_vectors, top_terms
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple cherry"),
+        (3, "apple banana"),
+        (4, "durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = top_terms(df, n=3, min_df=2)
+    assert vocab == ["apple", "banana", "cherry"] or vocab == ["apple", "banana"]
+    # df counts are per-document (distinct per doc): apple=3, banana=2,
+    # cherry=1 (dropped by min_df), durian=1 (dropped)
+    assert top_terms(df, n=5, min_df=2) == ["apple", "banana"]
+    vecs = tfidf_vectors(df, top_terms(df, n=5, min_df=2))
+    assert vecs.count() == 4 and len(vecs.first()["tfidf"]) == 2
