@@ -800,6 +800,19 @@ def q_bm25_search(spark, sf_dir):
     return bm25_topk(d, ["vector", "stream", "merge"], k=10)
 
 
+def q_tfidf_vectors(spark, sf_dir):
+    """Fixed-vocabulary TF-IDF vectors (llm/retrieval.py): one
+    let-binding projection per doc, broadcast df stats, array output —
+    every component hash-checked against the closed form in SQL."""
+    from dataworks_spark.llm.retrieval import tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    vecs = tfidf_vectors(d, ["table", "spark", "vector"])
+    return vecs.select(
+        "doc_id", F.transform("tfidf", lambda x: F.round(x, 6)).alias("tfidf")
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """Batch kNN join (L3): 5 query vectors × top-3 corpus neighbors in
     one pass — the two-window skew-free formulation (per-scan-partition
@@ -1791,6 +1804,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM feat CROSS JOIN stats
         WHERE tf0>0 OR tf1>0 OR tf2>0
         ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    "q_tfidf_vectors": """
+        WITH feat AS (
+          SELECT doc_id,
+                 len(list_filter(tk, t -> t = 'table'))  AS tf0,
+                 len(list_filter(tk, t -> t = 'spark'))  AS tf1,
+                 len(list_filter(tk, t -> t = 'vector')) AS tf2
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs,
+                 SUM(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS df0,
+                 SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS df1,
+                 SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS df2
+          FROM feat
+        )
+        SELECT doc_id, [
+          ROUND(CASE WHEN tf0>0 THEN (1.0 + ln(CAST(tf0 AS DOUBLE))) * (ln(n_docs/(1.0+df0)) + 1.0) ELSE 0.0 END, 6),
+          ROUND(CASE WHEN tf1>0 THEN (1.0 + ln(CAST(tf1 AS DOUBLE))) * (ln(n_docs/(1.0+df1)) + 1.0) ELSE 0.0 END, 6),
+          ROUND(CASE WHEN tf2>0 THEN (1.0 + ln(CAST(tf2 AS DOUBLE))) * (ln(n_docs/(1.0+df2)) + 1.0) ELSE 0.0 END, 6)
+        ] AS tfidf
+        FROM feat CROSS JOIN stats
     """,
     "q_knn_join": """
         WITH q AS (
