@@ -12,6 +12,7 @@ installed.
 from dataworks_spark.llm.dedup import (
     cooccurrence_pairs,
     dedup_keep_canonical,
+    edit_distance_pairs,
     exact_dedup,
     minhash_near_dup_pairs,
     minhash_signature,
@@ -19,18 +20,33 @@ from dataworks_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from dataworks_spark.llm.incremental import IncrementalCorpus, novel_rows
+from dataworks_spark.llm.privacy import PII_PATTERNS, pii_counts, redact_pii
+from dataworks_spark.llm.retrieval import (
+    bm25_score,
+    bm25_topk,
+    corpus_term_stats,
+    tfidf_vectors,
+    top_terms,
+)
 from dataworks_spark.llm.similarity import (
     brute_force_cosine_topk,
     cosine_pairs_above,
     ivf_cosine_topk,
+    knn_join,
+    knn_join_lsh,
     lsh_cosine_topk,
 )
 from dataworks_spark.llm.pipeline import (
     CorpusConfig,
+    decontaminate,
     hash_split,
+    mix_corpus,
+    pack_sequences,
     prepare_corpus,
     select_token_budget,
     stratified_sample_by_hash,
+    write_corpus_shards,
 )
 from dataworks_spark.llm.text import (
     document_fingerprint,
@@ -63,4 +79,21 @@ __all__ = [
     "hash_split",
     "stratified_sample_by_hash",
     "select_token_budget",
+    "decontaminate",
+    "mix_corpus",
+    "pack_sequences",
+    "write_corpus_shards",
+    "edit_distance_pairs",
+    "knn_join",
+    "knn_join_lsh",
+    "bm25_score",
+    "bm25_topk",
+    "corpus_term_stats",
+    "tfidf_vectors",
+    "top_terms",
+    "pii_counts",
+    "redact_pii",
+    "PII_PATTERNS",
+    "IncrementalCorpus",
+    "novel_rows",
 ]
