@@ -1115,6 +1115,28 @@ def q_embed_lsh_topk(spark, sf_dir):
     return idx.topk(qvec, k=10, id_cols=["vec_id", "label"])
 
 
+def q_embed_knn_lsh(spark, sf_dir):
+    """ANN-composed batch kNN (L9 scale path): 5 query vectors, each
+    scanning only its 2 most-promising LSH buckets, exact re-rank
+    through the shared two-window kernel. Buckets are
+    implementation-defined → rows-only; the exact twin q_knn_join is
+    the hash-matched oracle, and probing all 2^planes buckets equals
+    it verbatim (tested)."""
+    from dataworks_spark.llm.similarity import LshIndex, knn_join_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "knn_lsh")
+    idx = _ANN_INDEX_CACHE.get(key)
+    if idx is None:
+        dim = len(_query_vec(spark, sf_dir))
+        idx = LshIndex(e.filter(F.col("vec_id") >= 5), "embedding", dim, n_planes=4)
+        _ANN_INDEX_CACHE[key] = idx
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    return knn_join_lsh(idx, queries, "vec_id", k=3, n_probe=2)
+
+
 def q_embed_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN top-k (L3 scale path #2) — centroids are
     implementation-defined → rows-only; q_cosine_topk is the exact

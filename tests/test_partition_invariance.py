@@ -59,3 +59,23 @@ def test_lsh_topk_partition_invariant(spark, sf_dir):
     t1 = i1.topk(q, k=10, n_probe=2, id_cols=["vec_id"])
     t7 = i7.topk(q, k=10, n_probe=2, id_cols=["vec_id"])
     assert _rows(t1.select("vec_id")) == _rows(t7.select("vec_id"))
+
+
+def test_knn_join_lsh_partition_invariant(spark, sf_dir):
+    """The ANN-composed batch kNN (rows-only driver entry
+    q_embed_knn_lsh) must be a function of the input SET: same probes,
+    same candidates, same ranks under different corpus layouts."""
+    from dataworks_spark.llm.similarity import knn_join_lsh
+
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec"))
+    )
+
+    def run(n_parts):
+        corpus = _emb(spark, sf_dir, n_parts).filter(F.col("vec_id") >= 5)
+        idx = LshIndex(corpus, "embedding", dim=64, n_planes=4, cache=False)
+        return knn_join_lsh(idx, queries, "vec_id", k=3, n_probe=2)
+
+    assert _rows(run(1)) == _rows(run(7))
