@@ -29,6 +29,7 @@ NESTED_LOOP_OK = {
     "q_embed_ivf_topk",
     "q_knn_join",
     "q_bm25_search",
+    "q_tfidf_vectors",  # same one-row stats broadcast as bm25
 }
 
 
