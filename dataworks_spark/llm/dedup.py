@@ -191,14 +191,23 @@ def edit_distance_pairs(
     built-in ``levenshtein`` (JVM DP kernel). The length filter inside
     the bucket prunes the d<width remainder before the DP runs.
 
-    ``qgram_filter=True`` adds the Gravano count filter between
-    blocking and verify: pairs must share ≥ max(n_a, n_b) − d·q
-    DISTINCT q-gram hashes (computed by the shared co-occurrence pair
-    kernel). On strings with repeated q-grams the distinct-set count
-    undercounts the multiset bound, so this path can miss highly
-    repetitive near-matches — it is the opt-in scale heuristic for
-    blocks too large to verify exhaustively; the default path is
-    exact."""
+    ``qgram_filter=True`` adds the Gravano COUNT FILTER between
+    blocking and verify, in its sound multiset form: one edit operation
+    destroys at most q positional q-grams, so ed(a,b) ≤ d forces the
+    MULTISET q-gram intersection ≥ max(|Gₐ|, |G_b|) − d·q (Gravano et
+    al., VLDB 2001 — public construction). Multiset intersection is
+    computed as a distinct-set intersection by occurrence-indexing:
+    the j-th occurrence of a gram hashes to xxhash64(gram, j), so
+    Σ_g min(cntₐ(g), cnt_b(g)) equals the number of matching
+    (gram, occurrence) keys and the shared co-occurrence pair kernel
+    applies unchanged. Occurrence indexes come from one row_number
+    window over (doc, gram) — linear work, one extra exchange of longs,
+    no O(len²) per-row arrays, so the prefilter stays viable for long
+    strings. Pairs whose bound is vacuous (max gram count ≤ d·q —
+    strings near or below q chars can share ZERO grams yet still be
+    within d edits) BYPASS the filter via a left join + coalesce(0),
+    so the prefilter is a pure pruning step: qgram_filter never changes
+    the result, only the candidate count that reaches the DP verify."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be ≥ 0: {max_dist}")
     width = max_dist + 1
@@ -223,24 +232,50 @@ def edit_distance_pairs(
         )
     )
     if qgram_filter:
+        from pyspark.sql import Window
+
         grams = df.select(
-            F.col(id_col).alias("doc"), shingle_char_hashes(F.col(text_col), q).alias("g")
-        ).select("doc", F.size("g").alias("n_g"), F.explode("g").alias("gram"))
-        shared = cooccurrence_pairs(grams, "doc", "gram", size_col="n_g").filter(
-            F.col("inter") >= F.greatest(F.col("na"), F.col("nb")) - max_dist * q
-        )
-        cands = cands.join(
-            shared.select(
-                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            F.col(id_col).alias("doc"),
+            F.posexplode(shingle_char_hashes_all(F.col(text_col), q)).alias(
+                "pos", "g"
             ),
-            on=["id_a", "id_b"],
-            how="left_semi",
+        )
+        occ = F.row_number().over(Window.partitionBy("doc", "g").orderBy("pos"))
+        keyed = grams.select("doc", F.xxhash64("g", occ).alias("gram"))
+        shared = cooccurrence_pairs(keyed, "doc", "gram").select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "inter"
+        )
+        n_grams = lambda t: F.greatest(  # noqa: E731 — multiset |G| = len−q+1
+            F.length(t) - (q - 1), F.lit(0)
+        )
+        cands = (
+            cands.join(shared, on=["id_a", "id_b"], how="left")
+            .filter(
+                F.greatest(n_grams(F.col("t_a")), n_grams(F.col("t_b")))
+                - max_dist * q
+                <= F.coalesce(F.col("inter"), F.lit(0))
+            )
+            .drop("inter")
         )
     return (
         cands.withColumn("dist", F.levenshtein("t_a", "t_b"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def shingle_char_hashes_all(text: Column, q: int = 3) -> Column:
+    """xxhash64 of EVERY character q-gram occurrence, in positional
+    order (array<long>, length len−q+1) — the multiset companion of
+    :func:`shingle_char_hashes` for count filters whose bound needs
+    occurrence multiplicity. Same short-string guard."""
+    n = F.length(text) - q + 1
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.xxhash64(text.substr(i, F.lit(q)))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def shingle_char_hashes(text: Column, q: int = 3) -> Column:

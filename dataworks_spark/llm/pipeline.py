@@ -282,6 +282,7 @@ def mix_corpus(
     seed: int = 42,
     sample_mode: str = "hash",
     max_epochs: int = 100,
+    exact_tokens: bool = False,
 ) -> DataFrame:
     """Domain mixing: re-weight the corpus so each stratum (source /
     domain / language) contributes ``weights``-proportional TOKEN mass —
@@ -320,6 +321,22 @@ def mix_corpus(
     cut — a vacuous filter for small-id corpora). Products stay under
     2.7e15, no 64-bit overflow either side.
 
+    ``exact_tokens=True`` upgrades the rate sampling to a HARD budget:
+    each stratum contributes the maximal token mass ≤ its target (not
+    merely the target in expectation). Docs are taken in deterministic
+    (bucket, id) order; a doc earns its remainder-epoch copy iff
+    ``full·actual + running_token_total ≤ target`` — a greedy prefix,
+    so the kept mass lands within one document of the target. Scale
+    shape: the running total is NOT one giant per-stratum window — a
+    per-(stratum, bin) histogram (1000 bucket-range bins) is one
+    map-side-combined aggregation collected at |strata|×1000 rows; the
+    driver turns its cumulative sums into per-stratum boundary-bin
+    literals, full bins resolve with a constant comparison, and only
+    the ~1/1000 boundary-bin slice pays a per-stratum window. The
+    prefix decision compares ``int_cumsum + int_offset ≤ float_target``
+    in exactly that shape on both engines, so the construction is
+    reproducible by the SQL oracle down to IEEE semantics.
+
     Strata present in the corpus but absent from ``weights`` are
     DROPPED (weight 0). Strata named in ``weights`` but absent from
     the corpus raise — a silent miss would skew every other stratum's
@@ -344,12 +361,14 @@ def mix_corpus(
         raise ValueError(f"strata in weights but not in corpus: {missing}")
     if total_tokens is None:
         scale = min(totals[s] / weights[s] for s in weights)
-        fracs = {s: weights[s] * scale / totals[s] for s in weights}
+        targets = {s: weights[s] * scale for s in weights}
     else:
         if total_tokens <= 0:
             raise ValueError(f"total_tokens must be positive: {total_tokens}")
         wsum = sum(weights[s] for s in sorted(weights))
-        fracs = {s: (weights[s] / wsum) * total_tokens / totals[s] for s in weights}
+        targets = {s: (weights[s] / wsum) * total_tokens for s in weights}
+    fracs = {s: targets[s] / totals[s] for s in weights}
+    if total_tokens is not None:
         blown = {s: round(f, 1) for s, f in fracs.items() if f > max_epochs}
         if blown:
             # a typo'd budget would otherwise explode every row of a
@@ -367,6 +386,10 @@ def mix_corpus(
             F.pmod(F.col(id_col), F.lit(_HASH_BUCKETS)) * F.lit(2654435761),
             F.lit(_HASH_BUCKETS),
         )
+    if exact_tokens:
+        return _mix_exact(
+            df, strata_col, tokens_col, id_col, bucket, weights, totals, targets
+        )
     full, rem_cut = None, None
     for s in sorted(weights):
         nf = F.lit(int(fracs[s]))
@@ -383,6 +406,165 @@ def mix_corpus(
             "epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
         )
         .drop("__copies")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between consecutive
+    chunks (stride = chunk_tokens − overlap) — the context-window
+    chunking step every training/RAG corpus build runs. Output one row
+    per chunk: (id, chunk_idx, chunk_text, chunk_n_tokens).
+
+    Chunk starts are 1 + k·stride for k = 0.. while start ≤
+    max(n − overlap, 1): the final chunk may run short rather than
+    re-reading a sub-overlap tail twice, every token lands in ≥1 chunk,
+    and consecutive chunks share exactly ``overlap`` tokens wherever a
+    full window remains. chunk_idx = (start−1)/stride is derived
+    arithmetically (not by explode ordinality), so any engine
+    reproduces it.
+
+    Scale shape: tokenize-once let-binding (single-element transform),
+    then a pure projection + explode — no shuffle, composable with the
+    scan; output size is input tokens × (1 + overlap/stride)."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive: {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): {overlap} vs {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    chunks = F.flatten(
+        F.transform(
+            F.array(F.split(F.col(text_col), " ")),
+            lambda toks: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - overlap, F.lit(1)),
+                    F.lit(stride),
+                ),
+                lambda s: F.struct(
+                    (
+                        (s - 1) / F.lit(stride)
+                    ).cast("int").alias("chunk_idx"),
+                    F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias(
+                        "chunk_text"
+                    ),
+                    F.least(
+                        F.lit(chunk_tokens), F.size(toks) - s + 1
+                    ).cast("bigint").alias("chunk_n_tokens"),
+                ),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.chunk_n_tokens")
+
+
+_MIX_BINS = 1000
+
+
+def _stratum_lit(strata_col: str, mapping: dict):
+    """Chained-when literal lookup keyed by stratum (bounded |strata|
+    branches — a broadcast-join-free constant per row)."""
+    expr = None
+    for s in sorted(mapping):
+        cond = F.col(strata_col) == F.lit(s)
+        expr = (
+            F.when(cond, F.lit(mapping[s]))
+            if expr is None
+            else expr.when(cond, F.lit(mapping[s]))
+        )
+    return expr
+
+
+def _mix_exact(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: str,
+    id_col: str,
+    bucket,
+    weights: dict[str, float],
+    totals: dict[str, int],
+    targets: dict[str, float],
+) -> DataFrame:
+    """Hard-budget selection for :func:`mix_corpus` (``exact_tokens``).
+
+    Per doc (in (bucket, id) order within its stratum) the keep rule is
+      copies = full + [ full·actual + running_token_total ≤ target ]
+    with full = ⌊target/actual⌋ whole epochs. The running total is
+    resolved in two phases so no stratum ever becomes one window task:
+    a (stratum, bin) histogram over ``_MIX_BINS`` contiguous bucket
+    ranges (single map-side-combined agg, |strata|·bins driver rows)
+    gives exact integer prefix sums; every bin strictly below/above the
+    per-stratum boundary bin resolves with a constant; only the
+    boundary bin's ~1/bins slice runs a per-stratum ROWS window, with
+    the bin's integer prefix offset added back so the compare is
+    byte-identical to a global ``cumsum ≤ target`` (what the SQL oracle
+    runs)."""
+    from pyspark.sql import Window
+
+    bin_width = _HASH_BUCKETS // _MIX_BINS
+    base = (
+        df.filter(F.col(strata_col).isin(*weights))
+        .withColumn("__bucket", bucket)
+        .withColumn("__bin", (F.col("__bucket") / bin_width).cast("int"))
+    )
+    hist = {
+        (r["s"], r["b"]): r["t"]
+        for r in base.groupBy(
+            F.col(strata_col).alias("s"), F.col("__bin").alias("b")
+        )
+        .agg(F.sum(tokens_col).alias("t"))
+        .collect()
+    }
+    full = {s: int(targets[s] // totals[s]) for s in weights}
+    cut, offset = {}, {}
+    for s in sorted(weights):
+        shift = full[s] * totals[s]  # whole-epoch token mass, exact int
+        pre, cut[s] = 0, _MIX_BINS  # no crossing → no boundary bin
+        for b in range(_MIX_BINS):
+            t = hist.get((s, b), 0)
+            # exact int-vs-float compare (Python compares rationals)
+            if shift + pre + t > targets[s]:
+                cut[s] = b
+                break
+            pre += t
+        offset[s] = shift + pre
+    cut_e = _stratum_lit(strata_col, cut)
+    off_e = _stratum_lit(strata_col, offset)
+    full_e = _stratum_lit(strata_col, full)
+    tgt_e = _stratum_lit(strata_col, targets)
+    below = base.filter(F.col("__bin") < cut_e).withColumn("__extra", F.lit(1))
+    above = base.filter(F.col("__bin") > cut_e).withColumn("__extra", F.lit(0))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("__bucket", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        base.filter(F.col("__bin") == cut_e)
+        .withColumn(
+            "__extra",
+            ((F.sum(tokens_col).over(w) + off_e) <= tgt_e).cast("int"),
+        )
+    )
+    return (
+        below.unionByName(above)
+        .unionByName(boundary)
+        .withColumn("__copies", full_e + F.col("__extra"))
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__copies") - 1))
+        )
+        .drop("__copies", "__extra", "__bucket", "__bin")
     )
 
 

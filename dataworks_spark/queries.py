@@ -872,6 +872,32 @@ def q_mix_corpus(spark, sf_dir):
     return mixed.select("doc_id", "source", "n_tokens", "epoch")
 
 
+def q_mix_corpus_exact(spark, sf_dir):
+    """Hard-budget domain mixing (llm/pipeline.py exact_tokens): same
+    0.5/0.3/0.2 recipe as q_mix_corpus, but each stratum contributes
+    the maximal greedy-prefix token mass ≤ its target instead of the
+    target in expectation. The Spark side resolves the prefix through
+    the histogram+boundary-window two-phase; the oracle runs the
+    DEFINING one-window form (global per-stratum cumsum ≤ w·scale), so
+    the hash match proves the scale-safe decomposition equals the
+    semantics it claims."""
+    from dataworks_spark.llm.pipeline import mix_corpus
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    mixed = mix_corpus(
+        d,
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        sample_mode="id",
+        exact_tokens=True,
+    )
+    return mixed.select("doc_id", "source", "n_tokens", "epoch")
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing (llm/privacy.py): deterministic synthetic PII is
     injected per doc (the fixture corpus is clean by construction —
@@ -1892,6 +1918,31 @@ ORACLE_SQL: dict[str, str] = {
         FROM tok JOIN frac USING (source)
         WHERE ((doc_id % 1000000) * 2654435761) % 1000000 <
               FLOOR(f) * 1000000 + FLOOR((f - FLOOR(f)) * 1000000)
+    """,
+    "q_mix_corpus_exact": """
+        WITH tok AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 ((doc_id % 1000000) * 2654435761) % 1000000 AS bucket
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        ), tw(source, w) AS (
+          VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                 ('src1', CAST(0.3 AS DOUBLE)),
+                 ('src2', CAST(0.2 AS DOUBLE))
+        ), tot AS (
+          SELECT source, SUM(n_tokens) AS actual FROM tok GROUP BY source
+        ), scale AS (
+          SELECT MIN(CAST(actual AS DOUBLE) / w) AS t FROM tot JOIN tw USING (source)
+        ), cum AS (
+          SELECT doc_id, source, n_tokens, w,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY bucket, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM tok JOIN tw USING (source)
+        )
+        SELECT doc_id, source, n_tokens, 0 AS epoch
+        FROM cum CROSS JOIN scale
+        WHERE CAST(c AS DOUBLE) <= w * t
     """,
     "q_edit_distance_join": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -801,6 +801,77 @@ def test_mix_corpus_proportions_and_upsampling(spark):
         mix_corpus(df, "source", {"a": 0.5, "b": 0.5}, total_tokens=50_000_000)
 
 
+def test_mix_corpus_exact_tokens(spark):
+    """exact_tokens mode equals the defining greedy-prefix semantics,
+    reconstructed driver-side: per stratum, docs in (bucket, id) order
+    get copies = full + [full·actual + cumsum ≤ target]. Checked for
+    both budget modes under sample_mode='id' (bucket reproducible in
+    Python), plus layout invariance and the hard-budget guarantee
+    (kept mass within one doc of target) under the default hash mode."""
+    from dataworks_spark.llm.pipeline import mix_corpus
+
+    rows = [
+        (i, "a" if i % 3 else "b", 37 + (i * 17) % 211) for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    tok = {i: t for i, _, t in rows}
+    src = {i: s for i, s, _ in rows}
+    bucket = lambda i: ((i % 1_000_000) * 2654435761) % 1_000_000  # noqa: E731
+
+    def brute(weights, total_tokens=None):
+        totals = {}
+        for i in tok:
+            if src[i] in weights:
+                totals[src[i]] = totals.get(src[i], 0) + tok[i]
+        if total_tokens is None:
+            scale = min(totals[s] / weights[s] for s in weights)
+            targets = {s: weights[s] * scale for s in weights}
+        else:
+            wsum = sum(weights[s] for s in sorted(weights))
+            targets = {s: (weights[s] / wsum) * total_tokens for s in weights}
+        out = {}
+        for s in weights:
+            full = int(targets[s] // totals[s])
+            cum = 0
+            for i in sorted(
+                (i for i in tok if src[i] == s), key=lambda i: (bucket(i), i)
+            ):
+                cum += tok[i]
+                out[i] = full + (1 if full * totals[s] + cum <= targets[s] else 0)
+        return {i: c for i, c in out.items() if c > 0}
+
+    for kwargs in ({}, {"total_tokens": 150_000}):
+        got = {
+            r["doc_id"]: r["n"]
+            for r in mix_corpus(
+                df, "source", {"a": 0.6, "b": 0.4},
+                sample_mode="id", exact_tokens=True, **kwargs
+            ).groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == brute({"a": 0.6, "b": 0.4}, kwargs.get("total_tokens"))
+    # budget mode must actually upsample here: b has ~1/3 of the mass
+    assert any(c > 1 for c in brute({"a": 0.6, "b": 0.4}, 150_000).values())
+    # hash mode: layout invariance + the hard-budget guarantee
+    m1 = mix_corpus(df, "source", {"a": 0.5, "b": 0.5}, exact_tokens=True)
+    m2 = mix_corpus(
+        df.repartition(17), "source", {"a": 0.5, "b": 0.5}, exact_tokens=True
+    )
+    assert sorted((r.doc_id, r.epoch) for r in m1.collect()) == sorted(
+        (r.doc_id, r.epoch) for r in m2.collect()
+    )
+    mass = {
+        r["source"]: r["t"]
+        for r in m1.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    tot_b = sum(t for i, t in tok.items() if src[i] == "b")
+    target = min(
+        sum(t for i, t in tok.items() if src[i] == "a") / 0.5, tot_b / 0.5
+    ) * 0.5
+    max_doc = max(tok.values())
+    for s in ("a", "b"):
+        assert mass[s] <= target and mass[s] > target - max_doc
+
+
 def test_redact_pii_masks_and_counts(spark):
     """Every built-in pattern masks its shape, counts line up, clean
     text is idempotent under a second pass, and custom pattern sets
@@ -934,6 +1005,11 @@ def test_edit_distance_pairs_blocking_and_qgram_filter(spark):
         (4, "jon smith"),
         (5, "completely other"),
         (6, "jonathan smithe"),    # 1 insert vs 1
+        (7, "aaaaaaaaaa"),         # repetitive: multiset ≠ distinct grams
+        (8, "aaaaaaaaab"),         # 1 sub vs 7; distinct-gram count would
+                                   # undercount the Gravano bound here
+        (9, "abcd"),               # short: shares ZERO 3-grams with 10
+        (10, "axcd"),              # yet lev=1 — vacuous-bound bypass
     ]
     df = spark.createDataFrame(names, "id long, name string")
     got = {
@@ -956,7 +1032,12 @@ def test_edit_distance_pairs_blocking_and_qgram_filter(spark):
         if lev(a, b) <= 2
     }
     assert got == want
-    # q-gram prefilter: recall on unique-gram strings is total here
+    # multiset q-gram prefilter is pure pruning: identical output on a
+    # set that stresses both failure modes of weaker variants —
+    # repetitive strings (distinct-gram counts undercount the bound)
+    # and short strings (zero shared grams yet within max_dist, kept
+    # only by the vacuous-bound bypass)
+    assert (9, 10) in want and (7, 8) in want  # the stressors are live
     filtered = {
         (r.id_a, r.id_b): r.dist
         for r in edit_distance_pairs(
