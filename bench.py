@@ -32,6 +32,7 @@ _REBUILD_EACH_PASS = {
     "q_datalog_rule",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_clusters",  # localCheckpoint-holding fixpoint loop
 }
 
 

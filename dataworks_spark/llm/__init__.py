@@ -39,6 +39,7 @@ from dataworks_spark.llm.similarity import (
 )
 from dataworks_spark.llm.pipeline import (
     CorpusConfig,
+    chunk_documents,
     decontaminate,
     hash_split,
     mix_corpus,
@@ -54,6 +55,7 @@ from dataworks_spark.llm.text import (
     quality_features,
     token_count,
     tokens,
+    unigram_lm_scores,
 )
 
 __all__ = [
@@ -75,6 +77,8 @@ __all__ = [
     "quality_features",
     "document_fingerprint",
     "CorpusConfig",
+    "chunk_documents",
+    "unigram_lm_scores",
     "prepare_corpus",
     "hash_split",
     "stratified_sample_by_hash",

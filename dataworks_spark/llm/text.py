@@ -5,7 +5,7 @@ whole-stage codegen over the scan, no Python boundary."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword-ratio
@@ -99,6 +99,61 @@ def rolling_hash_shingle_min(text: Column, shingle_n: int = 3) -> Column:
     from dataworks_spark.llm.dedup import word_ngrams
 
     return F.array_min(F.transform(word_ngrams(text, shingle_n), lambda s: F.xxhash64(s)))
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model quality score per document: mean
+    cross-entropy in bits/token under the corpus's own add-k-smoothed
+    unigram distribution — the CCNet-style "how typical is this text"
+    signal (public construction: Wenzek et al. 2019 score against an LM;
+    the unigram variant needs no external model, the corpus IS the
+    model). Output (id, dl, lm_bits_per_token); LOW bits = stereotypical
+    text, HIGH bits = rare-token noise — both tails are the filter
+    candidates.
+
+    Scale shape: per-(doc, token) tf first (one shuffle whose rows are
+    DISTINCT doc-term pairs, not token occurrences), token totals from
+    a re-agg of that same relation (map-side combined), and the scoring
+    join runs tf ⋈ counts on the term key. A stop-token's join group is
+    |docs containing it| rows — the classic skew-join key, left to AQE
+    skew splitting (at ingest scale the head of the vocabulary would be
+    broadcast as a two-tier join; the tail relation stays a shuffle).
+    The one-row (N, V) total rides in as a broadcast crossJoin like the
+    BM25 stats row. The mean is ROUNDed to 6 decimals — partial-agg
+    float order is engine-specific; everything upstream of the mean is
+    exact integer arithmetic, so the score is oracle-checkable."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("__id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    bits = -F.log2(
+        (F.col("cnt") + F.lit(k)) / (F.col("n_total") + F.lit(k) * F.col("v"))
+    )
+    return (
+        tf.join(counts, "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.round(
+                F.sum(F.col("tf") * bits) / F.sum("tf"), 6
+            ).alias("lm_bits_per_token"),
+        )
+        .select(F.col("__id").alias(id_col), "dl", "lm_bits_per_token")
+    )
 
 
 def repetition_features(text: Column, ngram_n: int = 3) -> dict[str, Column]:

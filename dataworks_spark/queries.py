@@ -310,6 +310,63 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): segment-filtered 3-way join,
+    revenue per order, top-10 via TakeOrderedAndProject — the canonical
+    filter→join→agg→top-k pipeline. Ordering is made total (revenue
+    DESC, orderdate, orderkey) so the k-boundary is engine-independent;
+    revenue is the decimal-exact money sum (order-independent across
+    any partitioning). The fixture has no o_shippriority column, so
+    o_orderpriority stands in."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the per-order quantity
+    rollup is the one big shuffle; its hash partitioning on l_orderkey
+    already satisfies the orders join requirement, so the filtered agg
+    output joins without a second exchange of itself; customer
+    broadcasts. Quantity sums go through the decimal cast — l_quantity
+    is DOUBLE in the fixture and a float sum would be partial-order
+    dependent."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("__sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # D — aggregations
 # ---------------------------------------------------------------------------
@@ -851,6 +908,34 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_lm_quality(spark, sf_dir):
+    """Unigram-LM quality scoring (llm/text.py unigram_lm_scores):
+    bits/token under the corpus's own smoothed unigram distribution.
+    Every count feeding the score is exact integer arithmetic; only
+    the final mean is floating, rounded to 6 decimals on both engines
+    (partial-agg order differs in the last ulp)."""
+    from dataworks_spark.llm.text import unigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_lm_scores(d, id_col="doc_id", text_col="text").select(
+        "doc_id", "dl", "lm_bits_per_token"
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (llm/pipeline.py chunk_documents):
+    64-token windows with a 16-token overlap over the documents table.
+    chunk_idx is arithmetic ((start−1)/stride), so the oracle rebuilds
+    the identical rows from generate_series + list_slice; both the
+    chunk text and its token count are hash-checked."""
+    from dataworks_spark.llm.pipeline import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, id_col="doc_id", text_col="text", chunk_tokens=64, overlap=16
+    ).select("doc_id", "chunk_idx", "chunk_text", "chunk_n_tokens")
+
+
 def q_mix_corpus(spark, sf_dir):
     """Domain mixing (llm/pipeline.py): 0.5/0.3/0.2 token-share targets
     over three sources, largest no-upsample mix, in the
@@ -948,6 +1033,23 @@ def q_edit_distance_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
     return edit_distance_pairs(c, "c_custkey", "c_name", max_dist=2).select(
         "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end (llm/dedup.py near_dup_clusters):
+    connected components with min-id canonical labels over the
+    edit-distance pair graph of q_edit_distance_join. The Spark side is
+    iterative min-label propagation (O(diameter) rounds, one job per
+    round); the oracle computes the same components with a recursive
+    CTE over the symmetric closure — a hash match proves the fixpoint
+    loop lands on exactly the component minimum for every node."""
+    from dataworks_spark.llm.dedup import edit_distance_pairs, near_dup_clusters
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    pairs = edit_distance_pairs(c, "c_custkey", "c_name", max_dist=2)
+    return near_dup_clusters(pairs, id_a="id_a", id_b="id_b").select(
+        "id", "cluster"
     )
 
 
@@ -1362,6 +1464,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer LEFT JOIN (
           SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) n
         ON c_custkey = n.o_custkey
+    """,
+    "q_tpch_q3": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q_tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 150
     """,
     "q_tpch_q5": """
         SELECT n_name,
@@ -1919,6 +2044,37 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ((doc_id % 1000000) * 2654435761) % 1000000 <
               FLOOR(f) * 1000000 + FLOOR((f - FLOOR(f)) * 1000000)
     """,
+    "q_lm_quality": """
+        WITH tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                FROM documents)
+          GROUP BY doc_id, tok
+        ), cnt AS (
+          SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok
+        ), stats AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_total, COUNT(*) AS v FROM cnt
+        )
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
+               ROUND(SUM(tf * -log2((cnt + 0.5) / (n_total + 0.5 * v)))
+                     / SUM(tf), 6) AS lm_bits_per_token
+        FROM tf JOIN cnt USING (tok) CROSS JOIN stats
+        GROUP BY doc_id
+    """,
+    "q_chunk_documents": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST((s - 1) / 48 AS INT) AS chunk_idx,
+               array_to_string(list_slice(toks, s, LEAST(s + 63, n)), ' ')
+                 AS chunk_text,
+               CAST(LEAST(64, n - s + 1) AS BIGINT) AS chunk_n_tokens
+        FROM t, UNNEST(generate_series(1, GREATEST(n - 16, 1), 48)) AS u(s)
+    """,
     "q_mix_corpus_exact": """
         WITH tok AS (
           SELECT doc_id, source,
@@ -1952,6 +2108,26 @@ ORACLE_SQL: dict[str, str] = {
           AND a.c_custkey < b.c_custkey
           AND abs(length(a.c_name) - length(b.c_name)) <= 2
           AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    "q_dedup_clusters": """
+        WITH RECURSIVE edges AS (
+          SELECT a.c_custkey AS src, b.c_custkey AS dst
+          FROM customer a, customer b
+          WHERE a.c_custkey < 150 AND b.c_custkey < 150
+            AND a.c_custkey < b.c_custkey
+            AND abs(length(a.c_name) - length(b.c_name)) <= 2
+            AND levenshtein(a.c_name, b.c_name) <= 2
+        ), sym AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT dst AS src, src AS dst FROM edges
+        ), reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        )
+        SELECT src AS id, MIN(dst) AS cluster
+        FROM reach GROUP BY src
     """,
     "q_redact_pii": """
         WITH salted AS (

@@ -801,6 +801,75 @@ def test_mix_corpus_proportions_and_upsampling(spark):
         mix_corpus(df, "source", {"a": 0.5, "b": 0.5}, total_tokens=50_000_000)
 
 
+def test_unigram_lm_scores_brute_force(spark):
+    """Scores equal a driver-side reconstruction of the add-k unigram
+    model, and a rare-token document scores more bits/token than one
+    made of corpus-typical tokens."""
+    import math
+
+    from dataworks_spark.llm.text import unigram_lm_scores
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "zyx qwv jkl"),
+        (4, "the the the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dl, r.lm_bits_per_token)
+        for r in unigram_lm_scores(df).collect()
+    }
+    cnt: dict = {}
+    for _, t in docs:
+        for tok in t.split(" "):
+            cnt[tok] = cnt.get(tok, 0) + 1
+    n, v, k = sum(cnt.values()), len(cnt), 0.5
+    for i, t in docs:
+        toks = t.split(" ")
+        bits = [-math.log2((cnt[x] + k) / (n + k * v)) for x in toks]
+        assert got[i][0] == len(toks)
+        assert got[i][1] == round(sum(bits) / len(bits), 6)
+    assert got[3][1] > got[1][1] > got[4][1]  # rare ≫ typical ≫ stereotyped
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token lands in ≥1 chunk, consecutive chunks share exactly
+    `overlap` tokens while a full window remains, chunk 0 starts at
+    token 0, short docs yield one chunk, and guards reject bad args."""
+    import pytest as _pytest
+
+    from dataworks_spark.llm.pipeline import chunk_documents
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in [(1, 10), (2, 4), (3, 1), (4, 9), (5, 13)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in rows:
+        toks = text.split(" ")
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # indexes are dense from 0; reconstruct each chunk directly
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        seen = []
+        for k, c in enumerate(chunks):
+            start = k * 2  # stride = 2
+            want = toks[start:start + 4]
+            assert c.chunk_text.split(" ") == want
+            assert c.chunk_n_tokens == len(want)
+            seen.extend(want)
+        assert set(seen) == set(toks)            # full coverage
+        # no chunk starts beyond n - overlap except the k=0 chunk
+        assert all(k * 2 < max(len(toks) - 2, 1) or k == 0
+                   for k in range(len(chunks)))
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+
+
 def test_mix_corpus_exact_tokens(spark):
     """exact_tokens mode equals the defining greedy-prefix semantics,
     reconstructed driver-side: per stratum, docs in (bucket, id) order

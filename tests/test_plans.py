@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     "q_knn_join",
     "q_bm25_search",
     "q_tfidf_vectors",  # same one-row stats broadcast as bm25
+    "q_lm_quality",  # one-row (N, V) corpus-total broadcast, same shape
 }
 
 
