@@ -63,12 +63,22 @@ def run_spark(
     across identical-code runs was 1.5-2.5 at passes=3.
 
     When ``duck_con`` is provided, the DuckDB oracle runs INTERLEAVED —
-    immediately after each query's Spark passes, in the same
+    immediately after each query's Spark execution, in the same
     per-query time window — so machine contention (this VM shows ±3×
     hypervisor-level swings) hits both engines together instead of
     landing entirely on whichever engine's phase it overlapped; the
     same-run per-query ratio is then controlled for noise, not just
-    the same-run total."""
+    the same-run total.
+
+    Passes are organized as ROUND-ROBIN ROUNDS over all queries (round
+    0 = cold, rounds 1.. = steady candidates), not consecutive passes
+    per query: the VM's contention arrives in sustained multi-second
+    windows, and consecutive passes all land inside one window — the
+    min can't strip what it never escapes (measured: identical code
+    swung 0.11 s ↔ 0.49 s on a set-op query between same-day runs).
+    With rounds, one query's passes are separated by a full sweep
+    (~minutes), so a window clips one round of many queries and the
+    per-query min recovers each query's uncontended cost."""
     # AQE stays ON even at this sub-second scale: its re-planning costs
     # ~25% on the short scan/agg queries (measured, BASELINE.md §5) but
     # its post-shuffle coalescing is what keeps the iterative fixpoint
@@ -99,15 +109,17 @@ def run_spark(
             pass
     errors: dict[str, str] = {}
     duck_times: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
-        df = None
-        for p in range(max(passes, 1)):
+    prepared: dict[str, object] = {}
+    for rnd in range(max(passes, 1)):
+        for name, fn in sorted(QUERIES.items()):
+            if name in errors:
+                continue
             t0 = time.perf_counter()
             try:
-                # Steady passes re-execute the PREPARED DataFrame: plan
+                # Steady rounds re-execute the PREPARED DataFrame: plan
                 # construction (hundreds of py4j expression calls for
                 # the 64-hash dedup kernels — measured 0.6-1.8 s/query)
-                # is paid once in the cold pass, exactly as a resident
+                # is paid once in the cold round, exactly as a resident
                 # engine serves a prepared statement; every count() is
                 # still a full job over the source data. DuckDB's
                 # steady is symmetric (warm catalog, re-executed SQL).
@@ -115,40 +127,40 @@ def run_spark(
                 # full — reusing their returned frame would re-read
                 # checkpointed loop/signature state, i.e. cached
                 # results, not a prepared plan.
+                df = prepared.get(name)
                 if df is None or name in _REBUILD_EACH_PASS:
                     df = fn(spark, SF_DIR)
+                    prepared[name] = df
                 df.count()  # materialize the full result
             except Exception as exc:  # noqa: BLE001 — one broken query must
                 # never destroy the round's entire perf record (BENCH_r03
                 # was a stack trace); record the error row and keep going.
-                # An error on a LATER pass also invalidates the steady
+                # An error on a LATER round also invalidates the steady
                 # number (it would silently be the cold time), so the
                 # query is dropped from steady — _ratio then excludes it
                 # from both sides and names it in ratio_excluded. The
-                # cold entry, if pass 0 succeeded, stays: it is a real
+                # cold entry, if round 0 succeeded, stays: it is a real
                 # measurement.
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 steady.pop(name, None)
-                break
+                continue
             dt = round(time.perf_counter() - t0, 4)
-            if p == 0:
+            if rnd == 0:
                 cold[name] = dt
             else:
                 steady[name] = min(steady.get(name, dt), dt)
-        if duck_con is not None and name in ORACLE_SQL:
-            # DuckDB immediately after this query's Spark passes:
-            # symmetric passes, min over post-warm, same contention
-            # window
-            try:
-                for p in range(max(passes, 1)):
+            if duck_con is not None and name in ORACLE_SQL:
+                # DuckDB immediately after this query's Spark pass:
+                # same round, same per-query contention window
+                try:
                     t0 = time.perf_counter()
                     duck_con.execute(ORACLE_SQL[name]).fetchall()
                     dt = round(time.perf_counter() - t0, 4)
-                    if p > 0:
+                    if rnd > 0:
                         duck_times[name] = min(duck_times.get(name, dt), dt)
-            except Exception as exc:  # noqa: BLE001 — a broken oracle row
-                errors[f"duckdb:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
-                duck_times.pop(name, None)
+                except Exception as exc:  # noqa: BLE001 — broken oracle row
+                    errors[f"duckdb:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+                    duck_times.pop(name, None)
     return cold, steady, errors, duck_times
 
 

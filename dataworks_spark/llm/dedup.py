@@ -281,17 +281,7 @@ def shingle_char_hashes_all(text: Column, q: int = 3) -> Column:
 def shingle_char_hashes(text: Column, q: int = 3) -> Column:
     """xxhash64 of each distinct CHARACTER q-gram (array<long>) — the
     string-join analog of :func:`shingle_hashes`' word shingles."""
-    n = F.length(text) - q + 1
-    # sequence(1, n) DESCENDS when n < 1 (it auto-steps -1), which
-    # would fabricate grams for short strings — guard to empty instead
-    return F.when(
-        n >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n), lambda i: F.xxhash64(text.substr(i, F.lit(q)))
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(shingle_char_hashes_all(text, q))
 
 
 def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
@@ -479,7 +469,11 @@ def simhash_near_dup_pairs(
 
 
 def near_dup_clusters(
-    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iterations: int = 50
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 50,
+    rounds_per_probe: int = 2,
 ) -> DataFrame:
     """Connected components over a near-dup pair list → (id, cluster)
     with cluster = MIN doc id in the component — the deterministic
@@ -497,7 +491,14 @@ def near_dup_clusters(
     freeze the loop after one round; xor (unlike an ANSI-mode sum)
     cannot overflow. Labels are monotone non-increasing per node, so a
     changed labeling cannot xor-compensate back to the same signature
-    except through a 2⁻⁶⁴-scale hash collision."""
+    except through a 2⁻⁶⁴-scale hash collision.
+
+    ``rounds_per_probe`` batches that many propagation joins into each
+    materialized job: min-label rounds past convergence are no-ops, so
+    overshooting is harmless, and on a barrier scheduler every probe
+    skipped is a driver round-trip saved — near-dup components are
+    diameter-2-ish, where batching halves the job count. Probe-only
+    rounds count toward ``max_iterations`` in propagation units."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = (
         edges.unionByName(
@@ -513,23 +514,24 @@ def near_dup_clusters(
         .withColumn("label", F.col("src"))
         .localCheckpoint(eager=False)
     )
+    if rounds_per_probe < 1:
+        raise ValueError(f"rounds_per_probe must be ≥ 1: {rounds_per_probe}")
     prev = labels.agg(sig).first()[0]
-    for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("src", "dst"), on="dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(nbr_min, on="src", how="left")
-            .select(
-                "src",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
+    for _ in range(0, max_iterations, rounds_per_probe):
+        for _r in range(rounds_per_probe):
+            nbr_min = (
+                sym.join(labels.withColumnRenamed("src", "dst"), on="dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint(eager=False)
-        )
+            labels = labels.join(nbr_min, on="src", how="left").select(
+                "src",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+        labels = labels.localCheckpoint(eager=False)
         cur = labels.agg(sig).first()[0]
         if cur == prev:
             break

@@ -116,17 +116,23 @@ def unigram_lm_scores(
     text, HIGH bits = rare-token noise — both tails are the filter
     candidates.
 
-    Scale shape: per-(doc, token) tf first (one shuffle whose rows are
-    DISTINCT doc-term pairs, not token occurrences), token totals from
-    a re-agg of that same relation (map-side combined), and the scoring
-    join runs tf ⋈ counts on the term key. A stop-token's join group is
-    |docs containing it| rows — the classic skew-join key, left to AQE
-    skew splitting (at ingest scale the head of the vocabulary would be
-    broadcast as a two-tier join; the tail relation stays a shuffle).
-    The one-row (N, V) total rides in as a broadcast crossJoin like the
-    BM25 stats row. The mean is ROUNDed to 6 decimals — partial-agg
-    float order is engine-specific; everything upstream of the mean is
-    exact integer arithmetic, so the score is oracle-checkable."""
+    Scale shape: ONE expensive lineage — per-(doc, token) tf (a shuffle
+    whose rows are DISTINCT doc-term pairs, not token occurrences),
+    then corpus counts as a window sum partitioned by term over that
+    same relation (no counts join, no second derivation of tf — a
+    tf ⋈ counts formulation plans the explode+aggregate once per
+    branch, tripling the heavy scan). A stop-token's window partition
+    is |docs containing it| rows — bounded by doc count, and at ingest
+    scale the vocabulary head would be precomputed corpus metadata like
+    the BM25 stats. The one-row (N, V) totals come from two bounded
+    side branches — N needs NO explode (a scan-level sum of token
+    counts), V is one distinct-aggregate — broadcast in as a crossJoin
+    like the BM25 stats row. The mean is ROUNDed to 6 decimals —
+    partial-agg float order is engine-specific; everything upstream of
+    the mean is exact integer arithmetic, so the score is
+    oracle-checkable."""
+    from pyspark.sql import Window
+
     tf = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -135,16 +141,21 @@ def unigram_lm_scores(
         .groupBy("__id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    counts = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
-    stats = counts.agg(
-        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("v")
+    with_cnt = tf.withColumn(
+        "cnt", F.sum("tf").over(Window.partitionBy("tok"))
     )
+    n_total = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("__n")
+    ).agg(F.sum("__n").alias("n_total"))
+    vocab = df.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v"))
+    stats = n_total.crossJoin(F.broadcast(vocab))
     bits = -F.log2(
         (F.col("cnt") + F.lit(k)) / (F.col("n_total") + F.lit(k) * F.col("v"))
     )
     return (
-        tf.join(counts, "tok")
-        .crossJoin(F.broadcast(stats))
+        with_cnt.crossJoin(F.broadcast(stats))
         .groupBy("__id")
         .agg(
             F.sum("tf").alias("dl"),
@@ -153,6 +164,51 @@ def unigram_lm_scores(
             ).alias("lm_bits_per_token"),
         )
         .select(F.col("__id").alias(id_col), "dl", "lm_bits_per_token")
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus summary — the sanity dashboard every corpus build
+    prints before training: document count, total/average token counts,
+    vocabulary size, type-token ratio, and exact p50/p90 document
+    lengths. Two aggregation passes (doc-level lengths; token-level
+    vocabulary over the distinct (doc, token) relation re-aggregated),
+    joined as one-row broadcasts — nothing here scales with corpus size
+    except the scans. Exact percentiles use the interpolating
+    ``percentile`` on integer lengths; both engines interpolate
+    linearly, and ratios are rounded (float division is the only
+    non-integer step)."""
+    lengths = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+    )
+    doc_stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_tokens"),
+        F.percentile(F.col("dl"), F.lit(0.5)).alias("__p50"),
+        F.percentile(F.col("dl"), F.lit(0.9)).alias("__p90"),
+    )
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab_size"))
+    )
+    return (
+        doc_stats.crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("avg_doc_tokens"),
+            F.round(F.col("__p50"), 6).alias("p50_doc_tokens"),
+            F.round(F.col("__p90"), 6).alias("p90_doc_tokens"),
+            F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
     )
 
 

@@ -60,6 +60,16 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
         # that. (The fixpoint loop session keeps parallelismFirst=false
         # for its seed: there the driver sizes rounds from exact counts
         # and rounds never expand.)
+        # Codegen class cache sized to the engine's whole query set
+        # (static conf; default 100 entries). The bench's round-robin
+        # rounds — and any resident engine serving a mixed workload —
+        # cycle through ~70 queries × several codegen stages between
+        # two executions of the same plan; at the default size every
+        # re-execution pays full janino recompilation (~50-200 ms per
+        # stage — measured 27.4 s → 18.8 s steady total across the
+        # query set when raised). Generated classes are small; 10k
+        # entries is a few hundred MB ceiling against a 24g heap.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

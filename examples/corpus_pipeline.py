@@ -10,8 +10,10 @@ the way a data team would run it nightly at 100 TB:
       → mix_corpus (domain token-share targets)
       → hash_split (layout-stable train/val/test)
       → select_token_budget (keep best-quality docs under budget)
-      → pack_sequences (fixed-token training packs)
+      → chunk_documents (overlapping context-window chunks)
+      → pack_sequences (fixed-token training packs over the chunks)
       → write_corpus_shards (partitioned, hash-spread parquet)
+      → corpus_stats (the one-row sanity summary)
 
 Run directly (``python examples/corpus_pipeline.py``) against the
 sf0.001 fixtures, or import :func:`main` (the smoke test does).
@@ -33,6 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
     from dataworks_spark.llm.pipeline import (
         CorpusConfig,
+        chunk_documents,
         hash_split,
         mix_corpus,
         pack_sequences,
@@ -42,6 +45,7 @@ def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
     )
     from dataworks_spark.llm.pipeline import decontaminate
     from dataworks_spark.llm.privacy import redact_pii
+    from dataworks_spark.llm.text import corpus_stats
     from dataworks_spark.session import get_spark, load_table
 
     spark = spark or get_spark("corpus_pipeline_demo")
@@ -73,24 +77,43 @@ def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
     train = split.filter(F.col("split") == "train")
     budgeted = select_token_budget(train, budget_tokens=2000)
 
-    # 7. pack into 512-token training sequences, 8. shard to disk
-    packed = pack_sequences(budgeted, target_tokens=512, lanes=4)
+    # 7. chunk to the context window, then pack the CHUNKS into
+    # 512-token training sequences (chunk ids are synthesized from
+    # (doc, chunk_idx) so packing stays a single-key operator)
+    chunks = chunk_documents(
+        budgeted, id_col="doc_id", text_col="text",
+        chunk_tokens=256, overlap=32,
+    ).withColumn(
+        "chunk_id",
+        F.col("doc_id") * F.lit(10_000) + F.col("chunk_idx"),
+    )
+    packed = pack_sequences(
+        chunks, id_col="chunk_id", tokens_col="chunk_n_tokens",
+        target_tokens=512, lanes=4,
+    ).withColumn("doc_id", (F.col("chunk_id") / F.lit(10_000)).cast("long"))
     out_path = os.path.join(workdir, "corpus")
     write_corpus_shards(
         split.join(
-            packed.select("doc_id", "pack_lane", "pack_seq"), "doc_id", "left"
+            packed.select("doc_id", "pack_lane", "pack_seq")
+            .dropDuplicates(["doc_id"]),
+            "doc_id",
+            "left",
         ),
         out_path,
         files_per_partition=2,
     )
 
+    summary = corpus_stats(budgeted).first()
     stats = {
         "n_raw": docs.count(),
         "n_prepared": prepared.count(),
         "n_clean": clean.count(),
         "n_mixed": mixed.count(),
         "n_train_budgeted": budgeted.count(),
+        "n_chunks": chunks.count(),
         "n_packs": packed.select("pack_lane", "pack_seq").dropDuplicates().count(),
+        "train_vocab": summary["vocab_size"],
+        "train_p90_dl": summary["p90_doc_tokens"],
         "out_path": out_path,
     }
     return stats

@@ -31,6 +31,7 @@ NESTED_LOOP_OK = {
     "q_bm25_search",
     "q_tfidf_vectors",  # same one-row stats broadcast as bm25
     "q_lm_quality",  # one-row (N, V) corpus-total broadcast, same shape
+    "q_corpus_stats",  # two one-row aggregates joined, both bounded
 }
 
 
