@@ -36,11 +36,14 @@ from dataworks_spark.llm.similarity import (
     knn_join,
     knn_join_lsh,
     lsh_cosine_topk,
+    semantic_dedup_keepers,
+    semantic_dedup_pairs,
 )
 from dataworks_spark.llm.pipeline import (
     CorpusConfig,
     chunk_documents,
     decontaminate,
+    dedup_spans,
     hash_split,
     mix_corpus,
     pack_sequences,
@@ -50,6 +53,7 @@ from dataworks_spark.llm.pipeline import (
     write_corpus_shards,
 )
 from dataworks_spark.llm.text import (
+    corpus_stats,
     document_fingerprint,
     language_scores,
     quality_features,
@@ -67,6 +71,9 @@ __all__ = [
     "cooccurrence_pairs",
     "near_dup_clusters",
     "dedup_keep_canonical",
+    "dedup_spans",
+    "semantic_dedup_pairs",
+    "semantic_dedup_keepers",
     "brute_force_cosine_topk",
     "cosine_pairs_above",
     "ivf_cosine_topk",
@@ -78,6 +85,7 @@ __all__ = [
     "document_fingerprint",
     "CorpusConfig",
     "chunk_documents",
+    "corpus_stats",
     "unigram_lm_scores",
     "prepare_corpus",
     "hash_split",

@@ -468,6 +468,69 @@ def chunk_documents(
     ).select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.chunk_n_tokens")
 
 
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 32,
+) -> DataFrame:
+    """Span-level exact substring dedup — the practical form of
+    "deduplicate training data" substring removal (Lee et al. 2021's
+    suffix-array exact-substring dedup, approximated at fixed
+    token-window granularity the way public corpus pipelines run it):
+    split every document into non-overlapping ``span_tokens`` windows,
+    keep only the FIRST occurrence of each distinct span corpus-wide
+    (ordered by (doc id, span index) — a total order, so the survivor
+    set is deterministic under any partitioning), and rebuild each
+    document from its surviving spans in original order. Repeated
+    boilerplate (headers, license blocks, templated paragraphs) is cut
+    from every document but its first, without dropping whole docs.
+
+    Returns one row per input document: (id, rebuilt text, n_spans,
+    n_spans_kept) — a document whose every span was seen earlier
+    rebuilds to ''.
+
+    Scale shape: chunking is a pure projection+explode (no shuffle);
+    first-occurrence election is ONE window over the span key — the
+    span text must co-locate with its keep decision anyway (the kept
+    text is the output), so electing via window instead of a
+    keeper-join saves the second pass over the exploded relation — and
+    the rebuild is one groupBy(doc). Two shuffles total, both linear in
+    corpus tokens. The window key leads with xxhash64(span) so partition
+    routing and sort compare 8-byte longs, with the span itself as
+    tiebreaker so a 64-bit collision can merge two partitions but never
+    two distinct spans' elections."""
+    spans = chunk_documents(
+        df, id_col=id_col, text_col=text_col, chunk_tokens=span_tokens, overlap=0
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.xxhash64("chunk_text"), "chunk_text")
+    flagged = spans.withColumn(
+        "__keep",
+        F.struct(F.col(id_col), F.col("chunk_idx"))
+        == F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(w),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__keep").cast("long")).alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct("chunk_idx", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s.chunk_text,
+            ),
+            " ",
+        ).alias(text_col),
+    )
+
+
 _MIX_BINS = 1000
 
 

@@ -398,3 +398,78 @@ def cosine_pairs_above(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_clusters: int = 16,
+    sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    public): k-means-cluster the embeddings, then compare cosine only
+    WITHIN each cluster — semantically-duplicate pairs sit near each
+    other in embedding space, so almost all of them share a cluster
+    while the pair space collapses from O(n²) to Σ|cluster|². Every
+    emitted pair carries its exact cosine (precision 1 by
+    construction); pairs split across a cluster boundary are the
+    recall trade, exactly like LSH bucket misses.
+
+    Determinism: the coarse quantizer is :func:`ivf_build_centroids` —
+    k-means on a bounded hash-smallest sample with a fixed seed, so
+    clusters (and therefore the pair set) are identical under any
+    partitioning; `tests` anchor n_clusters=1 ≡ the exhaustive kernel.
+
+    Scale shape: assignment is a JVM expression over broadcast literal
+    centroids (no Python boundary, no shuffle); the self-join shuffles
+    on the cluster id. At 100 TB the table is written partitioned by
+    cluster, the join co-locates at the source, and per-cluster pair
+    work is bounded by raising ``n_clusters`` (SemDeDup runs 10k+
+    clusters at corpus scale — cluster count is the knob that keeps
+    Σ|cluster|² linear-ish)."""
+    cents = ivf_build_centroids(
+        df, vec_col, n_centroids=n_clusters, sample=sample, seed=seed
+    )
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), ivf_assign(F.col(vec_col), cents).alias("__c")
+    )
+    left = assigned.select(
+        "__c", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    right = assigned.select(
+        "__c", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    return (
+        left.join(right, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def semantic_dedup_keepers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_clusters: int = 16,
+    sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Full SemDeDup decision: semantic pairs → connected components →
+    one deterministic survivor (min id) per component. Returns
+    (id, cluster) for every DOCUMENT IN A COMPONENT; rows never paired
+    are implicitly their own keeper. Composes the pair kernel above
+    with the same min-label propagation the MinHash/SimHash tiers use
+    (`dedup.near_dup_clusters`), so the survivor rule is uniform across
+    all four near-dup families."""
+    from dataworks_spark.llm.dedup import near_dup_clusters
+
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, threshold, n_clusters, sample, seed
+    )
+    return near_dup_clusters(pairs, id_a="id_a", id_b="id_b")

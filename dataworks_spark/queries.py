@@ -779,6 +779,37 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Span-level exact substring dedup (llm/pipeline.py dedup_spans):
+    8-token windows, first occurrence corpus-wide survives (total order
+    (doc_id, span idx)), documents rebuilt from surviving spans. The
+    oracle recomputes the whole construction — window split,
+    ROW_NUMBER-first election, ordered string_agg rebuild — so the
+    rebuilt TEXT is hash-checked, not just the counts."""
+    from dataworks_spark.llm.pipeline import dedup_spans
+
+    return dedup_spans(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        span_tokens=8,
+    ).select("doc_id", "n_spans", "n_spans_kept", "text")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs (llm/similarity.py
+    semantic_dedup_pairs): deterministic k-means clusters bound the
+    pair space; within-cluster exact cosine ≥ 0.35. Cluster boundaries
+    are implementation-defined → rows-only; anchors: n_clusters=1
+    equals the exhaustive kernel exactly (tested), emitted pairs are
+    a subset of q_embed_neardup's exact pair set with identical
+    cosines, and the pair set is partition-invariant."""
+    from dataworks_spark.llm.similarity import semantic_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, n_clusters=8
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (L3 baseline): query = vec_id 0.
     Ordering is on the ROUNDED score + vec_id so both engines pick an
@@ -905,6 +936,24 @@ def q_pack_sequences(spark, sf_dir):
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         "pack_lane",
         "pack_seq",
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """One-row corpus summary (llm/text.py corpus_stats): counts,
+    vocabulary, type-token ratio, exact interpolated p50/p90 doc
+    lengths. Everything upstream of the three rounded ratios is exact
+    integer arithmetic."""
+    from dataworks_spark.llm.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents")).select(
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "avg_doc_tokens",
+        "p50_doc_tokens",
+        "p90_doc_tokens",
+        "type_token_ratio",
     )
 
 
@@ -2043,6 +2092,53 @@ ORACLE_SQL: dict[str, str] = {
         FROM tok JOIN frac USING (source)
         WHERE ((doc_id % 1000000) * 2654435761) % 1000000 <
               FLOOR(f) * 1000000 + FLOOR((f - FLOOR(f)) * 1000000)
+    """,
+    "q_dedup_spans": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), spans AS (
+          SELECT doc_id,
+                 CAST((s - 1) / 8 AS INT) AS idx,
+                 array_to_string(list_slice(toks, s, LEAST(s + 7, n)), ' ')
+                   AS span
+          FROM t, UNNEST(generate_series(1, GREATEST(n, 1), 8)) AS u(s)
+        ), flagged AS (
+          SELECT doc_id, idx, span,
+                 ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) = 1
+                   AS keep
+          FROM spans
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_spans_kept,
+               COALESCE(string_agg(CASE WHEN keep THEN span END, ' '
+                                   ORDER BY idx), '') AS text
+        FROM flagged GROUP BY doc_id
+    """,
+    "q_corpus_stats": """
+        WITH lens AS (
+          SELECT CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS dl
+          FROM documents
+        ), doc_stats AS (
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS n_tokens,
+                 quantile_cont(dl, 0.5) AS p50,
+                 quantile_cont(dl, 0.9) AS p90
+          FROM lens
+        ), vocab AS (
+          SELECT COUNT(DISTINCT tok) AS vocab_size
+          FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                FROM documents)
+        )
+        SELECT n_docs, n_tokens, vocab_size,
+               ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens,
+               ROUND(p50, 6) AS p50_doc_tokens,
+               ROUND(p90, 6) AS p90_doc_tokens,
+               ROUND(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+        FROM doc_stats CROSS JOIN vocab
     """,
     "q_lm_quality": """
         WITH tf AS (

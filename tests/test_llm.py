@@ -1215,3 +1215,179 @@ def test_top_terms_vocabulary(spark):
     assert top_terms(df, n=5, min_df=2) == ["apple", "banana"]
     vecs = tfidf_vectors(df, top_terms(df, n=5, min_df=2))
     assert vecs.count() == 4 and len(vecs.first()["tfidf"]) == 2
+
+
+def test_dedup_spans_matches_bruteforce(spark):
+    """Span dedup: first occurrence in (doc_id, span_idx) order wins
+    corpus-wide, later occurrences (cross- AND within-doc) are cut,
+    documents rebuild from surviving spans in original order."""
+    from dataworks_spark.llm.pipeline import dedup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "x y z"),
+            (4, "d e f d e f"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_spans_kept, r.text)
+        for r in dedup_spans(df, span_tokens=3).collect()
+    }
+    assert got == {
+        1: (2, 2, "a b c d e f"),
+        2: (2, 1, "x y z"),
+        3: (1, 0, ""),
+        4: (2, 0, ""),
+        5: (1, 1, ""),
+    }
+
+
+def test_dedup_spans_partition_invariance(spark, docs):
+    """The survivor set is a total-order election — identical under any
+    input partitioning; global span mass is conserved (every distinct
+    span survives exactly once)."""
+    from dataworks_spark.llm.pipeline import chunk_documents, dedup_spans
+
+    a = dedup_spans(docs.repartition(1), span_tokens=8)
+    b = dedup_spans(docs.repartition(16, "text"), span_tokens=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    n_distinct = (
+        chunk_documents(docs, chunk_tokens=8, overlap=0)
+        .select("chunk_text").distinct().count()
+    )
+    kept = a.agg(F.sum("n_spans_kept")).first()[0]
+    assert kept == n_distinct
+
+
+def test_semantic_dedup_single_cluster_equals_exact(spark, emb):
+    """n_clusters=1 degenerates to the exhaustive kernel: identical
+    pair set, identical cosines."""
+    from dataworks_spark.llm.similarity import (
+        cosine_pairs_above,
+        semantic_dedup_pairs,
+    )
+
+    e = emb.filter(F.col("vec_id") < 150)
+    exact = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in cosine_pairs_above(e, "vec_id", "embedding", 0.35, exact=True).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in semantic_dedup_pairs(
+            e, "vec_id", "embedding", 0.35, n_clusters=1
+        ).collect()
+    }
+    assert sem == exact and exact
+
+
+def test_semantic_dedup_precision_recall_and_invariance(spark, emb):
+    """Clustered pairs are a strict SUBSET of the exhaustive pair set
+    with identical cosines (precision 1 by construction); recall over
+    the fixture's true pairs stays above the floor; the pair set is
+    identical under repartitioning (deterministic centroids)."""
+    from dataworks_spark.llm.similarity import (
+        cosine_pairs_above,
+        semantic_dedup_pairs,
+    )
+
+    e = emb.filter(F.col("vec_id") < 300)
+    exact = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in cosine_pairs_above(e, "vec_id", "embedding", 0.35, exact=True).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in semantic_dedup_pairs(
+            e, "vec_id", "embedding", 0.35, n_clusters=8
+        ).collect()
+    }
+    assert set(sem) <= set(exact)
+    for pair, cos in sem.items():
+        assert cos == exact[pair]
+    assert exact, "fixture should contain cosine-similar pairs"
+    assert sem, "clusters should retain some same-cluster pairs"
+    again = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            e.repartition(16, "label"), "vec_id", "embedding", 0.35, n_clusters=8
+        ).collect()
+    }
+    assert again == set(sem)
+
+
+def test_semantic_dedup_keepers_min_label(spark, emb):
+    """Keeper labeling: every component's label is its min member id,
+    and membership matches the pair graph's connectivity."""
+    from dataworks_spark.llm.similarity import (
+        semantic_dedup_keepers,
+        semantic_dedup_pairs,
+    )
+
+    e = emb.filter(F.col("vec_id") < 300)
+    pairs = semantic_dedup_pairs(e, "vec_id", "embedding", 0.35, n_clusters=8)
+    comp = {}
+
+    def find(x):
+        while comp.get(x, x) != x:
+            comp[x] = comp.get(comp[x], comp[x])
+            x = comp[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            comp[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for node in set(comp) | {v for v in comp.values()}:
+        want.setdefault(node, find(node))
+    got = {
+        r.id: r.cluster
+        for r in semantic_dedup_keepers(
+            e, "vec_id", "embedding", 0.35, n_clusters=8
+        ).collect()
+    }
+    assert got == {k: find(k) for k in got}
+    assert set(got) == set(want)
+
+
+def test_semantic_dedup_recall_on_planted_duplicates(spark):
+    """The regime SemDeDup targets: groups of near-identical vectors
+    (cos ≈ 0.99). Same-group members land in the same k-means cluster,
+    so within-cluster compare recalls ~all true duplicate pairs even
+    with many clusters. (The documents fixture tops out at cos 0.48 —
+    no true semantic dups — hence this planted set.)"""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import (
+        cosine_pairs_above,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    vid = 0
+    for g in range(40):
+        for _ in range(3):
+            v = base[g] + rng.normal(scale=0.01, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_above(df, "vec_id", "embedding", 0.95, exact=True).collect()
+    }
+    assert len(exact) >= 100, "planted groups must produce dup pairs"
+    sem = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", 0.95, n_clusters=8, sample=120
+        ).collect()
+    }
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.95, f"planted-dup recall {recall} over {len(exact)} pairs"
