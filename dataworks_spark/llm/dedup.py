@@ -516,7 +516,15 @@ def near_dup_clusters(
     )
     if rounds_per_probe < 1:
         raise ValueError(f"rounds_per_probe must be ≥ 1: {rounds_per_probe}")
-    prev = labels.agg(sig).first()[0]
+    # No seed-signature probe: with ≥1 edge, round 1 ALWAYS changes a
+    # label (the larger endpoint of any edge adopts the smaller id), so
+    # comparing round 1 against the seed can never detect convergence —
+    # the probe was a pure driver-barrier job. prev=None makes the
+    # first comparison trivially "changed" for any non-empty graph
+    # (bit_xor over ≥1 non-null labels is non-null); an EMPTY graph's
+    # sig is NULL → None == None breaks on the first probe, which is
+    # the correct (empty) fixpoint.
+    prev = None
     for _ in range(0, max_iterations, rounds_per_probe):
         for _r in range(rounds_per_probe):
             nbr_min = (

@@ -639,6 +639,7 @@ def decontaminate(
     eval_text_col: str | None = None,
     ngram_n: int = 5,
     mark_only: bool = False,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Remove (or flag, with ``mark_only=True``) training documents
     that share any word ``ngram_n``-gram with the evaluation set — the
@@ -657,7 +658,23 @@ def decontaminate(
     tokens has no shingles and can never be flagged. 64-bit shingle
     collisions can only OVER-remove (a train shingle falsely matching
     an eval one) — the safe direction for contamination; rate
-    ~|shingles|²/2⁶⁵."""
+    ~|shingles|²/2⁶⁵.
+
+    ``bloom_fpp`` switches on the Bloom-prefilter tier for benchmark
+    suites whose exact shingle set is too big to broadcast comfortably
+    (a full eval harness can carry 10⁸ shingles ≈ GBs exact, vs ~170 MB
+    of Bloom bits at fpp 1e-3): the eval shingles fold into ONE Bloom
+    built DISTRIBUTED (`functions/bloom.py` — bit_or word aggregation,
+    shuffle ≤ filter-size, bounded control-plane collect of the packed
+    words), and the corpus scan keeps only docs where
+    ``exists(shingles, might_contain(·))`` — a pure JVM probe
+    expression fused into the scan projection, so clean docs never
+    explode at all. Flagged docs (true hits + Bloom false positives)
+    then run the EXACT semi-join above; false positives only add
+    candidates to that verify, so the final answer is byte-identical
+    to the exact path — the Bloom prunes work, never changes
+    results."""
+    from dataworks_spark.functions.bloom import bloom_build
     from dataworks_spark.llm.dedup import shingle_hashes
 
     ev_col = eval_text_col or text_col
@@ -665,8 +682,18 @@ def decontaminate(
         eval_df.select(F.explode(shingle_hashes(F.col(ev_col), ngram_n)).alias("__sh"))
         .dropDuplicates()
     )
+    candidates = train
+    if bloom_fpp is not None:
+        n_items = max(eval_shingles.count(), 1)
+        bloom = bloom_build(eval_shingles, F.col("__sh"), n_items, bloom_fpp)
+        candidates = train.filter(
+            F.exists(
+                shingle_hashes(F.col(text_col), ngram_n),
+                bloom.might_contain,
+            )
+        )
     contaminated_ids = (
-        train.select(
+        candidates.select(
             F.col(id_col), F.explode(shingle_hashes(F.col(text_col), ngram_n)).alias("__sh")
         )
         .join(F.broadcast(eval_shingles), on="__sh", how="left_semi")

@@ -124,10 +124,12 @@ def unigram_lm_scores(
     branch, tripling the heavy scan). A stop-token's window partition
     is |docs containing it| rows — bounded by doc count, and at ingest
     scale the vocabulary head would be precomputed corpus metadata like
-    the BM25 stats. The one-row (N, V) totals come from two bounded
-    side branches — N needs NO explode (a scan-level sum of token
-    counts), V is one distinct-aggregate — broadcast in as a crossJoin
-    like the BM25 stats row. The mean is ROUNDed to 6 decimals —
+    the BM25 stats. The one-row (N, V) totals are re-aggregates of the
+    SAME tf relation (N = Σtf, V = distinct terms), so Catalyst's
+    ReuseExchange serves both the stats branch and the window from one
+    physical tf shuffle — the corpus is scanned and exploded exactly
+    once — and the row broadcasts in as a crossJoin like the BM25
+    stats row. The mean is ROUNDed to 6 decimals —
     partial-agg float order is engine-specific; everything upstream of
     the mean is exact integer arithmetic, so the score is
     oracle-checkable."""
@@ -144,13 +146,9 @@ def unigram_lm_scores(
     with_cnt = tf.withColumn(
         "cnt", F.sum("tf").over(Window.partitionBy("tok"))
     )
-    n_total = df.select(
-        F.size(tokens(F.col(text_col))).cast("long").alias("__n")
-    ).agg(F.sum("__n").alias("n_total"))
-    vocab = df.select(
-        F.explode(tokens(F.col(text_col))).alias("tok")
-    ).agg(F.count_distinct("tok").alias("v"))
-    stats = n_total.crossJoin(F.broadcast(vocab))
+    stats = tf.agg(
+        F.sum("tf").alias("n_total"), F.count_distinct("tok").alias("v")
+    )
     bits = -F.log2(
         (F.col("cnt") + F.lit(k)) / (F.col("n_total") + F.lit(k) * F.col("v"))
     )

@@ -129,3 +129,42 @@ def test_array_math(spark):
         cosine_similarity(F.col("a"), F.col("a")).alias("c"),
     ).first()
     assert row.d == 11.0 and abs(row.c - 1.0) < 1e-12
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    """functions/bloom.py: every inserted value tests positive (the
+    Bloom guarantee), and the measured false-positive rate on a
+    disjoint probe set stays within ~4x of the requested fpp."""
+    from dataworks_spark.functions.bloom import bloom_build
+
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 2000).select((F.col("id") * 7 + 3).alias("v"))
+    bloom = bloom_build(members, F.col("v"), n_items=2000, fpp=0.01)
+    hits = members.filter(bloom.might_contain(F.col("v"))).count()
+    assert hits == 2000, "false negative: Bloom must contain every member"
+    # probes disjoint from members (members are 3 mod 7)
+    probes = spark.range(0, 20000).select((F.col("id") * 7 + 5).alias("v"))
+    fp = probes.filter(bloom.might_contain(F.col("v"))).count()
+    assert fp / 20000 <= 0.04, f"fpp too high: {fp}/20000"
+
+
+def test_bloom_probe_is_lambda_safe(spark):
+    """might_contain composes inside higher-order-function lambdas
+    (the decontaminate scan-projection use)."""
+    from dataworks_spark.functions.bloom import bloom_build
+
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 100).select(F.col("id").alias("v"))
+    bloom = bloom_build(members, F.col("v"), n_items=100, fpp=0.01)
+    df = spark.createDataFrame(
+        [([1, 2, 3],), ([100000, 200000],)], "xs array<bigint>"
+    )
+    got = [
+        r.hit
+        for r in df.select(
+            F.exists(F.col("xs"), bloom.might_contain).alias("hit")
+        ).collect()
+    ]
+    assert got[0] is True and got[1] in (False, True)  # fp possible, fn not

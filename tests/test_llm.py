@@ -1391,3 +1391,37 @@ def test_semantic_dedup_recall_on_planted_duplicates(spark):
     }
     recall = len(sem & exact) / len(exact)
     assert recall >= 0.95, f"planted-dup recall {recall} over {len(exact)} pairs"
+
+
+def test_decontaminate_bloom_prefilter_equals_exact(spark):
+    """The Bloom tier is a pure work-pruner: flagged docs re-verify
+    through the exact semi-join, so the final keep set is byte-equal to
+    the exact path at ANY false-positive rate (even an absurdly lossy
+    one), and mark_only flags match too."""
+    from dataworks_spark.llm.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "the quick brown fox jumps over dogs"),
+            (4, "alpha beta gamma delta epsilon other"),
+            (5, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy")],
+        "doc_id long, text string",
+    )
+    exact = sorted(r.doc_id for r in decontaminate(train, ev).collect())
+    for fpp in (1e-6, 0.5):
+        bloom = sorted(
+            r.doc_id for r in decontaminate(train, ev, bloom_fpp=fpp).collect()
+        )
+        assert bloom == exact, f"fpp={fpp}"
+    marked = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(train, ev, mark_only=True, bloom_fpp=1e-3).collect()
+    }
+    assert marked == {1: True, 2: False, 3: False, 4: True, 5: False}
