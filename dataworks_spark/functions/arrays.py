@@ -1,8 +1,16 @@
 """Array / vector scalar functions (SURVEY §2 H9, L3 support).
 
 Vector math stays JVM-side with higher-order functions
-(`zip_with` + `aggregate`) — no Python row boundary — so cosine
-similarity over 100 TB of embeddings runs inside whole-stage codegen.
+(`zip_with` + `aggregate`) — no Python row boundary, no Arrow
+round-trip. NOTE the honest cost model: higher-order array lambdas
+are CodegenFallback in Spark — each evaluation is an interpreted
+~µs-scale tree walk, not whole-stage codegen (measured ~4 µs per
+64-dim dot at sf0.5; an Arrow-batched pandas scorer measured NO
+better — transfer cost ≈ eval cost at this dim). Pairwise kernels
+must therefore control the PAIR COUNT (LSH buckets, IVF clusters,
+top-k pushdown), and score unit-normalized vectors so each pair pays
+one dot, not dot + two norms — that is where the engine's similarity
+operators get their speed, not from the scalar expression.
 """
 
 from __future__ import annotations

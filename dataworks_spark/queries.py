@@ -801,12 +801,17 @@ def q_semantic_dedup(spark, sf_dir):
     are implementation-defined → rows-only; anchors: n_clusters=1
     equals the exhaustive kernel exactly (tested), emitted pairs are
     a subset of q_embed_neardup's exact pair set with identical
-    cosines, and the pair set is partition-invariant."""
+    cosines, and the pair set is partition-invariant. n_clusters
+    scales with corpus size (SemDeDup's own prescription): pair space
+    is Σ|cluster|² ≈ n²/c and each pair's score is an interpreted
+    lambda evaluation, so c ∝ n keeps per-row work constant as data
+    grows."""
     from dataworks_spark.llm.similarity import semantic_dedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
+    n_clusters = max(8, e.count() // 128)
     return semantic_dedup_pairs(
-        e, "vec_id", "embedding", threshold=0.35, n_clusters=8
+        e, "vec_id", "embedding", threshold=0.35, n_clusters=n_clusters
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
