@@ -44,7 +44,8 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     via zip_with/aggregate against literal plane arrays."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        # one py4j literal per plane (per-value lits cost dim round-trips)
+        p = F.lit([float(x) for x in plane]).cast("array<double>")
         dot = F.aggregate(
             F.zip_with(vec, p, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
@@ -135,7 +136,10 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(float(v)) for v in cent]),
+                    # ONE py4j literal per centroid (F.array of per-value
+                    # lits costs dim round-trips per centroid — plan
+                    # construction alone ran seconds at c=78, dim=64)
+                    F.lit([float(v) for v in cent]).cast("array<double>"),
                     lambda a, b: a.cast("double") * b,
                 ),
                 F.lit(0.0),
