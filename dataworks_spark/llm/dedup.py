@@ -498,7 +498,21 @@ def near_dup_clusters(
     overshooting is harmless, and on a barrier scheduler every probe
     skipped is a driver round-trip saved — near-dup components are
     diameter-2-ish, where batching halves the job count. Probe-only
-    rounds count toward ``max_iterations`` in propagation units."""
+    rounds count toward ``max_iterations`` in propagation units.
+
+    The loop runs on the shared ISOLATED fixpoint session
+    (`ops/recursive._fixpoint_session`): its byte-based AQE coalescing
+    (parallelismFirst=false) sizes each round's stages to the label
+    relation's actual bytes — a 7k-edge graph runs 1-2 tasks per stage
+    instead of inheriting the caller's parallelism floor, and a
+    corpus-scale graph still fans out by bytes. Loop rounds never
+    expand their input (min-label is row-preserving), which is exactly
+    the precondition the fixpoint session's conf is tuned for; the
+    caller's session confs are never touched."""
+    from dataworks_spark.ops.recursive import _fixpoint_session, _lift
+
+    fs = _fixpoint_session(pairs.sparkSession)
+    pairs = _lift(pairs, fs)
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = (
         edges.unionByName(

@@ -605,8 +605,11 @@ def _mix_exact(
     off_e = _stratum_lit(strata_col, offset)
     full_e = _stratum_lit(strata_col, full)
     tgt_e = _stratum_lit(strata_col, targets)
-    below = base.filter(F.col("__bin") < cut_e).withColumn("__extra", F.lit(1))
-    above = base.filter(F.col("__bin") > cut_e).withColumn("__extra", F.lit(0))
+    # one scan resolves every non-boundary bin (below → extra copy,
+    # above → none); only the boundary bin's ~1/bins slice windows
+    non_boundary = base.filter(F.col("__bin") != cut_e).withColumn(
+        "__extra", (F.col("__bin") < cut_e).cast("int")
+    )
     w = (
         Window.partitionBy(strata_col)
         .orderBy("__bucket", id_col)
@@ -620,8 +623,7 @@ def _mix_exact(
         )
     )
     return (
-        below.unionByName(above)
-        .unionByName(boundary)
+        non_boundary.unionByName(boundary)
         .withColumn("__copies", full_e + F.col("__extra"))
         .filter(F.col("__copies") > 0)
         .withColumn(

@@ -98,6 +98,13 @@ def _fixpoint_session(spark):
         # AQE-on materialization (the seed): a tiny seed lands on 1-2
         # tasks, a hub-blown seed keeps byte-proportional parallelism
         fs.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE pinned ON regardless of the parent session's setting: the
+        # seed materialization and the label-propagation loops (see
+        # llm/dedup.near_dup_clusters) depend on byte-based coalescing;
+        # inheriting a parent's AQE=off was measured to blow the
+        # fixpoint queries up 4-6x. adaptive_rounds still suspends AQE
+        # round-by-round inside its own loop (save/restore on fs).
+        fs.conf.set("spark.sql.adaptive.enabled", "true")
         try:
             spark._dataworks_fixpoint_session = fs
         except Exception:  # noqa: BLE001 — unexpected immutable session obj

@@ -42,6 +42,14 @@ _QVEC_CACHE: dict[tuple[str, str], list[float]] = {}
 #: query-time. Caching the index — never query results — mirrors that.
 _ANN_INDEX_CACHE: dict[tuple[str, str, str], object] = {}
 
+#: per-(app, sf_dir, kind) memo of LAZY DataFrame plans feeding the
+#: fixpoint queries. Those queries rebuild every bench pass (their
+#: loops hold localCheckpoints, so the RETURNED frame must not be
+#: reused), but a checkpoint-free input plan is a prepared statement:
+#: caching it skips only py4j expression re-construction — every
+#: action still executes the full plan against the source data.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -95,6 +103,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _evict_stale(_TABLE_CACHE, app_id)
     _evict_stale(_QVEC_CACHE, app_id)
     _evict_stale(_ANN_INDEX_CACHE, app_id)
+    _evict_stale(_PLAN_CACHE, app_id)
     key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
@@ -1100,8 +1109,15 @@ def q_dedup_clusters(spark, sf_dir):
     loop lands on exactly the component minimum for every node."""
     from dataworks_spark.llm.dedup import edit_distance_pairs, near_dup_clusters
 
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
-    pairs = edit_distance_pairs(c, "c_custkey", "c_name", max_dist=2)
+    key = (spark.sparkContext.applicationId, sf_dir, "edit_pairs_plan")
+    pairs = _PLAN_CACHE.get(key)
+    if pairs is None:
+        # the pair plan is checkpoint-free (pure lazy) — memoizing it is
+        # plan reuse, not result reuse; the fixpoint below re-executes
+        # it in full on every call
+        c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+        pairs = edit_distance_pairs(c, "c_custkey", "c_name", max_dist=2)
+        _PLAN_CACHE[key] = pairs
     return near_dup_clusters(pairs, id_a="id_a", id_b="id_b").select(
         "id", "cluster"
     )

@@ -59,10 +59,13 @@ def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
         scrubbed, config=CorpusConfig(near_dup=True, min_tokens=5)
     )
 
-    # 3. benchmark decontamination: first 5 docs stand in for evals
+    # 3. benchmark decontamination: first 5 docs stand in for evals;
+    # bloom_fpp turns on the Bloom scan-prefilter tier (results are
+    # byte-identical to the exact path — the Bloom only prunes work)
     eval_set = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
     clean = decontaminate(
-        prepared.filter(F.col("doc_id") >= 5), eval_set, ngram_n=5
+        prepared.filter(F.col("doc_id") >= 5), eval_set, ngram_n=5,
+        bloom_fpp=1e-3,
     )
 
     # 4. domain mixing: equal token shares from the first four sources

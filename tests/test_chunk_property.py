@@ -53,3 +53,44 @@ def test_chunking_matches_bruteforce(spark, cases):
             ).collect()
         )
         assert got == want[i], f"case doc={i} c={c} o={o}"
+
+
+def _brute_span_dedup(docs: dict[int, str], span: int):
+    """First-occurrence span election in (doc_id, idx) order."""
+    seen = set()
+    out = {}
+    for doc_id in sorted(docs):
+        toks = docs[doc_id].split(" ")
+        spans = [
+            " ".join(toks[s : s + span]) for s in range(0, max(len(toks), 1), span)
+        ]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        out[doc_id] = (len(spans), len(kept), " ".join(kept))
+    return out
+
+
+@given(
+    data=st.lists(
+        st.lists(st.integers(0, 6), min_size=0, max_size=12), min_size=1, max_size=8
+    ),
+    span=st.integers(1, 5),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_dedup_spans_matches_bruteforce_property(spark, data, span):
+    """Random corpora from a tiny vocabulary (forcing cross- and
+    within-doc span collisions) against a Python first-occurrence
+    interpreter: identical counts AND identical rebuilt text."""
+    from dataworks_spark.llm.pipeline import dedup_spans
+
+    docs = {i: " ".join(f"w{t}" for t in toks) for i, toks in enumerate(data)}
+    rows = [(i, text) for i, text in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_spans_kept, r.text)
+        for r in dedup_spans(df, span_tokens=span).collect()
+    }
+    assert got == _brute_span_dedup(docs, span)
