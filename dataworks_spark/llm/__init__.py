@@ -32,6 +32,7 @@ from dataworks_spark.llm.retrieval import (
 from dataworks_spark.llm.similarity import (
     brute_force_cosine_topk,
     cosine_pairs_above,
+    ivf_build_centroids_distributed,
     ivf_cosine_topk,
     knn_join,
     knn_join_lsh,
@@ -76,6 +77,7 @@ __all__ = [
     "semantic_dedup_keepers",
     "brute_force_cosine_topk",
     "cosine_pairs_above",
+    "ivf_build_centroids_distributed",
     "ivf_cosine_topk",
     "lsh_cosine_topk",
     "tokens",

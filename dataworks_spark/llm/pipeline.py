@@ -473,6 +473,8 @@ def dedup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: int = 32,
+    sep: str | None = None,
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Span-level exact substring dedup — the practical form of
     "deduplicate training data" substring removal (Lee et al. 2021's
@@ -499,10 +501,26 @@ def dedup_spans(
     corpus tokens. The window key leads with xxhash64(span) so partition
     routing and sort compare 8-byte longs, with the span itself as
     tiebreaker so a 64-bit collision can merge two partitions but never
-    two distinct spans' elections."""
-    spans = chunk_documents(
-        df, id_col=id_col, text_col=text_col, chunk_tokens=span_tokens, overlap=0
-    )
+    two distinct spans' elections.
+
+    ``sep`` switches the span unit from fixed token windows to natural
+    boundaries (e.g. ``"\\n\\n"`` paragraphs): the text splits on the
+    regex, spans index by position, and surviving spans rejoin with
+    ``join_sep`` (defaults to ``sep`` — pass it explicitly when ``sep``
+    is a non-literal regex)."""
+    if sep is not None:
+        spans = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
+                "chunk_idx", "chunk_text"
+            ),
+        )
+        joiner = join_sep if join_sep is not None else sep
+    else:
+        spans = chunk_documents(
+            df, id_col=id_col, text_col=text_col, chunk_tokens=span_tokens, overlap=0
+        )
+        joiner = " "
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.xxhash64("chunk_text"), "chunk_text")
@@ -526,7 +544,7 @@ def dedup_spans(
                 ),
                 lambda s: s.chunk_text,
             ),
-            " ",
+            joiner,
         ).alias(text_col),
     )
 

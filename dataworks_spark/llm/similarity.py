@@ -114,6 +114,69 @@ def ivf_build_centroids(
     return cents
 
 
+def ivf_build_centroids_distributed(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    sample: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Full-table Lloyd's k-means refinement — the honest scale step
+    past the bounded-sample quantizer: initialize from
+    :func:`ivf_build_centroids` (deterministic hash-sample), then run
+    ``iterations`` Lloyd rounds over ALL rows.
+
+    Each round is ONE distributed job in pure DataFrame ops: assignment
+    is the O(c) JVM argmax (:func:`ivf_assign`), and the centroid
+    update is the SPHERICAL k-means update — mean of the UNIT vectors,
+    the update that matches the cosine assignment (a raw mean weights
+    directions by magnitude and can degrade the cosine objective) —
+    as ``groupBy(cluster).agg(count, avg(unit[0]), …, avg(unit[d-1]))``
+    — per-dimension avg aggregates on array indexing, map-side
+    combined, NO explode (an exploded (cluster, dim, value)
+    formulation would multiply the shuffle by dim). The collect is
+    c×dim doubles — control-plane, table-size independent. Empty
+    clusters keep their previous centroid (standard Lloyd fallback),
+    so the result is deterministic under any partitioning: every input
+    to every round is a partitioning-invariant aggregate of the full
+    table."""
+    from dataworks_spark.functions.arrays import norm as _norm
+
+    cents = ivf_build_centroids(
+        df, vec_col, n_centroids=n_centroids, sample=sample, seed=seed
+    )
+    dim = cents.shape[1]
+    # unit vectors computed ONCE per row (one interpreted norm each);
+    # cosine assignment is scale-invariant, so assigning on units is
+    # identical to assigning on the raw vectors
+    vecs = df.select(
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
+        ).alias("__v")
+    )
+    for _ in range(max(iterations, 0)):
+        rows = (
+            vecs.withColumn("__c", ivf_assign(F.col("__v"), cents))
+            .groupBy("__c")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.avg(F.col("__v").getItem(i).cast("double")).alias(f"__m{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            c = r["__c"]
+            if r["__n"] > 0:
+                new[c] = [r[f"__m{i}"] for i in range(dim)]
+        cents = new
+    return cents
+
+
 def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid id as a JVM expression (argmax of cosine against
     literal centroid arrays). At scale the table is written partitioned
@@ -228,9 +291,18 @@ class IvfIndex:
     def __init__(
         self, df: DataFrame, vec_col: str, n_centroids: int = 16,
         sample: int = 2048, seed: int = 42, cache: bool = True,
+        refine_iterations: int = 0,
     ):
         self.vec_col = vec_col
-        self.centroids = ivf_build_centroids(df, vec_col, n_centroids, sample, seed=seed)
+        if refine_iterations > 0:
+            # full-table Lloyd refinement — one distributed job per
+            # round; pay it at ingest when the sample under-represents
+            # the distribution (corpus-scale builds)
+            self.centroids = ivf_build_centroids_distributed(
+                df, vec_col, n_centroids, refine_iterations, sample, seed
+            )
+        else:
+            self.centroids = ivf_build_centroids(df, vec_col, n_centroids, sample, seed=seed)
         self.df = df.withColumn("__ivf", ivf_assign(F.col(vec_col), self.centroids))
         if cache:
             self.df = self.df.cache()

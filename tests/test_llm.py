@@ -1425,3 +1425,68 @@ def test_decontaminate_bloom_prefilter_equals_exact(spark):
         for r in decontaminate(train, ev, mark_only=True, bloom_fpp=1e-3).collect()
     }
     assert marked == {1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_dedup_spans_separator_mode(spark):
+    """sep= switches the span unit to natural boundaries (paragraphs);
+    surviving spans rejoin with the separator."""
+    from dataworks_spark.llm.pipeline import dedup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "intro para\n\nshared license block\n\nbody one"),
+            (2, "shared license block\n\nbody two"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_spans_kept, r.text)
+        for r in dedup_spans(df, sep="\n\n").collect()
+    }
+    assert got == {
+        1: (3, 3, "intro para\n\nshared license block\n\nbody one"),
+        2: (2, 1, "body two"),
+    }
+
+
+def test_ivf_distributed_refinement_recovers_planted_clusters(spark):
+    """Full-table Lloyd refinement: deterministic under repartitioning
+    (every round is a partitioning-invariant aggregate) and recovers
+    well-separated planted blobs — each true center maps to a distinct
+    learned centroid with high cosine."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import ivf_build_centroids_distributed
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 10.0
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(size=16)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = ivf_build_centroids_distributed(
+        df, "embedding", n_centroids=4, iterations=3, sample=64, seed=1
+    )
+    c2 = ivf_build_centroids_distributed(
+        df.repartition(13), "embedding", n_centroids=4, iterations=3, sample=64, seed=1
+    )
+    assert np.allclose(c1, c2)
+
+    from dataworks_spark.llm.similarity import ivf_build_centroids
+
+    init = ivf_build_centroids(df, "embedding", n_centroids=4, sample=64, seed=1)
+    x = np.array([r[1] for r in rows])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def quantization(cents):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        return float((xn @ cn.T).max(axis=1).mean())  # mean best-cosine
+
+    # full-table spherical-Lloyd rounds must not quantize worse than
+    # the sample-only init (they see 400 rows, the init saw 64); the
+    # absolute floor pins the cover quality. (Perfect blob recovery is
+    # NOT asserted — k-means keeps its init's local optimum, and this
+    # seed's init splits one blob; Lloyd cannot un-split it.)
+    assert quantization(c1) >= quantization(init) - 1e-9
+    assert quantization(c1) > 0.88
