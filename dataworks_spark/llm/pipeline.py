@@ -440,9 +440,12 @@ def chunk_documents(
             f"overlap must be in [0, chunk_tokens): {overlap} vs {chunk_tokens}"
         )
     stride = chunk_tokens - overlap
+    # NULL text behaves as '' (one empty chunk) — without the coalesce,
+    # size(NULL tokens) is NULL and the least/greatest guards silently
+    # fabricate a full-width chunk_n_tokens for the null row
     chunks = F.flatten(
         F.transform(
-            F.array(F.split(F.col(text_col), " ")),
+            F.array(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
             lambda toks: F.transform(
                 F.sequence(
                     F.lit(1),
@@ -509,11 +512,13 @@ def dedup_spans(
     ``join_sep`` (defaults to ``sep`` — pass it explicitly when ``sep``
     is a non-literal regex)."""
     if sep is not None:
+        # coalesce: posexplode of a NULL array emits no rows, which
+        # would silently DROP null-text documents from the output
         spans = df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), sep, -1)).alias(
-                "chunk_idx", "chunk_text"
-            ),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep, -1)
+            ).alias("chunk_idx", "chunk_text"),
         )
         joiner = join_sep if join_sep is not None else sep
     else:

@@ -1490,3 +1490,22 @@ def test_ivf_distributed_refinement_recovers_planted_clusters(spark):
     # seed's init splits one blob; Lloyd cannot un-split it.)
     assert quantization(c1) >= quantization(init) - 1e-9
     assert quantization(c1) > 0.88
+
+
+def test_chunk_and_span_null_text(spark):
+    """NULL text behaves as '' in both operators: one empty chunk with
+    an honest token count, and sep-mode keeps the document (posexplode
+    of a NULL array would silently drop it)."""
+    from dataworks_spark.llm.pipeline import chunk_documents, dedup_spans
+
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    chunks = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_n_tokens)
+        for r in chunk_documents(df, chunk_tokens=2).collect()
+    }
+    assert chunks[(1, 0)] == ("", 1)  # one empty token, not a phantom 2
+    assert chunks[(2, 0)] == ("a b", 2) and chunks[(2, 1)] == ("c", 1)
+    by_mode = {}
+    for mode, kw in (("win", dict(span_tokens=2)), ("sep", dict(sep="\n\n"))):
+        by_mode[mode] = {r.doc_id for r in dedup_spans(df, **kw).collect()}
+    assert by_mode["win"] == {1, 2} and by_mode["sep"] == {1, 2}
