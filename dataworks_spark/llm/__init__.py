@@ -19,6 +19,13 @@ from dataworks_spark.llm.dedup import (
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+from dataworks_spark.llm.classify import (
+    classifier_score,
+    default_hash_weights,
+    token_buckets,
 )
 from dataworks_spark.llm.incremental import IncrementalCorpus, novel_rows
 from dataworks_spark.llm.privacy import PII_PATTERNS, pii_counts, redact_pii
@@ -110,4 +117,9 @@ __all__ = [
     "PII_PATTERNS",
     "IncrementalCorpus",
     "novel_rows",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "classifier_score",
+    "default_hash_weights",
+    "token_buckets",
 ]

@@ -1,0 +1,107 @@
+"""Model-based quality scoring (L-family extension: the fastText-style
+classifier tier of a training-data pipeline, complementing the
+heuristic filters in ``llm/text.py`` and the unigram LM in
+``unigram_lm_scores``).
+
+A linear classifier over hashed bag-of-words features — the shape used
+by CCNet / GPT-3-era quality filtering (public design: Joulin et al.,
+"Bag of Tricks for Efficient Text Classification", 2016). The model is
+a plain (bucket, weight) TABLE, so a trained model drops in without
+code changes; :func:`default_hash_weights` provides a deterministic
+stand-in (no model files ship with this repo — the stand-in makes the
+plumbing testable and oracle-checkable, and is clearly labelled).
+
+Feature hashing is md5-prefix bucketing (``substring(md5(token), 1,
+k)`` → 16^k buckets): md5 is the one hash both Spark and DuckDB
+compute identically, so the full score — hashing, lookup, logistic —
+is differential-testable against an independent engine. All JVM
+codegen expressions; no Python boundary.
+
+Scale (100 TB): the weights relation is 16^k rows (k=3 → 4096) —
+always broadcast, never shuffled. Tokens explode narrow (explode
+preserves partitioning), the broadcast join adds no exchange, and the
+per-doc partial aggregate collapses each partition's token rows to one
+row per document before the only shuffle, which therefore carries
+|documents| rows, not |tokens|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: 16^3 = 4096 hash buckets — vocabulary-independent model size.
+DEFAULT_HEX_CHARS = 3
+
+
+def token_buckets(text: Column, n_hex_chars: int = DEFAULT_HEX_CHARS) -> Column:
+    """Array of feature-bucket keys for a text: lowercase whitespace
+    tokens → first ``n_hex_chars`` of md5 (a 4-bit-per-char bucket id
+    kept as a STRING key — no hex→int conversion, so the expression
+    stays whole-stage-codegen and reproduces verbatim in DuckDB)."""
+    toks = F.split(F.lower(text), " ")
+    nonempty = F.filter(toks, lambda t: t != F.lit(""))
+    return F.transform(nonempty, lambda t: F.substring(F.md5(t), 1, n_hex_chars))
+
+
+def default_hash_weights(
+    spark: SparkSession,
+    n_hex_chars: int = DEFAULT_HEX_CHARS,
+    seed: int = 7,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic stand-in weights table ``(bucket_hex, weight)``,
+    weight ∈ [-scale/2, scale/2). A Knuth-multiplicative mix of the
+    bucket index stands in for trained coefficients; swap in a real
+    model with the same two-column schema. Integer arithmetic stays
+    inside int64 (max id·2654435761 ≈ 1.1e13), so both engines compute
+    bit-identical weights."""
+    n = 16**n_hex_chars
+    mixed = (F.col("id") * F.lit(2654435761) + F.lit(seed)) % F.lit(1000003)
+    return spark.range(n).select(
+        F.lpad(F.lower(F.hex(F.col("id"))), n_hex_chars, "0").alias("bucket_hex"),
+        ((mixed / F.lit(1000003.0) - F.lit(0.5)) * F.lit(scale)).alias("weight"),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+    n_hex_chars: int = DEFAULT_HEX_CHARS,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-document logistic quality score under a hashed linear model:
+    ``sigmoid(bias + mean(weight[bucket(token)]))``.
+
+    Returns (id_col, n_tokens, quality_score). Buckets missing from the
+    weights table contribute 0 (an untrained/pruned feature), and a
+    document with no tokens scores ``sigmoid(bias)`` — documents are
+    never dropped by scoring. ``round_to`` rounds the score so
+    cross-engine float-sum ordering can't flip the last ulp (pass
+    ``None`` for the raw double).
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(token_buckets(F.col(text_col), n_hex_chars)).alias("bucket_hex"),
+    )
+    per_doc = (
+        exploded.join(F.broadcast(weights), on="bucket_hex", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket_hex").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("__w_sum"),
+        )
+    )
+    mean_w = F.when(F.col("n_tokens") > 0, F.col("__w_sum") / F.col("n_tokens")).otherwise(
+        F.lit(0.0)
+    )
+    z = F.lit(bias) + mean_w
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return per_doc.select(
+        F.col(id_col), F.col("n_tokens"), score.alias("quality_score")
+    )

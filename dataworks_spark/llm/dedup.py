@@ -80,7 +80,11 @@ def token_hashes(text: Column) -> Column:
 
 
 def cooccurrence_pairs(
-    tokens: DataFrame, id_col: str, token_col: str, size_col: str | None = None
+    tokens: DataFrame,
+    id_col: str,
+    token_col: str,
+    size_col: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id, token) rows → (doc_a, doc_b, inter) co-occurrence counts
     WITHOUT a self-join: group the (sorted) id list per token, drop
@@ -99,7 +103,10 @@ def cooccurrence_pairs(
     Skew note: a stop-token shared by k docs emits k²/2 pairs either
     way — that blowup is inherent to exact intersection counting, which
     is why these exact kernels verify CANDIDATE sets at scale (MinHash
-    bands / LSH buckets generate the candidates)."""
+    bands / LSH buckets generate the candidates). ``max_df`` bounds it
+    when the caller can justify dropping hub tokens (winnowing's
+    boilerplate rule): groups larger than ``max_df`` ids emit no
+    pairs."""
     if size_col is None:
         ds = F.array_sort(F.collect_list(id_col))
         pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
@@ -116,10 +123,13 @@ def cooccurrence_pairs(
             y["s"].alias("nb"),
         )
         group_cols = ["p.doc_a", "p.doc_b", "p.na", "p.nb"]
+    keep = F.size("ds") > 1
+    if max_df is not None:
+        keep = keep & (F.size("ds") <= max_df)
     return (
         tokens.groupBy(token_col)
         .agg(ds.alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(keep)
         .select(
             F.explode(
                 F.flatten(
@@ -576,3 +586,75 @@ def dedup_keep_canonical(
     clusters = near_dup_clusters(pairs, id_a, id_b)
     drop = clusters.filter(F.col("id") != F.col("cluster")).select(F.col("id").alias(id_col))
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def winnow_fingerprints(
+    text: Column, shingle_n: int = 4, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every word ``shingle_n``-gram, slide a ``window`` over
+    the hash sequence, keep each window's MINIMUM — the selected set is
+    a sorted distinct array. The guarantee that makes this better than
+    sampling: any shared run of ``window + shingle_n - 1`` tokens
+    between two documents is caught by at least one shared fingerprint,
+    while per-doc storage stays ~2/(window+1) of the shingle count.
+
+    Hashes are md5 STRINGS compared lexicographically — the one hash an
+    independent SQL engine reproduces bit-for-bit, so selection (not
+    just counts) is oracle-checkable. Texts shorter than ``shingle_n``
+    tokens fingerprint to []; hash sequences shorter than ``window``
+    contribute their single overall minimum.
+
+    All JVM higher-order expressions over one row — no shuffle, no
+    Python. The single-element outer transform is the usual let-binding
+    so the hash array is computed once, not once per window."""
+    empty = F.array().cast("array<string>")
+    return F.flatten(
+        F.transform(
+            F.array(F.transform(word_ngrams(text, shingle_n), lambda g: F.md5(g))),
+            lambda hs: F.when(F.size(hs) <= 0, empty).otherwise(
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.greatest(F.size(hs) - (window - 1), F.lit(1))
+                            ),
+                            lambda i: F.array_min(F.slice(hs, i, window)),
+                        )
+                    )
+                )
+            ),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Local-overlap candidate pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for ordered pairs sharing ≥ ``min_shared``
+    selected fingerprints. Catches documents that share PASSAGES (a
+    quoted paragraph, boilerplate block, plagiarised section) that
+    whole-document similarity misses.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents before pairing (the paper's own advice for boilerplate):
+    a fingerprint shared by k docs emits C(k,2) pairs, so the pair
+    space is bounded by Σ C(df ≤ max_df, 2) instead of the hub blowup.
+    Pairing reuses :func:`cooccurrence_pairs` with its ``max_df`` cap —
+    two shuffles, no self-join."""
+    fps = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(winnow_fingerprints(F.col(text_col), shingle_n, window)).alias("fp"),
+    )
+    pairs = cooccurrence_pairs(fps, "doc", "fp", max_df=max_df)
+    return pairs.filter(F.col("inter") >= min_shared).select(
+        F.col("doc_a"), F.col("doc_b"), F.col("inter").alias("n_shared")
+    )

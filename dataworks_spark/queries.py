@@ -1465,11 +1465,88 @@ def q_unpivot(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring (llm/classify.py): fastText-style
+    linear classifier over md5-prefix hashed token features, weights as
+    a broadcast (bucket, weight) table — the pluggable-model tier above
+    the heuristic quality filters. The oracle recomputes the whole
+    model — bucket hashing, the deterministic stand-in weights, the
+    logistic — so the score is hash-checked end-to-end, not just row
+    shape. Scale: weights = 4096 rows broadcast; the one shuffle is the
+    per-doc partial aggregate (|docs| rows, never |tokens|)."""
+    from dataworks_spark.llm.classify import classifier_score, default_hash_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return classifier_score(d, default_hash_weights(spark))
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Winnowing local-overlap detection (llm/dedup.py
+    winnow_fingerprints, SIGMOD'03): per-window-min md5 fingerprints
+    over word 4-gram hashes, pairs sharing ≥2 selected fingerprints
+    (boilerplate fingerprints with df>50 dropped per the paper). The
+    oracle reproduces the SELECTION (md5 strings compare identically in
+    both engines), so the windowed-min choice itself is hash-checked.
+    Catches shared passages whole-document similarity misses."""
+    from dataworks_spark.llm.dedup import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: dict[str, str] = {
+    "q_quality_classifier": """
+        WITH w AS (
+          SELECT lpad(lower(to_hex(i)), 3, '0') AS bucket_hex,
+                 ((i * 2654435761 + 7) % 1000003) / 1000003.0 - 0.5 AS weight
+          FROM range(0, 4096) t(i)
+        ), tok AS (
+          SELECT doc_id, substring(md5(tok), 1, 3) AS bucket_hex
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents)
+          WHERE tok <> ''
+        )
+        SELECT doc_id, count(bucket_hex) AS n_tokens,
+               round(1.0 / (1.0 + exp(-(coalesce(sum(coalesce(w.weight, 0.0)), 0)
+                                        / count(bucket_hex)))), 6) AS quality_score
+        FROM tok LEFT JOIN w USING (bucket_hex)
+        GROUP BY doc_id
+    """,
+    "q_winnow_overlap": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS nt
+          FROM documents
+        ), hg AS (
+          SELECT doc_id,
+                 CASE WHEN nt >= 4 THEN
+                   list_transform(range(1, nt - 2),
+                                  i -> md5(array_to_string(toks[i:i+3], ' ')))
+                 ELSE [] END AS hashes
+          FROM t
+        ), fp AS (
+          SELECT doc_id,
+                 CASE WHEN len(hashes) = 0 THEN []
+                 ELSE list_sort(list_distinct(list_transform(
+                        range(1, GREATEST(len(hashes) - 3, 1) + 1),
+                        i -> list_min(hashes[i:i+3])))) END AS fps
+          FROM hg
+        ), ex AS (
+          SELECT doc_id, unnest(fps) AS fp FROM fp
+        ), grp AS (
+          SELECT fp FROM ex GROUP BY fp
+          HAVING count(*) > 1 AND count(*) <= 50
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN grp g ON g.fp = a.fp
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+    """,
     "q_scan_filter_topk": """
         SELECT l_orderkey, l_linenumber, l_extendedprice,
                l_extendedprice * (1 - l_discount) AS disc_price

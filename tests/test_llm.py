@@ -1509,3 +1509,128 @@ def test_chunk_and_span_null_text(spark):
     for mode, kw in (("win", dict(span_tokens=2)), ("sep", dict(sep="\n\n"))):
         by_mode[mode] = {r.doc_id for r in dedup_spans(df, **kw).collect()}
     assert by_mode["win"] == {1, 2} and by_mode["sep"] == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# classifier_score (hashed linear quality model)
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_score_empty_and_null_text(spark):
+    from dataworks_spark.llm.classify import classifier_score, default_hash_weights
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in classifier_score(df, default_hash_weights(spark), bias=0.0).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # scoring never drops documents
+    for d in (2, 3, 4):  # tokenless docs score sigmoid(bias) = 0.5
+        assert out[d].n_tokens == 0
+        assert out[d].quality_score == 0.5
+    assert out[1].n_tokens == 2
+    assert 0.0 < out[1].quality_score < 1.0
+
+
+def test_classifier_score_pluggable_weights(spark):
+    """A trained model is just a different (bucket_hex, weight) table:
+    all-positive weights must push every scored doc above 0.5, and an
+    EMPTY weights table (nothing trained) scores exactly sigmoid(bias)."""
+    from dataworks_spark.llm.classify import classifier_score, token_buckets
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e")], "doc_id long, text string")
+    pos = df.select(F.explode(token_buckets(F.col("text"))).alias("bucket_hex")).distinct()
+    pos = pos.withColumn("weight", F.lit(2.0))
+    out = {r.doc_id: r.quality_score for r in classifier_score(df, pos).collect()}
+    assert all(s > 0.5 for s in out.values())
+
+    empty = pos.filter(F.lit(False))
+    out0 = {r.doc_id: r.quality_score for r in classifier_score(df, empty, bias=1.0).collect()}
+    import math
+
+    expect = round(1.0 / (1.0 + math.exp(-1.0)), 6)
+    assert all(s == expect for s in out0.values())
+
+
+def test_classifier_bucket_determinism(spark):
+    """md5-prefix bucketing is content-determined: the same token in
+    two different rows/partitions lands in the same bucket."""
+    from dataworks_spark.llm.classify import token_buckets
+
+    df = spark.createDataFrame([("alpha beta",), ("beta gamma",)], "text string")
+    rows = df.select(F.explode(token_buckets(F.col("text"))).alias("b")).collect()
+    df2 = df.repartition(7)
+    rows2 = df2.select(F.explode(token_buckets(F.col("text"))).alias("b")).collect()
+    assert sorted(r.b for r in rows) == sorted(r.b for r in rows2)
+    assert all(len(r.b) == 3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints / local-overlap pairs
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The winnowing guarantee: two docs sharing a run of at least
+    window + shingle_n − 1 tokens share ≥1 selected fingerprint."""
+    from dataworks_spark.llm.dedup import winnow_overlap_pairs
+
+    shared = "q w e r t y u i"  # 8 tokens ≥ 4 + 4 − 1
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc " + shared + " dd ee"),
+            (2, "zz yy " + shared + " xx ww vv"),
+            (3, "mm nn oo pp qq rr ss tt uu"),  # no shared run
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_overlap_pairs(df, min_shared=1).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+def test_winnow_short_and_null_texts(spark):
+    from dataworks_spark.llm.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "a b c d"), (4, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(winnow_fingerprints(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert out[1] == 0  # < shingle_n tokens → no shingles
+    assert out[2] in (0, -1)  # NULL text → empty (size of null array is -1)
+    assert out[3] == 1  # one shingle → its own min
+    assert 1 <= out[4] <= 5  # 5 shingles, window 4 → ≤ 2 windows
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    """A fingerprint appearing in more than max_df docs emits no pairs."""
+    from dataworks_spark.llm.dedup import winnow_overlap_pairs
+
+    common = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [(i, f"u{i}a u{i}b " + common) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    allp = winnow_overlap_pairs(df, min_shared=1, max_df=50).count()
+    none = winnow_overlap_pairs(df, min_shared=1, max_df=3).count()
+    assert allp == 15  # C(6,2): every pair shares the common run
+    assert none == 0  # df=6 > max_df=3 → boilerplate dropped
+
+
+def test_winnow_partition_invariance(docs):
+    from dataworks_spark.llm.dedup import winnow_overlap_pairs
+
+    a = sorted(
+        (r.doc_a, r.doc_b, r.n_shared) for r in winnow_overlap_pairs(docs).collect()
+    )
+    b = sorted(
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in winnow_overlap_pairs(docs.repartition(13)).collect()
+    )
+    assert a == b and len(a) > 0
