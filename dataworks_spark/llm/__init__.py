@@ -24,6 +24,8 @@ from dataworks_spark.llm.dedup import (
 )
 from dataworks_spark.llm.classify import (
     classifier_score,
+    classifier_score_expr,
+    collect_weights_array,
     default_hash_weights,
     token_buckets,
 )
@@ -120,6 +122,8 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "classifier_score",
+    "classifier_score_expr",
+    "collect_weights_array",
     "default_hash_weights",
     "token_buckets",
 ]

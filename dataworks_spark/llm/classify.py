@@ -105,3 +105,68 @@ def classifier_score(
     return per_doc.select(
         F.col(id_col), F.col("n_tokens"), score.alias("quality_score")
     )
+
+
+def collect_weights_array(weights: DataFrame, n_hex_chars: int = DEFAULT_HEX_CHARS) -> list:
+    """Materialize a (bucket_hex, weight) model as a dense python list
+    indexed by bucket int — the driver-side step that turns the model
+    TABLE into a plan literal for :func:`classifier_score_expr`. The
+    collect is bounded by the model size (16^k rows, k=3 → 4096), never
+    by data; missing buckets get 0.0 (untrained feature)."""
+    n = 16**n_hex_chars
+    dense = [0.0] * n
+    for r in weights.select("bucket_hex", "weight").collect():
+        dense[int(r["bucket_hex"], 16)] = float(r["weight"])
+    return dense
+
+
+def classifier_score_expr(
+    text: Column,
+    weights_array: list,
+    bias: float = 0.0,
+    n_hex_chars: int = DEFAULT_HEX_CHARS,
+    round_to: int | None = 6,
+) -> Column:
+    """Row-local expression form of :func:`classifier_score`: the model
+    rides along as ONE array literal (a single ``F.lit(list)`` — one
+    py4j round trip) indexed by bucket int, so the score fuses into any
+    scan projection with ZERO joins and ZERO shuffle — the form that
+    composes into ``prepare_corpus``'s single filter pass. Identical
+    scores to the relational form (equivalence is unit-tested).
+
+    Trade-off vs the relational form: the per-token aggregate lambda is
+    interpreted (CodegenFallback — the BASELINE §5f cost model), so
+    this path pays ~µs/token where explode+broadcast-join stays in
+    whole-stage codegen; in exchange the corpus is never re-shuffled to
+    attach scores. Scoring inside an ingest scan wants this form; a
+    standalone scoring job over an already-materialized corpus wants
+    the relational one."""
+    arr = F.lit(weights_array)
+    toks = F.filter(F.split(F.lower(text), " "), lambda t: t != F.lit(""))
+    # let-bind the token array (HOF bodies get no CSE): single-element
+    # outer transform evaluates the split+filter once
+    scored = F.flatten(
+        F.transform(
+            F.array(toks),
+            lambda ts: F.array(
+                F.aggregate(
+                    ts,
+                    F.lit(0.0),
+                    lambda acc, t: acc
+                    + F.element_at(
+                        arr,
+                        F.conv(F.substring(F.md5(t), 1, n_hex_chars), 16, 10).cast(
+                            "int"
+                        )
+                        + 1,
+                    ),
+                ),
+                F.size(ts).cast("double"),
+            ),
+        )
+    )
+    wsum = F.element_at(scored, 1)
+    n = F.element_at(scored, 2)
+    mean_w = F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean_w)))
+    return F.round(score, round_to) if round_to is not None else score

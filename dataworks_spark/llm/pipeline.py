@@ -60,6 +60,14 @@ class CorpusConfig:
     min_quality_score: float = 0.3
     max_dup_ngram_ratio: float = 0.5   # repetition cut (dup 3-gram share)
     languages: tuple[str, ...] = ()    # () = keep every language
+    #: optional model tier (llm/classify.py): a dense weights list
+    #: (index = bucket int, collect_weights_array) turns on fastText-
+    #: style scoring as a `model_score` column inside the same fused
+    #: projection — zero extra joins/shuffles; `min_model_score` makes
+    #: it a filter. tuple(...) the list to keep the config hashable.
+    model_weights: tuple | None = None
+    model_bias: float = 0.0
+    min_model_score: float | None = None
 
 
 def prepare_corpus(
@@ -110,23 +118,32 @@ def prepare_corpus(
             F.map_values(scores), F.array_max(F.map_values(scores))
         ).cast("int") - 1,
     )
-    featured = surviving.withColumns(
-        {
-            "lang": lang,
-            "n_tokens": q["n_tokens"],
-            "n_bpe_tokens": token_count(text, bpe=True),
-            "punct_ratio": q["punct_ratio"],
-            "quality_score": q["quality_score"],
-            "dup_ngram_ratio": rep["dup_3gram_ratio"],
-            "fingerprint": document_fingerprint(text),
-        }
-    )
+    cols = {
+        "lang": lang,
+        "n_tokens": q["n_tokens"],
+        "n_bpe_tokens": token_count(text, bpe=True),
+        "punct_ratio": q["punct_ratio"],
+        "quality_score": q["quality_score"],
+        "dup_ngram_ratio": rep["dup_3gram_ratio"],
+        "fingerprint": document_fingerprint(text),
+    }
+    if config.model_weights is not None:
+        # model tier rides in the SAME projection: the weights are one
+        # array literal, so no join/shuffle attaches the score
+        from dataworks_spark.llm.classify import classifier_score_expr
+
+        cols["model_score"] = classifier_score_expr(
+            text, list(config.model_weights), bias=config.model_bias
+        )
+    featured = surviving.withColumns(cols)
     kept = featured.filter(
         (F.col("n_tokens") >= config.min_tokens)
         & (F.col("punct_ratio") <= config.max_punct_ratio)
         & (F.col("quality_score") >= config.min_quality_score)
         & (F.col("dup_ngram_ratio") <= config.max_dup_ngram_ratio)
     )
+    if config.min_model_score is not None:
+        kept = kept.filter(F.col("model_score") >= config.min_model_score)
     if config.languages:
         kept = kept.filter(F.col("lang").isin(*config.languages))
     return kept.drop("punct_ratio", "dup_ngram_ratio")

@@ -1634,3 +1634,57 @@ def test_winnow_partition_invariance(docs):
         for r in winnow_overlap_pairs(docs.repartition(13)).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_classifier_expr_equals_relational(spark, docs):
+    """The zero-shuffle expression form and the broadcast-join form are
+    the same model: identical scores on the real fixture."""
+    from dataworks_spark.llm.classify import (
+        classifier_score,
+        classifier_score_expr,
+        collect_weights_array,
+        default_hash_weights,
+    )
+
+    w = default_hash_weights(spark)
+    rel = {
+        r.doc_id: r.quality_score
+        for r in classifier_score(docs, w, bias=0.25).collect()
+    }
+    arr = collect_weights_array(w)
+    ex = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            classifier_score_expr(F.col("text"), arr, bias=0.25).alias("s"),
+        ).collect()
+    }
+    assert rel == ex and len(rel) > 0
+
+
+def test_prepare_corpus_model_tier(spark, docs):
+    """model_weights adds a model_score column inside the fused
+    projection; min_model_score filters on it; omitting both leaves the
+    baseline pipeline untouched."""
+    from dataworks_spark.llm.classify import collect_weights_array, default_hash_weights
+    from dataworks_spark.llm.pipeline import CorpusConfig, prepare_corpus
+
+    arr = tuple(collect_weights_array(default_hash_weights(spark)))
+    base_cfg = CorpusConfig(near_dup=False)
+    base = prepare_corpus(docs, config=base_cfg)
+    assert "model_score" not in base.columns
+
+    scored = prepare_corpus(
+        docs, config=CorpusConfig(near_dup=False, model_weights=arr)
+    )
+    assert "model_score" in scored.columns
+    assert scored.count() == base.count()  # scoring alone drops nothing
+
+    med = scored.approxQuantile("model_score", [0.5], 0.0)[0]
+    cut = prepare_corpus(
+        docs,
+        config=CorpusConfig(near_dup=False, model_weights=arr, min_model_score=med),
+    )
+    n_cut, n_all = cut.count(), scored.count()
+    assert 0 < n_cut < n_all
+    assert cut.filter(F.col("model_score") < med).count() == 0
