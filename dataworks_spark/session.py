@@ -48,18 +48,25 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
-        # parallelismFirst stays at its DEFAULT (true): byte-based
-        # advisory coalescing (false) was measured to serialize
-        # byte-small but CPU-heavy post-shuffle stages — the n-gram
-        # pair-explosion stage shuffles ~MBs of longs then expands them
-        # combinatorially, and coalescing it to 1-2 "64 MB" partitions
-        # ran the whole explosion on one core (12 s vs 1.5 s at sf0.1).
-        # Shuffle BYTES are a bad proxy for downstream CPU whenever an
-        # operator expands its input; the parallelism floor is the
-        # robust default for an engine whose hot kernels do exactly
-        # that. (The fixpoint loop session keeps parallelismFirst=false
-        # for its seed: there the driver sizes rounds from exact counts
-        # and rounds never expand.)
+        # Byte-based advisory coalescing (parallelismFirst=false, the
+        # setting Spark's own docs recommend) with the advisory size
+        # tuned to PER-PARTITION WORK, not the 64 MB scan-oriented
+        # default. Two measurements drove this: (a) with the 64 MB
+        # default, byte-small but CPU-heavy post-shuffle stages — the
+        # n-gram pair explosion shuffles ~MBs of longs then expands
+        # them combinatorially — collapsed to 1-2 partitions and ran
+        # the whole explosion on one core (12 s vs 1.5 s at sf0.1),
+        # which is why earlier rounds kept parallelismFirst=true;
+        # (b) with a 1 MB advisory, those same kernels KEEP their
+        # parallelism (1 MB of compressed shingle longs ≈ 50-100 ms of
+        # pair work — a healthy task), while the dozens of tiny
+        # aggregates in a mixed workload stop paying 32 reducer tasks
+        # for 100 KB shuffles (measured ~12% off a 12-query mixed
+        # subset, no kernel regressions). The advisory size is a
+        # deployment knob (SPARK_GRAFT_ADVISORY): the 1m default is
+        # sized for this engine's compute-dense kernels; a cluster
+        # deployment doing scan-heavy work at 100 TB should raise it
+        # (64-256m) the same way it raises shuffle.partitions.
         # Codegen class cache sized to the engine's whole query set
         # (static conf; default 100 entries). The bench's round-robin
         # rounds — and any resident engine serving a mixed workload —
@@ -71,6 +78,12 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
         # entries is a few hundred MB ceiling against a 24g heap.
         .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "1m"),
+        )
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
