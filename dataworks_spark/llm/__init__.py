@@ -29,7 +29,11 @@ from dataworks_spark.llm.classify import (
     default_hash_weights,
     token_buckets,
 )
-from dataworks_spark.llm.incremental import IncrementalCorpus, novel_rows
+from dataworks_spark.llm.incremental import (
+    IncrementalCorpus,
+    non_overlapping_rows,
+    novel_rows,
+)
 from dataworks_spark.llm.privacy import PII_PATTERNS, pii_counts, redact_pii
 from dataworks_spark.llm.retrieval import (
     bm25_score,
@@ -119,6 +123,7 @@ __all__ = [
     "PII_PATTERNS",
     "IncrementalCorpus",
     "novel_rows",
+    "non_overlapping_rows",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "classifier_score",

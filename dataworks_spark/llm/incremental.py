@@ -30,7 +30,45 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataworks_spark.llm.dedup import exact_dedup_keepers
+from dataworks_spark.llm.dedup import exact_dedup_keepers, winnow_fingerprints
+
+
+def non_overlapping_rows(
+    batch: DataFrame,
+    existing_fps: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Drop batch rows sharing ≥ ``min_shared`` winnowing fingerprints
+    (see ``dedup.winnow_fingerprints``) with the existing corpus — the
+    passage-level companion to :func:`novel_rows`' exact gate: a
+    document that *quotes* a stored document wholesale is caught even
+    though its content hash is new.
+
+    ``existing_fps`` is a 1-column ``fp`` frame (distinct corpus
+    fingerprints; None = empty corpus). The batch explodes to (id, fp)
+    — batch-sized, not corpus-sized — and the inner join against the
+    corpus fingerprint set counts DISTINCT shared fingerprints per
+    batch doc; ≥ min_shared rejects. As with the hash gate, no
+    broadcast hint: AQE sees a micro-batch probe side against a
+    corpus-scale build side and picks the join strategy from runtime
+    stats."""
+    if existing_fps is None:
+        return batch
+    fps = batch.select(
+        F.col(id_col), F.explode(winnow_fingerprints(F.col(text_col), shingle_n, window)).alias("fp")
+    )
+    overlapping = (
+        fps.join(existing_fps.select("fp").dropDuplicates(), on="fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_shared"))
+        .filter(F.col("__n_shared") >= min_shared)
+        .select(id_col)
+    )
+    return batch.join(overlapping, on=id_col, how="left_anti")
 
 
 def novel_rows(
@@ -75,12 +113,21 @@ class IncrementalCorpus:
         text_col: str = "text",
         id_col: str = "doc_id",
         hash_cache_path: str | None = None,
+        fp_cache_path: str | None = None,
+        min_shared_fps: int | None = None,
     ):
         self.spark = spark
         self.path = path
         self.text_col = text_col
         self.id_col = id_col
         self.hash_cache_path = hash_cache_path
+        #: passage-overlap gate: reject a batch doc sharing ≥ this many
+        #: winnowing fingerprints with the corpus (None = exact-only).
+        #: fp_cache_path mirrors the corpus fingerprint set the same
+        #: way hash_cache_path mirrors hashes — a rebuildable cache,
+        #: never a source of truth.
+        self.fp_cache_path = fp_cache_path
+        self.min_shared_fps = min_shared_fps
 
     def _exists(self, path: str) -> bool:
         # local-fs check mirrors the fixture environment; a cloud
@@ -106,11 +153,33 @@ class IncrementalCorpus:
             F.xxhash64(F.col(self.text_col)).alias("content_hash")
         ).dropDuplicates()
 
+    def existing_fps(self) -> DataFrame | None:
+        """The corpus's winnowing-fingerprint set: the mirror when
+        present, else derived from a corpus scan (correct but a full
+        text pass — the mirror is the production path at scale)."""
+        if self.fp_cache_path and self._exists(self.fp_cache_path):
+            return self.spark.read.parquet(self.fp_cache_path).dropDuplicates()
+        cur = self.read()
+        if cur is None:
+            return None
+        return (
+            cur.select(
+                F.explode(winnow_fingerprints(F.col(self.text_col))).alias("fp")
+            ).dropDuplicates()
+        )
+
     def ingest(self, batch: DataFrame, epoch_id: int | None = None) -> int:
-        fresh = novel_rows(
-            batch, self.existing_hashes(), self.text_col, self.id_col
-        ).localCheckpoint()  # stabilize: the append below must not re-read
-        #                      the corpus it is appending to mid-plan
+        fresh = novel_rows(batch, self.existing_hashes(), self.text_col, self.id_col)
+        if self.min_shared_fps is not None:
+            fresh = non_overlapping_rows(
+                fresh,
+                self.existing_fps(),
+                self.text_col,
+                self.id_col,
+                min_shared=self.min_shared_fps,
+            )
+        fresh = fresh.localCheckpoint()  # stabilize: the append below must
+        #                      not re-read the corpus it is appending to
         n = fresh.count()
         if n:
             fresh.write.mode("append").parquet(self.path)
@@ -118,18 +187,26 @@ class IncrementalCorpus:
                 fresh.select(
                     F.xxhash64(F.col(self.text_col)).alias("content_hash")
                 ).write.mode("append").parquet(self.hash_cache_path)
+            if self.fp_cache_path:
+                fresh.select(
+                    F.explode(winnow_fingerprints(F.col(self.text_col))).alias("fp")
+                ).dropDuplicates().write.mode("append").parquet(self.fp_cache_path)
         return n
 
     def rebuild_hash_cache(self) -> None:
-        """Recompute the mirror from the corpus (the recovery path —
-        the mirror is a cache, never a source of truth)."""
-        if not self.hash_cache_path:
-            return
+        """Recompute the mirrors from the corpus (the recovery path —
+        a mirror is a cache, never a source of truth)."""
         cur = self.read()
-        if cur is not None:
+        if cur is None:
+            return
+        if self.hash_cache_path:
             cur.select(
                 F.xxhash64(F.col(self.text_col)).alias("content_hash")
             ).dropDuplicates().write.mode("overwrite").parquet(self.hash_cache_path)
+        if self.fp_cache_path:
+            cur.select(
+                F.explode(winnow_fingerprints(F.col(self.text_col))).alias("fp")
+            ).dropDuplicates().write.mode("overwrite").parquet(self.fp_cache_path)
 
     def for_each_batch(self):
         def _sink(df: DataFrame, epoch_id: int) -> None:

@@ -1688,3 +1688,47 @@ def test_prepare_corpus_model_tier(spark, docs):
     n_cut, n_all = cut.count(), scored.count()
     assert 0 < n_cut < n_all
     assert cut.filter(F.col("model_score") < med).count() == 0
+
+
+def test_incremental_corpus_passage_overlap_gate(spark, tmp_path):
+    """min_shared_fps rejects a batch doc that QUOTES a stored passage
+    even though its content hash is new; unrelated docs pass; the fp
+    mirror stays consistent with the derived fingerprint set."""
+    from dataworks_spark.llm.dedup import winnow_fingerprints
+    from dataworks_spark.llm.incremental import IncrementalCorpus
+
+    corpus = IncrementalCorpus(
+        spark,
+        str(tmp_path / "corpus"),
+        fp_cache_path=str(tmp_path / "fps"),
+        min_shared_fps=2,
+    )
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    b1 = spark.createDataFrame(
+        [(1, "intro words " + passage + " outro words")],
+        "doc_id long, text string",
+    )
+    assert corpus.ingest(b1) == 1
+    b2 = spark.createDataFrame(
+        [
+            (2, "fresh framing " + passage + " different ending"),  # quotes it
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    assert corpus.ingest(b2) == 1
+    assert sorted(r.doc_id for r in corpus.read().collect()) == [1, 3]
+    # mirror == derived fingerprint set after both ingests
+    mirror = {r.fp for r in spark.read.parquet(str(tmp_path / "fps")).collect()}
+    derived = {
+        r.fp
+        for r in corpus.read()
+        .select(F.explode(winnow_fingerprints(F.col("text"))).alias("fp"))
+        .collect()
+    }
+    assert mirror == derived
+    # rebuild path covers the fp mirror too
+    corpus.rebuild_hash_cache()
+    assert {
+        r.fp for r in spark.read.parquet(str(tmp_path / "fps")).collect()
+    } == derived
