@@ -5,7 +5,8 @@ the way a data team would run it nightly at 100 TB:
       → PII scrub (privacy tier — BEFORE dedup, so masked twins
         become exact duplicates)
       → prepare_corpus (exact + near dedup, language/quality/
-        repetition filters, per-doc accounting)
+        repetition filters, model-based quality scoring, per-doc
+        accounting)
       → decontaminate (drop docs sharing 5-grams with an eval set)
       → mix_corpus (domain token-share targets)
       → hash_split (layout-stable train/val/test)
@@ -54,9 +55,25 @@ def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
     # 1. scrub: masked PII must not survive into dedup hashes
     scrubbed = docs.withColumn("text", redact_pii(F.col("text")))
 
-    # 2. dedup + quality filters + accounting (one fused projection)
+    # 2. dedup + quality filters + accounting (one fused projection) —
+    # including the model tier: a (bucket, weight) table (here the
+    # deterministic stand-in; a trained fastText-style model drops in
+    # with the same schema) rides as one array literal, so model
+    # scoring adds a column, not a join
+    from dataworks_spark.llm.classify import (
+        collect_weights_array,
+        default_hash_weights,
+    )
+
+    weights = tuple(collect_weights_array(default_hash_weights(spark)))
     prepared = prepare_corpus(
-        scrubbed, config=CorpusConfig(near_dup=True, min_tokens=5)
+        scrubbed,
+        config=CorpusConfig(
+            near_dup=True,
+            min_tokens=5,
+            model_weights=weights,
+            min_model_score=0.4,  # mild cut: the stand-in scores ~N(0.5)
+        ),
     )
 
     # 3. benchmark decontamination: first 5 docs stand in for evals;
