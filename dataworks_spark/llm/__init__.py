@@ -55,6 +55,7 @@ from dataworks_spark.llm.similarity import (
 )
 from dataworks_spark.llm.pipeline import (
     CorpusConfig,
+    contamination_report,
     chunk_documents,
     decontaminate,
     dedup_spans,
@@ -107,6 +108,7 @@ __all__ = [
     "stratified_sample_by_hash",
     "select_token_budget",
     "decontaminate",
+    "contamination_report",
     "mix_corpus",
     "pack_sequences",
     "write_corpus_shards",

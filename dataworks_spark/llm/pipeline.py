@@ -755,6 +755,70 @@ def decontaminate(
     return train.join(contaminated_ids, on=id_col, how="left_anti")
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    ngram_n: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-eval-document contamination audit — the REPORT companion to
+    :func:`decontaminate`'s drop: for each eval doc, the fraction of
+    its distinct word ``ngram_n``-grams that appear anywhere in the
+    training corpus: (eval_id, n_grams, n_hit, contamination). The
+    number an eval owner needs to decide whether a benchmark is
+    compromised, not just which train docs to cut.
+
+    Scale shape (the direction flip from decontaminate matters): the
+    eval side is the small one, so its (eval_id, shingle) relation
+    BROADCASTS into a single scan of the corpus; matched pairs are
+    partial-agg deduplicated map-side, so the only shuffle carries at
+    most |eval shingles| rows — the corpus itself never shuffles and
+    is read exactly once. Shingles are 64-bit hashes (counts are what
+    surfaces, and two distinct grams colliding shifts a count with
+    probability ~|shingles|²/2⁶⁵); eval docs shorter than ``ngram_n``
+    tokens report 0/0 → contamination 0.0 rather than disappearing."""
+    from dataworks_spark.llm.dedup import shingle_hashes
+
+    ev_id = eval_id_col or id_col
+    ev_col = eval_text_col or text_col
+    ev = (
+        eval_df.select(
+            F.col(ev_id).alias("eval_id"),
+            F.explode(shingle_hashes(F.col(ev_col), ngram_n)).alias("__sh"),
+        )
+        .dropDuplicates()
+    )
+    sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.select(F.explode(shingle_hashes(F.col(text_col), ngram_n)).alias("__sh"))
+        .join(F.broadcast(ev), on="__sh")
+        .select("eval_id", "__sh")
+        .dropDuplicates()
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = eval_df.select(F.col(ev_id).alias("eval_id")).dropDuplicates()
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
+    frac = F.when(
+        n_grams > 0, F.round(n_hit.cast("double") / n_grams, round_to)
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(sizes, on="eval_id", how="left")
+        .join(hits, on="eval_id", how="left")
+        .select(
+            "eval_id",
+            n_grams.alias("n_grams"),
+            n_hit.alias("n_hit"),
+            frac.alias("contamination"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1480,6 +1480,23 @@ def q_quality_classifier(spark, sf_dir):
     return classifier_score(d, default_hash_weights(spark))
 
 
+def q_contamination_report(spark, sf_dir):
+    """Per-eval-doc contamination audit (llm/pipeline.py
+    contamination_report): docs 0-4 stand in for an eval set; for each,
+    the fraction of its distinct word 5-grams present in the rest of
+    the corpus. The report direction (eval broadcasts, corpus scanned
+    once, shuffle ≤ |eval shingles|) is the decontaminate join flipped;
+    counts are hash-checked end-to-end against a string-shingle oracle
+    (64-bit shingle collisions are the only divergence channel,
+    ~|shingles|²/2⁶⁵)."""
+    from dataworks_spark.llm.pipeline import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5)
+    )
+
+
 def q_winnow_overlap(spark, sf_dir):
     """Winnowing local-overlap detection (llm/dedup.py
     winnow_fingerprints, SIGMOD'03): per-window-min md5 fingerprints
@@ -1515,6 +1532,40 @@ ORACLE_SQL: dict[str, str] = {
                                         / count(bucket_hex)))), 6) AS quality_score
         FROM tok LEFT JOIN w USING (bucket_hex)
         GROUP BY doc_id
+    """,
+    "q_contamination_report": """
+        WITH evd AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS nt
+          FROM documents WHERE doc_id < 5
+        ), ev AS (
+          SELECT DISTINCT doc_id AS eval_id, g
+          FROM evd, unnest(list_transform(range(1, nt - 3),
+                     i -> array_to_string(toks[i:i+4], ' '))) AS t(g)
+        ), sizes AS (
+          SELECT eval_id, count(*) AS n_grams FROM ev GROUP BY eval_id
+        ), trd AS (
+          SELECT string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS nt
+          FROM documents WHERE doc_id >= 5
+        ), tr AS (
+          SELECT DISTINCT g
+          FROM trd, unnest(list_transform(range(1, nt - 3),
+                     i -> array_to_string(toks[i:i+4], ' '))) AS t(g)
+        ), hits AS (
+          SELECT eval_id, count(*) AS n_hit
+          FROM ev JOIN tr USING (g) GROUP BY eval_id
+        )
+        SELECT d.doc_id AS eval_id,
+               CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CASE WHEN coalesce(s.n_grams, 0) > 0
+                    THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                               / s.n_grams, 6)
+                    ELSE 0.0 END AS contamination
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 5) d
+        LEFT JOIN sizes s ON s.eval_id = d.doc_id
+        LEFT JOIN hits h ON h.eval_id = d.doc_id
     """,
     "q_winnow_overlap": """
         WITH t AS (

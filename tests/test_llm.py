@@ -1732,3 +1732,22 @@ def test_incremental_corpus_passage_overlap_gate(spark, tmp_path):
     assert {
         r.fp for r in spark.read.parquet(str(tmp_path / "fps")).collect()
     } == derived
+
+
+def test_contamination_report_edges(spark):
+    """Full containment = 1.0; disjoint = 0.0; an eval doc shorter than
+    the shingle width reports 0/0 → contamination 0.0, never vanishes."""
+    from dataworks_spark.llm.pipeline import contamination_report
+
+    train = spark.createDataFrame(
+        [(10, "a b c d e f g h"), (11, "z1 z2 z3 z4 z5 z6")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "q r s t u v"), (3, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r.eval_id: r for r in contamination_report(train, ev).collect()}
+    assert out[1].n_grams == 2 and out[1].n_hit == 2 and out[1].contamination == 1.0
+    assert out[2].n_grams == 2 and out[2].n_hit == 0 and out[2].contamination == 0.0
+    assert out[3].n_grams == 0 and out[3].n_hit == 0 and out[3].contamination == 0.0
