@@ -188,6 +188,10 @@ class IncrementalCorpus:
                     F.xxhash64(F.col(self.text_col)).alias("content_hash")
                 ).write.mode("append").parquet(self.hash_cache_path)
             if self.fp_cache_path:
+                # deduped within the batch only — a batch fp already in
+                # the mirror appends a redundant row. Reads dedupe
+                # (existing_fps), so this is growth slack, not a
+                # correctness issue; rebuild_hash_cache() compacts.
                 fresh.select(
                     F.explode(winnow_fingerprints(F.col(self.text_col))).alias("fp")
                 ).dropDuplicates().write.mode("append").parquet(self.fp_cache_path)

@@ -1751,3 +1751,26 @@ def test_contamination_report_edges(spark):
     assert out[1].n_grams == 2 and out[1].n_hit == 2 and out[1].contamination == 1.0
     assert out[2].n_grams == 2 and out[2].n_hit == 0 and out[2].contamination == 0.0
     assert out[3].n_grams == 0 and out[3].n_hit == 0 and out[3].contamination == 0.0
+
+
+def test_classifier_expr_null_and_empty_text(spark):
+    """Expression form mirrors the relational form's no-token rule:
+    NULL/empty/whitespace text scores exactly sigmoid(bias)."""
+    import math
+
+    from dataworks_spark.llm.classify import classifier_score_expr
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "hello")],
+        "doc_id long, text string",
+    )
+    arr = [0.5] * 4096
+    out = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", classifier_score_expr(F.col("text"), arr, bias=1.0).alias("s")
+        ).collect()
+    }
+    base = round(1.0 / (1.0 + math.exp(-1.0)), 6)
+    assert out[1] == base and out[2] == base and out[3] == base
+    assert out[4] == round(1.0 / (1.0 + math.exp(-1.5)), 6)
