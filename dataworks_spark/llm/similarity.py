@@ -253,6 +253,41 @@ class LshIndex:
         if cache:
             self.df = self.df.cache()
 
+    def save(self, path: str) -> None:
+        """Persist the index the way the docstring prescribes for
+        100 TB: the assigned table written PARTITIONED BY the bucket —
+        so a probe's ``lsh_bucket IN (...)`` filter becomes directory-
+        level partition pruning at the scan (plan-asserted in
+        tests/test_scale.py) — plus the hyperplanes as a JSON sidecar
+        (n_planes × dim floats: driver-scale metadata, like the
+        centroid sidecar of a FAISS-style index)."""
+        import json
+        import os
+
+        self.df.write.mode("overwrite").partitionBy("lsh_bucket").parquet(
+            os.path.join(path, "data")
+        )
+        with open(os.path.join(path, "planes.json"), "w") as f:
+            json.dump(
+                {"vec_col": self.vec_col, "planes": self.planes.tolist()}, f
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LshIndex":
+        """Reopen a saved index WITHOUT re-paying assignment: buckets
+        come back as partition values, hyperplanes from the sidecar.
+        Probes on the loaded index read only the probed directories."""
+        import json
+        import os
+
+        idx = cls.__new__(cls)
+        with open(os.path.join(path, "planes.json")) as f:
+            meta = json.load(f)
+        idx.vec_col = meta["vec_col"]
+        idx.planes = np.asarray(meta["planes"], dtype=np.float64)
+        idx.df = spark.read.parquet(os.path.join(path, "data"))
+        return idx
+
     def topk(
         self, query_vec: list[float], k: int = 10, n_probe: int = 1,
         id_cols: list[str] | None = None,
@@ -306,6 +341,37 @@ class IvfIndex:
         self.df = df.withColumn("__ivf", ivf_assign(F.col(vec_col), self.centroids))
         if cache:
             self.df = self.df.cache()
+
+    def save(self, path: str) -> None:
+        """Persist as an inverted-list layout: the assigned table
+        partitioned by ``__ivf`` (a probe's list filter prunes at the
+        directory level) + centroids as a JSON sidecar (n_centroids ×
+        dim floats — driver-scale)."""
+        import json
+        import os
+
+        self.df.write.mode("overwrite").partitionBy("__ivf").parquet(
+            os.path.join(path, "data")
+        )
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(
+                {"vec_col": self.vec_col, "centroids": self.centroids.tolist()}, f
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Reopen without re-assigning or re-training: inverted lists
+        are partition directories, centroids come from the sidecar."""
+        import json
+        import os
+
+        idx = cls.__new__(cls)
+        with open(os.path.join(path, "centroids.json")) as f:
+            meta = json.load(f)
+        idx.vec_col = meta["vec_col"]
+        idx.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        idx.df = spark.read.parquet(os.path.join(path, "data"))
+        return idx
 
     def topk(
         self, query_vec: list[float], k: int = 10, n_probe: int = 2,

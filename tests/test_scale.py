@@ -130,3 +130,50 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_lsh_index_save_load_partition_prunes(spark, sf_dir, tmp_path):
+    """A persisted LshIndex round-trips exactly, and a probe against the
+    loaded index PRUNES AT THE DIRECTORY LEVEL: the scan's partition
+    filter carries lsh_bucket, so only the probed buckets' files are
+    read — the mechanism that makes ANN probes touch ~n_probe/2^planes
+    of a 100 TB table."""
+    from dataworks_spark.llm.similarity import LshIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    built = LshIndex(emb, "embedding", dim=dim, n_planes=4, cache=False)
+    path = str(tmp_path / "lsh_idx")
+    built.save(path)
+    loaded = LshIndex.load(spark, path)
+    q = [float(x) for x in emb.first()["embedding"]]
+
+    def key(df):
+        return [(r.vec_id, r.cos_sim) for r in df.select("vec_id", "cos_sim").collect()]
+
+    assert key(loaded.topk(q, k=5, n_probe=2, id_cols=["vec_id"])) == key(
+        built.topk(q, k=5, n_probe=2, id_cols=["vec_id"])
+    )
+    # plan-level: the bucket filter reaches the scan as a PartitionFilter
+    probed = loaded.df.filter(F.col("lsh_bucket").isin([1, 2]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_index_save_load_round_trip(spark, sf_dir, tmp_path):
+    from dataworks_spark.llm.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built = IvfIndex(emb, "embedding", n_centroids=4, cache=False)
+    path = str(tmp_path / "ivf_idx")
+    built.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert (loaded.centroids == built.centroids).all()
+    q = [float(x) for x in emb.first()["embedding"]]
+
+    def key(df):
+        return [(r.vec_id, r.cos_sim) for r in df.select("vec_id", "cos_sim").collect()]
+
+    assert key(loaded.topk(q, k=5, n_probe=2, id_cols=["vec_id"])) == key(
+        built.topk(q, k=5, n_probe=2, id_cols=["vec_id"])
+    )
