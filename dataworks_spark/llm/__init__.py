@@ -43,6 +43,8 @@ from dataworks_spark.llm.retrieval import (
     top_terms,
 )
 from dataworks_spark.llm.similarity import (
+    IvfIndex,
+    LshIndex,
     brute_force_cosine_topk,
     cosine_pairs_above,
     ivf_build_centroids_distributed,
@@ -124,6 +126,8 @@ __all__ = [
     "redact_pii",
     "PII_PATTERNS",
     "IncrementalCorpus",
+    "IvfIndex",
+    "LshIndex",
     "novel_rows",
     "non_overlapping_rows",
     "winnow_fingerprints",
