@@ -100,3 +100,38 @@ def test_point_lookup_prunes_columns(spark):
     assert "ReadSchema" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "c_custkey" in read_schema and "c_acctbal" not in read_schema
+
+
+def test_classifier_broadcasts_weights_single_exchange(spark):
+    """The model attaches via BroadcastHashJoin (never a shuffle join —
+    the weights table is 16^k rows by construction) and the whole score
+    pays exactly ONE data exchange: the per-doc aggregate. A second
+    exchange would mean token rows hit the wire."""
+    plan = _plan(spark, "q_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    n_exchange = body.count("Exchange") - body.count("BroadcastExchange") - body.count("ReusedExchange")
+    assert n_exchange == 1, f"expected 1 shuffle exchange, plan:\n{plan}"
+
+
+def test_winnow_selection_is_shuffle_free_projection(spark):
+    """Fingerprint selection must happen BEFORE any exchange (a
+    row-local HOF projection over the scan); the pair kernel then pays
+    its two linear exchanges (by fingerprint, by pair)."""
+    plan = _plan(spark, "q_winnow_overlap")
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    n_exchange = body.count("Exchange") - body.count("BroadcastExchange") - body.count("ReusedExchange")
+    assert n_exchange == 2, f"expected 2 shuffle exchanges, plan:\n{plan}"
+    # the Generate (explode of selected fingerprints) sits below the
+    # first exchange — selection never shuffles raw text
+    assert "Generate" in body
+    assert body.index("Generate") > body.index("Exchange"), (
+        "explode should appear deeper in the printed tree (below the exchange)"
+    )
+
+
+def test_contamination_scan_joins_broadcast_eval(spark):
+    """The corpus-side scan joins the eval shingles via broadcast —
+    the corpus itself must never shuffle to be audited."""
+    plan = _plan(spark, "q_contamination_report")
+    assert "BroadcastHashJoin" in plan
