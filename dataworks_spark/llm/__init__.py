@@ -28,6 +28,8 @@ from dataworks_spark.llm.classify import (
     collect_weights_array,
     default_hash_weights,
     token_buckets,
+    train_classifier,
+    weights_from_terms,
 )
 from dataworks_spark.llm.incremental import (
     IncrementalCorpus,
@@ -135,6 +137,8 @@ __all__ = [
     "classifier_score",
     "classifier_score_expr",
     "collect_weights_array",
+    "train_classifier",
+    "weights_from_terms",
     "default_hash_weights",
     "token_buckets",
 ]

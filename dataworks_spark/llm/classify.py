@@ -170,3 +170,112 @@ def classifier_score_expr(
     mean_w = F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean_w)))
     return F.round(score, round_to) if round_to is not None else score
+
+
+def weights_from_terms(
+    terms: DataFrame,
+    term_col: str = "term",
+    weight_col: str = "weight",
+    n_hex_chars: int = DEFAULT_HEX_CHARS,
+) -> DataFrame:
+    """Project a vocabulary-space model — any (term, weight) relation,
+    e.g. an externally trained fastText/logistic table — into the
+    bucket space :func:`classifier_score` consumes: terms hash to their
+    md5-prefix bucket and colliding terms' weights SUM (the standard
+    hashing-trick composition: scoring sums per-token weights, so a
+    bucket's weight is the sum of what hashed into it). One bounded
+    aggregate over the model relation; the corpus is not involved."""
+    return (
+        terms.select(
+            F.substring(F.md5(F.lower(F.col(term_col))), 1, n_hex_chars).alias(
+                "bucket_hex"
+            ),
+            F.col(weight_col).cast("double").alias("weight"),
+        )
+        .groupBy("bucket_hex")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def train_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_hex_chars: int = DEFAULT_HEX_CHARS,
+    rounds: int = 10,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> tuple[list, float]:
+    """Distributed logistic-regression training of the hashed linear
+    model (full-batch gradient descent — the supervised half of the
+    fastText recipe, public method): returns ``(weights_array, bias)``
+    ready for :func:`classifier_score_expr` /
+    ``CorpusConfig.model_weights``.
+
+    Per round, ONE distributed pass: a projection computes each doc's
+    current score (weights ride as a plan literal — no join), the
+    per-doc error explodes with its token buckets, and a groupBy(bucket)
+    partial aggregate reduces to ≤ 16^k + 1 gradient rows (the bias
+    gradient travels as a pseudo-bucket, so one aggregate covers both).
+    Driver state is the dense weight vector (16^k floats) — bounded and
+    corpus-size independent, the same contract as
+    :func:`collect_weights_array`. Mean-pooled features: a token
+    occurrence contributes err/n_tokens to its bucket's gradient, so a
+    bucket's update is Σ_docs err·(count_in_doc/n_tokens) — the exact
+    gradient of the mean-pool logistic loss. ``label_col`` must be
+    0/1 (cast to double).
+
+    Scale: each round is one shuffle of ≤ |corpus tokens| narrow rows
+    partial-aggregated to 16^k groups map-side; rounds are driver
+    barriers like any iterative fit. Full-batch GD (not SGD) keeps the
+    result independent of physical layout up to floating-point sum
+    reassociation in the gradient aggregate (~1 ulp per round — SGD's
+    order-dependence is the thing being avoided, not float algebra)."""
+    n = 16**n_hex_chars
+    w = [0.0] * n
+    b = 0.0
+    n_docs = df.count()
+    if n_docs == 0:
+        return w, b
+    text = F.col(text_col)
+    y = F.col(label_col).cast("double")
+    for _ in range(rounds):
+        score = classifier_score_expr(
+            text, w, bias=b, n_hex_chars=n_hex_chars, round_to=None
+        )
+        toks = token_buckets(text, n_hex_chars)
+        per_doc = df.select(
+            (y - score).alias("__err"),
+            F.greatest(F.size(toks), F.lit(1)).cast("double").alias("__nt"),
+            toks.alias("__buckets"),
+        )
+        # bias as pseudo-bucket: one aggregate yields every gradient
+        grads = (
+            per_doc.select(
+                F.explode(
+                    F.array_append(
+                        F.transform(
+                            F.col("__buckets"),
+                            lambda bkt: F.struct(
+                                bkt.alias("bucket"),
+                                (F.col("__err") / F.col("__nt")).alias("g"),
+                            ),
+                        ),
+                        F.struct(
+                            F.lit("__bias").alias("bucket"), F.col("__err").alias("g")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.bucket")
+            .agg(F.sum("p.g").alias("g"))
+            .collect()
+        )
+        decay = 1.0 - lr * l2
+        w = [x * decay for x in w]
+        for r in grads:
+            if r["bucket"] == "__bias":
+                b += lr * float(r["g"]) / n_docs
+            else:
+                w[int(r["bucket"], 16)] += lr * float(r["g"]) / n_docs
+    return w, b

@@ -1774,3 +1774,47 @@ def test_classifier_expr_null_and_empty_text(spark):
     base = round(1.0 / (1.0 + math.exp(-1.0)), 6)
     assert out[1] == base and out[2] == base and out[3] == base
     assert out[4] == round(1.0 / (1.0 + math.exp(-1.5)), 6)
+
+
+def test_weights_from_terms_collision_sum(spark):
+    from dataworks_spark.llm.classify import token_buckets, weights_from_terms
+
+    terms = spark.createDataFrame(
+        [("Alpha", 1.0), ("alpha", 2.0), ("beta", 5.0)], "term string, weight double"
+    )
+    w = weights_from_terms(terms)
+    rows = {r.bucket_hex: r.weight for r in w.collect()}
+    # case-folded duplicates hash to one bucket and SUM
+    bucket_alpha = (
+        spark.createDataFrame([("alpha",)], "text string")
+        .select(F.explode(token_buckets(F.col("text"))).alias("b"))
+        .first()["b"]
+    )
+    assert rows[bucket_alpha] == 3.0
+    assert len(rows) == 2
+
+
+def test_train_classifier_separates_planted_classes(spark):
+    """Full-batch GD on hashed buckets separates two disjoint-vocabulary
+    classes on the training set, deterministically under repartition."""
+    from dataworks_spark.llm.classify import classifier_score_expr, train_classifier
+
+    rows = []
+    for i in range(60):
+        good = i % 2 == 0
+        vocab = ["g1", "g2", "g3", "g4"] if good else ["b1", "b2", "b3", "b4"]
+        toks = [vocab[(i + j) % 4] for j in range(8)]
+        rows.append((i, " ".join(toks), 1 if good else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_classifier(df, "label", rounds=12, lr=4.0)
+    scored = df.select(
+        "label",
+        classifier_score_expr(F.col("text"), w, bias=b).alias("s"),
+    ).collect()
+    acc = sum(1 for r in scored if (r.s >= 0.5) == (r.label == 1)) / len(scored)
+    assert acc >= 0.95
+    # layout-independence up to float-sum reassociation (full-batch
+    # GD: no SGD order-dependence; the gradient SUM may reassociate)
+    w2, b2 = train_classifier(df.repartition(7), "label", rounds=12, lr=4.0)
+    assert abs(b - b2) < 1e-9
+    assert max(abs(a - c) for a, c in zip(w, w2)) < 1e-9
