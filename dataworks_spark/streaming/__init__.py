@@ -8,7 +8,8 @@ DataFrame composition (in-process fan-out) or topic handoff (Kafka);
 sinks are writeStream / foreachBatch.
 """
 
+from dataworks_spark.streaming.dedup import dedup_stream
 from dataworks_spark.streaming.graph import Node, StreamGraph
 from dataworks_spark.streaming.transforms import OpChain
 
-__all__ = ["Node", "StreamGraph", "OpChain"]
+__all__ = ["Node", "StreamGraph", "OpChain", "dedup_stream"]

@@ -462,3 +462,44 @@ def test_docstore_sink_restart_recovers_durable_state(spark, tmp_path):
 
     durable = DocumentStore.load(spark, path)
     assert {r.value for r in durable.latest().collect()} == {1.0, 2.0}
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Bounded-state streaming dedup: a content redelivery in a LATER
+    micro-batch (within the horizon) is dropped; distinct content all
+    survives; output columns pass through unchanged."""
+    import datetime as dt
+
+    from dataworks_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, text string, ts timestamp"
+    # batch 1: two distinct docs + an in-batch dup
+    spark.createDataFrame(
+        [(1, "alpha", t0), (2, "beta", t0), (3, "alpha", t0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # batch 2 (separate file → separate micro-batch with
+    # maxFilesPerTrigger=1): redelivers beta inside the horizon, adds
+    # gamma
+    spark.createDataFrame(
+        [(4, "beta", t0 + dt.timedelta(minutes=2)),
+         (5, "gamma", t0 + dt.timedelta(minutes=2))], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src)
+    )
+    out = dedup_stream(stream, content_col="text", ts_col="ts", horizon="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT text FROM dd_out").collect()
+    assert sorted(r.text for r in rows) == ["alpha", "beta", "gamma"]
