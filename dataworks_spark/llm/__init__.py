@@ -59,6 +59,7 @@ from dataworks_spark.llm.similarity import (
 )
 from dataworks_spark.llm.pipeline import (
     CorpusConfig,
+    bucket_by_score,
     contamination_report,
     chunk_documents,
     decontaminate,
@@ -113,6 +114,7 @@ __all__ = [
     "select_token_budget",
     "decontaminate",
     "contamination_report",
+    "bucket_by_score",
     "mix_corpus",
     "pack_sequences",
     "write_corpus_shards",

@@ -755,6 +755,48 @@ def decontaminate(
     return train.join(contaminated_ids, on=id_col, how="left_anti")
 
 
+def bucket_by_score(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    labels: tuple | None = None,
+    exact: bool = True,
+    bucket_col: str = "score_bucket",
+) -> DataFrame:
+    """Quantile-bucket rows by a score column — CCNet's head/middle/
+    tail split (n_buckets=3 over LM bits/token) generalized: append
+    ``bucket_col`` with the row's quantile bucket (0 = lowest scores,
+    or ``labels[i]``).
+
+    ``exact=True`` computes boundaries with ONE exact interpolated-
+    percentile aggregate (a one-row collect of n_buckets−1 doubles —
+    bounded, but the exact percentile is a sort-based aggregate: fine
+    to sf-scale fixtures and engine-reproducible, which is what the
+    SQL oracle checks). ``exact=False`` is the 100 TB path: Spark's
+    single-pass ``percentile_approx`` sketch — no global sort, same
+    assignment machinery, boundaries approximate within the sketch
+    accuracy. Assignment itself is a pure projection either way: the
+    boundaries ride as literals, so bucketing adds no shuffle."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be ≥ 2: {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(f"labels must have {n_buckets} entries")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    score = F.col(score_col).cast("double")
+    if exact:
+        agg = F.percentile(score, F.array(*[F.lit(q) for q in qs]))
+    else:
+        agg = F.percentile_approx(score, F.array(*[F.lit(q) for q in qs]), F.lit(10_000))
+    bounds = df.select(agg.alias("__b")).first()["__b"]
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(score > F.lit(float(b)), 1).otherwise(0)
+    if labels is not None:
+        mapping = F.array(*[F.lit(l) for l in labels])
+        bucket = F.element_at(mapping, bucket + 1)
+    return df.withColumn(bucket_col, bucket)
+
+
 def contamination_report(
     train: DataFrame,
     eval_df: DataFrame,

@@ -1480,6 +1480,19 @@ def q_quality_classifier(spark, sf_dir):
     return classifier_score(d, default_hash_weights(spark))
 
 
+def q_quality_buckets(spark, sf_dir):
+    """Quantile bucketing (llm/pipeline.py bucket_by_score): tercile
+    buckets over n_chars — the CCNet head/middle/tail machinery with
+    its exact-percentile boundary mode, which is what makes the
+    bucket ASSIGNMENT (boundaries + strict-greater rule) reproducible
+    in an independent engine. The approx sketch mode is the 100 TB
+    path and shares this assignment projection."""
+    from dataworks_spark.llm.pipeline import bucket_by_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return bucket_by_score(d, "n_chars", n_buckets=3, exact=True)
+
+
 def q_contamination_report(spark, sf_dir):
     """Per-eval-doc contamination audit (llm/pipeline.py
     contamination_report): docs 0-4 stand in for an eval set; for each,
@@ -1532,6 +1545,18 @@ ORACLE_SQL: dict[str, str] = {
                                         / count(bucket_hex)))), 6) AS quality_score
         FROM tok LEFT JOIN w USING (bucket_hex)
         GROUP BY doc_id
+    """,
+    "q_quality_buckets": """
+        WITH b AS (
+          SELECT quantile_cont(CAST(n_chars AS DOUBLE), 1.0/3) AS b1,
+                 quantile_cont(CAST(n_chars AS DOUBLE), 2.0/3) AS b2
+          FROM documents
+        )
+        SELECT doc_id, n_chars,
+               (CASE WHEN CAST(n_chars AS DOUBLE) > b1 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(n_chars AS DOUBLE) > b2 THEN 1 ELSE 0 END)
+                 AS score_bucket
+        FROM documents CROSS JOIN b
     """,
     "q_contamination_report": """
         WITH evd AS (

@@ -1818,3 +1818,33 @@ def test_train_classifier_separates_planted_classes(spark):
     w2, b2 = train_classifier(df.repartition(7), "label", rounds=12, lr=4.0)
     assert abs(b - b2) < 1e-9
     assert max(abs(a - c) for a, c in zip(w, w2)) < 1e-9
+
+
+def test_bucket_by_score_modes(spark, docs):
+    from dataworks_spark.llm.pipeline import bucket_by_score
+
+    ex = bucket_by_score(docs, "n_chars", n_buckets=3, exact=True)
+    counts = {r.score_bucket: r.n for r in ex.groupBy("score_bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {0, 1, 2}
+    # terciles: each bucket within a loose band of a third (ties skew)
+    assert all(0.15 * total < c < 0.55 * total for c in counts.values())
+
+    lbl = bucket_by_score(docs, "n_chars", n_buckets=3, labels=("tail", "middle", "head"))
+    assert {r.score_bucket for r in lbl.select("score_bucket").distinct().collect()} == {
+        "tail", "middle", "head"
+    }
+
+    # approx sketch mode: same buckets at this scale for most rows
+    ap = bucket_by_score(docs, "n_chars", n_buckets=3, exact=False)
+    joined = (
+        ex.select("doc_id", F.col("score_bucket").alias("b1"))
+        .join(ap.select("doc_id", F.col("score_bucket").alias("b2")), "doc_id")
+    )
+    agree = joined.filter(F.col("b1") == F.col("b2")).count() / joined.count()
+    assert agree > 0.95
+
+    with pytest.raises(ValueError):
+        bucket_by_score(docs, "n_chars", n_buckets=1)
+    with pytest.raises(ValueError):
+        bucket_by_score(docs, "n_chars", n_buckets=3, labels=("a", "b"))

@@ -177,3 +177,6 @@ def test_ivf_index_save_load_round_trip(spark, sf_dir, tmp_path):
     assert key(loaded.topk(q, k=5, n_probe=2, id_cols=["vec_id"])) == key(
         built.topk(q, k=5, n_probe=2, id_cols=["vec_id"])
     )
+    probed = loaded.df.filter(F.col("__ivf").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__ivf" in plan.split("PartitionFilters", 1)[1][:200]
