@@ -33,6 +33,7 @@ _REBUILD_EACH_PASS = {
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_clusters",  # localCheckpoint-holding fixpoint loop
+    "q_quality_buckets",  # percentile-boundary job runs at plan build
 }
 
 
