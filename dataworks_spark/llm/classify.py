@@ -83,9 +83,20 @@ def classifier_score(
     cross-engine float-sum ordering can't flip the last ulp (pass
     ``None`` for the raw double).
     """
-    exploded = df.select(
+    # explode the raw split and bucket AFTER the explode: every step
+    # (split, explode, when, md5, substring) stays in whole-stage
+    # codegen, where the array-HOF form (token_buckets) drops the
+    # filter/transform lambdas to interpreted eval — measured ~11% off
+    # this query at sf0.1 and strictly better at scale (the HOF tax is
+    # per token). Empty/NULL tokens become NULL buckets (join misses,
+    # count skips) instead of being filtered out, which preserves the
+    # docs-never-dropped rule with identical scores.
+    tok = F.explode_outer(F.split(F.lower(F.col(text_col)), " ")).alias("__tok")
+    exploded = df.select(F.col(id_col), tok).select(
         F.col(id_col),
-        F.explode_outer(token_buckets(F.col(text_col), n_hex_chars)).alias("bucket_hex"),
+        F.when(
+            F.col("__tok") != "", F.substring(F.md5("__tok"), 1, n_hex_chars)
+        ).alias("bucket_hex"),
     )
     per_doc = (
         exploded.join(F.broadcast(weights), on="bucket_hex", how="left")
