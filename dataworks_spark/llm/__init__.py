@@ -14,6 +14,7 @@ from dataworks_spark.llm.dedup import (
     dedup_keep_canonical,
     edit_distance_pairs,
     exact_dedup,
+    hamming_near_dup_pairs,
     minhash_near_dup_pairs,
     minhash_signature,
     near_dup_clusters,
@@ -84,6 +85,7 @@ from dataworks_spark.llm.text import (
 
 __all__ = [
     "exact_dedup",
+    "hamming_near_dup_pairs",
     "minhash_signature",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",

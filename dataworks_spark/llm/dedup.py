@@ -447,6 +447,21 @@ def simhash_near_dup_pairs(
     query's dominant CPU and would otherwise run once per join side
     (measured ~2× on the fingerprint phase)."""
     f = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp"))
+    return hamming_near_dup_pairs(f, "doc", "fp", band_bits)
+
+
+def hamming_near_dup_pairs(
+    f: DataFrame, id_col: str = "doc", fp_col: str = "fp", band_bits: int = 16
+) -> DataFrame:
+    """Quarter-bucket Hamming candidate pairs over ANY 64-bit
+    fingerprint relation — the banding/verify kernel shared by text
+    SimHash and image average-hash (llm/multimodal.py): two
+    fingerprints within 64/band_bits − 1 bit flips always share a
+    band, the bucket join generates candidates, and bit_count(xor)
+    verifies exactly. The fingerprint relation is checkpoint-
+    materialized before the self-join so the (possibly expensive)
+    fingerprint derivation runs once, not once per join side."""
+    f = f.select(F.col(id_col).alias("doc"), F.col(fp_col).alias("fp"))
     mask = (1 << band_bits) - 1
     quarters = f.select(
         "doc",

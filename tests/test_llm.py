@@ -1848,3 +1848,76 @@ def test_bucket_by_score_modes(spark, docs):
         bucket_by_score(docs, "n_chars", n_buckets=1)
     with pytest.raises(ValueError):
         bucket_by_score(docs, "n_chars", n_buckets=3, labels=("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# real multimodal decode (netpbm / WAV — stdlib-decodable formats)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def decodable_media(spark):
+    from dataworks_spark.llm.multimodal import read_binary_dir, write_decodable_fixture
+
+    path = write_decodable_fixture("t_llm")
+    imgs = read_binary_dir(spark, path + "/*.ppm", id_pattern=r"img_(\d+)\.")
+    auds = read_binary_dir(spark, path + "/*.wav", id_pattern=r"aud_(\d+)\.")
+    return imgs, auds
+
+
+def test_decode_image_features_real_pixels(decodable_media):
+    from dataworks_spark.llm.multimodal import decode_image_features
+
+    imgs, _ = decodable_media
+    feats = {r.media_id: r for r in decode_image_features(imgs).collect()}
+    assert len(feats) == 48
+    r0 = feats[0]
+    assert (r0.format, r0.width, r0.height) == ("P6", 16, 16)
+    # real pixel math: red channel of image 0 is (x*16) % 256 averaged
+    # over x∈[0,16) → mean 120 exactly
+    assert abs(r0.mean_r - 120.0) < 1e-9
+    assert r0.ahash is not None
+
+
+def test_image_near_dup_pairs_finds_planted(decodable_media):
+    """Every 8th fixture image is a one-pixel perturbation of its
+    predecessor: the perceptual pairs must include those plants with
+    tiny Hamming distance, and unrelated gradient images stay apart."""
+    from dataworks_spark.llm.multimodal import decode_image_features, image_near_dup_pairs
+
+    imgs, _ = decodable_media
+    feats = decode_image_features(imgs)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in image_near_dup_pairs(feats).collect()}
+    planted = {(i - 1, i) for i in range(7, 48, 8)}
+    assert planted <= set(pairs)
+    assert all(pairs[p] <= 2 for p in planted)
+
+
+def test_decode_audio_features_real_samples(decodable_media):
+    from dataworks_spark.llm.multimodal import decode_audio_features
+
+    _, auds = decodable_media
+    feats = {r.media_id: r for r in decode_audio_features(auds).collect()}
+    assert len(feats) == 24
+    r0 = feats[0]
+    assert (r0.n_channels, r0.sample_rate, r0.n_frames) == (1, 8000, 2000)
+    assert abs(r0.duration_s - 0.25) < 1e-9
+    # a full-scale-ish sine's RMS is amplitude/√2: 12000/32768/1.414 ≈ 0.2589
+    assert abs(r0.rms - 12000 / 32768 / (2 ** 0.5)) < 0.01
+    assert 0.3 < r0.peak < 0.4
+
+
+def test_decode_strict_gates_unknown_formats(spark):
+    from dataworks_spark.llm.multimodal import decode_audio_features, decode_image_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG not really"))], "media_id long, payload binary"
+    )
+    out = decode_image_features(df).collect()[0]
+    assert out.width is None and out.ahash is None  # NULLs, not lies
+    out_a = decode_audio_features(df).collect()[0]
+    assert out_a.sample_rate is None
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="codec libraries"):
+        decode_image_features(df, strict=True).collect()
