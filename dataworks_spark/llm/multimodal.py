@@ -57,15 +57,22 @@ FEATURE_SCHEMA = "media_id long, n_bytes long, sha256 string, feature_0 double, 
 
 
 def read_binary_dir(
-    spark: SparkSession, path: str, id_pattern: str | None = None
+    spark: SparkSession, path: str, id_pattern: str | None = None,
+    glob: str | None = None,
 ) -> DataFrame:
     """Ingest a directory of media files (A-source analog for L5).
 
     ``id_pattern`` — regex with one capture group extracting a numeric
     id from the file path (stable across hosts/mount points); default
     falls back to xxhash64(path), which is deterministic per location
-    but not portable."""
-    raw = spark.read.format("binaryFile").load(path)
+    but not portable. ``glob`` filters by file name via the source's
+    ``pathGlobFilter`` (preferred over a glob embedded in ``path``,
+    which trips the source's streaming-metadata probe into logging a
+    FileNotFoundException warning)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
     mid = (
         F.regexp_extract("path", id_pattern, 1).cast("long")
         if id_pattern

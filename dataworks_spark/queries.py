@@ -1406,6 +1406,49 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "sha256", "feature_0", "feature_1")
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL multimodal decode (L5 upgrade): binaryFile ingest of the
+    generated DECODABLE fixture (netpbm images + WAV audio), actual
+    pixel/sample math in Arrow mapInPandas — channel means, perceptual
+    aHash, PCM RMS — joined into one per-media feature row. Rows-only
+    (binary parsing has no SQL oracle); fully deterministic, anchored
+    by unit tests on known pixel/sine values and planted near-dup
+    recall through the shared Hamming kernel."""
+    import os
+
+    from dataworks_spark.llm.multimodal import (
+        decode_audio_features,
+        decode_image_features,
+        read_binary_dir,
+        write_decodable_fixture,
+    )
+
+    path = write_decodable_fixture(os.path.basename(sf_dir.rstrip("/")))
+    imgs = read_binary_dir(spark, path, id_pattern=r"img_(\d+)\.", glob="*.ppm")
+    auds = read_binary_dir(spark, path, id_pattern=r"aud_(\d+)\.", glob="*.wav")
+    nulls = {
+        "sample_rate": F.lit(None).cast("int"),
+        "duration_s": F.lit(None).cast("double"),
+        "rms": F.lit(None).cast("double"),
+    }
+    im = decode_image_features(imgs).select(
+        "media_id", F.lit("image").alias("media_type"), "format",
+        "width", "height", F.round("mean_r", 4).alias("mean_r"), "ahash",
+        *[c.alias(n) for n, c in nulls.items()],
+    )
+    au = decode_audio_features(auds).select(
+        "media_id", F.lit("audio").alias("media_type"),
+        F.lit("WAV").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("mean_r"),
+        F.lit(None).cast("long").alias("ahash"),
+        "sample_rate", F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+    )
+    return im.unionByName(au)
+
+
 def q_events_sessionize(spark, sf_dir):
     """Sessionization (I10 session-window batch twin): a >30 min gap
     starts a new session — lag + running count of session starts, the

@@ -1860,8 +1860,8 @@ def decodable_media(spark):
     from dataworks_spark.llm.multimodal import read_binary_dir, write_decodable_fixture
 
     path = write_decodable_fixture("t_llm")
-    imgs = read_binary_dir(spark, path + "/*.ppm", id_pattern=r"img_(\d+)\.")
-    auds = read_binary_dir(spark, path + "/*.wav", id_pattern=r"aud_(\d+)\.")
+    imgs = read_binary_dir(spark, path, id_pattern=r"img_(\d+)\.", glob="*.ppm")
+    auds = read_binary_dir(spark, path, id_pattern=r"aud_(\d+)\.", glob="*.wav")
     return imgs, auds
 
 
