@@ -413,3 +413,94 @@ def image_near_dup_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame
     f = features.filter(F.col("ahash").isNotNull())
     pairs = hamming_near_dup_pairs(f, "media_id", "ahash")
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx long, width int, height int, mean_luma double"
+)
+
+
+def write_video_fixture(name: str, n_videos: int = 8, root: str | None = None) -> str:
+    """Deterministic YUV4MPEG2 (.y4m) fixtures: 8×8 4:2:0 frames whose
+    luma plane is a per-frame gradient — REAL uncompressed video the
+    stdlib can parse. 12 frames each. Idempotent."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    base = root or os.path.join(repo_root, ".media_fixtures")
+    out = os.path.join(base, f"{name}_video")
+    done = os.path.join(out, ".complete")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    w = h = 8
+    for v in range(n_videos):
+        buf = bytearray(b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n")
+        for fr in range(12):
+            buf += b"FRAME\n"
+            luma = bytes(((x + y * w + fr * 3 + v * 17) % 256) for y in range(h) for x in range(w))
+            buf += luma
+            buf += bytes(64 // 4) + bytes(64 // 4)  # flat U and V planes (4:2:0)
+        with open(os.path.join(out, f"vid_{v:05d}.y4m"), "wb") as f:
+            f.write(bytes(buf))
+    with open(done, "w") as f:
+        f.write(str(n_videos))
+    return out
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 4, strict: bool = False) -> DataFrame:
+    """REAL video frame sampling for YUV4MPEG2 payloads: parse the
+    stream header (W/H/chroma), walk the FRAME markers, keep every
+    ``every_n``-th frame's index and mean luma — the shape a libav
+    kernel would emit for compressed formats (which stay gated).
+    Non-y4m payloads yield no frames (``strict=True`` raises)."""
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import re as _re
+
+        import numpy as _np
+        import pandas as _pd
+
+        def frames(payload):
+            if payload is None or not bytes(payload).startswith(b"YUV4MPEG2"):
+                if strict:
+                    raise NotImplementedError(
+                        "non-y4m video payload requires codec libraries"
+                    )
+                return []
+            data = bytes(payload)
+            nl = data.index(b"\n")
+            header = data[:nl].decode("ascii", "replace")
+            mw = _re.search(r"\bW(\d+)", header)
+            mh = _re.search(r"\bH(\d+)", header)
+            mc = _re.search(r"\bC(\d+)", header)
+            if not (mw and mh):
+                return []
+            iw, ih = int(mw.group(1)), int(mh.group(1))
+            chroma = mc.group(1) if mc else "420"
+            luma_n = iw * ih
+            chroma_n = {"420": luma_n // 2, "422": luma_n, "444": luma_n * 2}.get(
+                chroma, luma_n // 2
+            )
+            frame_n = luma_n + chroma_n
+            out, pos, idx = [], nl + 1, 0
+            while data.startswith(b"FRAME", pos):
+                pos = data.index(b"\n", pos) + 1  # frame params line
+                if pos + frame_n > len(data):
+                    break
+                if idx % every_n == 0:
+                    luma = _np.frombuffer(data[pos : pos + luma_n], dtype=_np.uint8)
+                    out.append((idx, iw, ih, float(luma.mean())))
+                pos += frame_n
+                idx += 1
+            return out
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows.extend((mid, *fr) for fr in frames(payload))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width", "height", "mean_luma"]
+            )
+
+    return df.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

@@ -1921,3 +1921,36 @@ def test_decode_strict_gates_unknown_formats(spark):
 
     with pytest.raises(PythonException, match="codec libraries"):
         decode_image_features(df, strict=True).collect()
+
+
+def test_sample_video_frames_real_y4m(spark):
+    """Real YUV4MPEG2 parsing: frame stride, dimensions from the stream
+    header, and mean luma computed from actual plane bytes."""
+    from dataworks_spark.llm.multimodal import (
+        read_binary_dir,
+        sample_video_frames,
+        write_video_fixture,
+    )
+
+    path = write_video_fixture("t_llm")
+    vids = read_binary_dir(spark, path, id_pattern=r"vid_(\d+)\.", glob="*.y4m")
+    rows = sample_video_frames(vids, every_n=4).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert len(by_vid) == 8
+    for frames in by_vid.values():
+        assert sorted(f.frame_idx for f in frames) == [0, 4, 8]  # 12 frames / stride 4
+        assert all((f.width, f.height) == (8, 8) for f in frames)
+    # luma math: video 0 frame 0 luma = (x + y*8) % 256 over 8×8 → mean 31.5
+    f00 = next(f for f in by_vid[0] if f.frame_idx == 0)
+    assert abs(f00.mean_luma - 31.5) < 1e-9
+    # non-y4m payload: zero frames, or strict raise
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"\x00\x01video-ish"))], "media_id long, payload binary"
+    )
+    assert sample_video_frames(junk).count() == 0
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="codec libraries"):
+        sample_video_frames(junk, strict=True).collect()
