@@ -84,6 +84,13 @@ def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
         prepared.filter(F.col("doc_id") >= 5), eval_set, ngram_n=5,
         bloom_fpp=1e-3,
     )
+    # the audit companion: per-eval-doc residual overlap AFTER the cut
+    # (should be ~0 for 5-gram containment — the number an eval owner
+    # checks before trusting the benchmark)
+    from dataworks_spark.llm.pipeline import contamination_report
+
+    residual = contamination_report(clean, eval_set, ngram_n=5)
+    max_contamination = residual.agg(F.max("contamination")).first()[0] or 0.0
 
     # 4. domain mixing: equal token shares from the first four sources
     mixed = mix_corpus(
@@ -132,6 +139,7 @@ def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
         "n_train_budgeted": budgeted.count(),
         "n_chunks": chunks.count(),
         "n_packs": packed.select("pack_lane", "pack_seq").dropDuplicates().count(),
+        "eval_residual_contamination": max_contamination,
         "train_vocab": summary["vocab_size"],
         "train_p90_dl": summary["p90_doc_tokens"],
         "out_path": out_path,

@@ -20,6 +20,9 @@ def test_corpus_pipeline_demo(spark, tmp_path, sf_dir):
     assert out["n_raw"] >= out["n_prepared"] >= out["n_clean"] >= out["n_mixed"]
     assert out["n_mixed"] > 0, "mixing must keep something"
     assert out["n_train_budgeted"] > 0 and out["n_packs"] > 0
+    # decontaminate dropped every doc sharing a 5-gram with the eval
+    # set, so the residual audit must read zero
+    assert out["eval_residual_contamination"] == 0.0
     # sharded layout on disk: split directories with parquet inside
     dirs = sorted(
         os.path.basename(p)
