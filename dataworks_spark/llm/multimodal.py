@@ -504,3 +504,64 @@ def sample_video_frames(df: DataFrame, every_n: int = 4, strict: bool = False) -
             )
 
     return df.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """REAL image resize for netpbm payloads: nearest-neighbor
+    resampling (numpy index grids — the standard thumbnail kernel) to
+    ``width``×``height``, re-emitted as a valid P6 payload so the
+    output composes with :func:`decode_image_features` or a partitioned
+    binary write. Non-netpbm payloads pass through with NULL payload
+    (``strict=True`` raises) — compressed codecs stay gated on PIL.
+
+    Scale: payload-in/payload-out stays inside one Arrow batch —
+    resizing never shuffles; at 100 TB this runs fused over the
+    binaryFile scan with a small ``maxPartitionBytes``."""
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import re as _re
+
+        import numpy as _np
+        import pandas as _pd
+
+        def resize(payload):
+            if payload is None:
+                return None
+            m = _re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", bytes(payload))
+            if not m:
+                if strict:
+                    raise NotImplementedError(
+                        "non-netpbm image payload requires codec libraries"
+                    )
+                return None
+            magic, iw, ih, mv = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+            ch = 3 if magic == b"P6" else 1
+            rest = bytes(payload)[m.end():]
+            need = iw * ih * ch
+            if len(rest) < need or mv > 255:
+                return None
+            a = _np.frombuffer(rest[:need], dtype=_np.uint8).reshape(ih, iw, ch)
+            ys = (_np.arange(height) * ih // height).clip(0, ih - 1)
+            xs = (_np.arange(width) * iw // width).clip(0, iw - 1)
+            out = a[ys][:, xs]
+            if ch == 1:
+                out = _np.repeat(out, 3, axis=2)
+            return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
+
+        for pdf in it:
+            payloads = [resize(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": [None if p is None else width for p in payloads],
+                    "height": [None if p is None else height for p in payloads],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)

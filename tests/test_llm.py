@@ -1954,3 +1954,25 @@ def test_sample_video_frames_real_y4m(spark):
 
     with pytest.raises(PythonException, match="codec libraries"):
         sample_video_frames(junk, strict=True).collect()
+
+
+def test_resize_images_real_composition(spark, decodable_media):
+    """Nearest-neighbor resize emits VALID P6 payloads that the decode
+    kernel re-parses at the new dimensions, with channel means close to
+    the originals (gradients: block sampling shifts means only a
+    little). Junk payloads null out rather than lying."""
+    from dataworks_spark.llm.multimodal import decode_image_features, resize_images
+
+    imgs, _ = decodable_media
+    small = resize_images(imgs, 8, 8)
+    feats = {r.media_id: r for r in decode_image_features(small).collect()}
+    assert len(feats) == 48
+    assert all((f.width, f.height) == (8, 8) for f in feats.values())
+    orig = {r.media_id: r for r in decode_image_features(imgs).collect()}
+    for mid in orig:
+        assert abs(orig[mid].mean_r - feats[mid].mean_r) < 20
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"GIF89a..."))], "media_id long, payload binary"
+    )
+    out = resize_images(junk, 8, 8).collect()[0]
+    assert out.payload is None and out.width is None
