@@ -152,3 +152,45 @@ def test_alert_failed_handler_unclaimed_and_retried(spark):
     assert sched.tick() == 1  # retry succeeds (handler recovered)
     assert sorted(fired) == ["p-boom", "p-ok"]
     assert sched.tick() == 0  # nothing left
+
+
+def test_quality_model_as_stored_function(spark):
+    """Cross-layer composition: the L17 classifier registered as a K1
+    column transformer — scoreable by name from the stored-function
+    surface, hot-swappable (new model table → version bump → new
+    scores), and usable inside a declarative op-chain spec."""
+    import math
+
+    from dataworks_spark.llm.classify import (
+        classifier_score_expr,
+        collect_weights_array,
+        default_hash_weights,
+    )
+    from dataworks_spark.registry.transformers import TransformerRegistry
+    from dataworks_spark.streaming.transforms import OpChain
+
+    reg = TransformerRegistry(spark)
+    w = collect_weights_array(default_hash_weights(spark))
+    reg.register_column("quality_model", lambda text: classifier_score_expr(text, w))
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    v1 = {r.doc_id: r.score for r in reg.apply(df, "quality_model", "score", "text").collect()}
+    assert all(0.0 < s < 1.0 for s in v1.values())
+
+    # hot-swap: an all-positive "retrained" model — latest version wins
+    reg.register_column(
+        "quality_model", lambda text: classifier_score_expr(text, [1.0] * 4096)
+    )
+    assert reg.version("quality_model") == 2
+    v2 = {r.doc_id: r.score for r in reg.apply(df, "quality_model", "score", "text").collect()}
+    expect = round(1.0 / (1.0 + math.exp(-1.0)), 6)
+    assert all(s == expect for s in v2.values())
+
+    # the same model through a declarative op-chain (stream-node shape)
+    chain = OpChain().udf(reg, "quality_model", "score", "text").filter(
+        F.col("score") >= 0.5
+    )
+    out = chain(df)
+    assert out.count() == 2 and "score" in out.columns
