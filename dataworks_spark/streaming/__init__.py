@@ -9,7 +9,8 @@ sinks are writeStream / foreachBatch.
 """
 
 from dataworks_spark.streaming.dedup import dedup_stream
+from dataworks_spark.streaming.rollup import ContinuousRollup
 from dataworks_spark.streaming.graph import Node, StreamGraph
 from dataworks_spark.streaming.transforms import OpChain
 
-__all__ = ["Node", "StreamGraph", "OpChain", "dedup_stream"]
+__all__ = ["Node", "StreamGraph", "OpChain", "dedup_stream", "ContinuousRollup"]

@@ -1,0 +1,141 @@
+"""Continuous time-bucket rollup — the hypertable/continuous-aggregate
+pattern (TimescaleDB's public design): a materialized, bucketed
+aggregate table maintained INCREMENTALLY as batches arrive, so readers
+pay a scan over |buckets| pre-aggregated rows instead of re-aggregating
+the raw stream.
+
+Spark-first shape, mirroring `docs/store.compact_incremental`'s
+partition discipline:
+
+- the rollup table is parquet PARTITIONED BY bucket date — readers
+  range-prune at the directory level;
+- an update touches exactly the DATES present in the batch: stored
+  partials for those dates are read back (pruned scan), merged with the
+  batch's partials, and rewritten with dynamic partition overwrite —
+  IO proportional to the delta's bucket span, never the table;
+- only MERGEABLE aggregates are allowed (count/sum/min/max — the
+  partial-aggregation algebra); avg is derived at read time from
+  sum/count. That restriction is what makes merge-with-stored exact:
+  merging partials is associative/commutative, so late and out-of-order
+  rows land exactly where a full recompute would put them (property:
+  incremental ≡ full recompute, tested).
+
+At-least-once caveat: a REDELIVERED batch would double-count sums.
+Compose with the dedup gates (`streaming/dedup.dedup_stream` in the
+horizon, `llm/incremental` by value) or an epoch ledger upstream when
+the source is not exactly-once; `foreachBatch` from a checkpointed
+query is exactly-once per epoch already.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: aggregate -> (partial expression builder, merge expression builder)
+_MERGEABLE = {
+    "count": (
+        lambda c: F.count(F.lit(1)),
+        lambda col: F.sum(col),
+    ),
+    "sum": (lambda c: F.sum(c), lambda col: F.sum(col)),
+    "min": (lambda c: F.min(c), lambda col: F.min(col)),
+    "max": (lambda c: F.max(c), lambda col: F.max(col)),
+}
+
+
+class ContinuousRollup:
+    """A materialized ``(bucket, keys…) → mergeable aggregates`` table.
+
+    ``aggs`` maps output column → ("count"|"sum"|"min"|"max", in_col)
+    (in_col ignored for count). ``update(batch)`` merges one batch;
+    ``read()`` returns the current rollup; ``for_each_batch()`` adapts
+    to ``writeStream.foreachBatch``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ts_col: str = "ts",
+        bucket: str = "1 hour",
+        keys: tuple = (),
+        aggs: dict | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.ts_col = ts_col
+        self.bucket = bucket
+        self.keys = tuple(keys)
+        self.aggs = dict(aggs or {"n": ("count", None)})
+        for name, (kind, _c) in self.aggs.items():
+            if kind not in _MERGEABLE:
+                raise ValueError(
+                    f"{name}: {kind!r} is not a mergeable aggregate "
+                    f"(allowed: {sorted(_MERGEABLE)}); derive ratios at read time"
+                )
+
+    # -- shared shapes ---------------------------------------------------
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        win = F.window(F.col(self.ts_col), self.bucket)
+        return df.withColumn("bucket_start", win["start"]).withColumn(
+            "bucket_date", F.to_date("bucket_start")
+        )
+
+    def _partials(self, df: DataFrame) -> DataFrame:
+        exprs = [
+            _MERGEABLE[kind][0](F.col(c) if c else None).alias(name)
+            for name, (kind, c) in self.aggs.items()
+        ]
+        return (
+            self._bucketed(df)
+            .groupBy("bucket_date", "bucket_start", *self.keys)
+            .agg(*exprs)
+        )
+
+    def _merge(self, parts: DataFrame) -> DataFrame:
+        exprs = [
+            _MERGEABLE[kind][1](F.col(name)).alias(name)
+            for name, (kind, _c) in self.aggs.items()
+        ]
+        return parts.groupBy("bucket_date", "bucket_start", *self.keys).agg(*exprs)
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.path) and any(
+            not n.startswith((".", "_")) for n in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame | None:
+        return self.spark.read.parquet(self.path) if self._exists() else None
+
+    # -- the incremental update ------------------------------------------
+    def update(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        """Merge one batch: stored partials for the batch's DATES are
+        read back (partition-pruned scan bounded by the delta's bucket
+        span), merged with the batch's partials, and the touched date
+        partitions are rewritten atomically-per-partition with dynamic
+        overwrite. Mergeability makes the result independent of how
+        rows were split across updates."""
+        delta = self._partials(batch)
+        stored = self.read()
+        if stored is not None:
+            dates = delta.select("bucket_date").dropDuplicates()
+            relevant = stored.join(F.broadcast(dates), on="bucket_date", how="left_semi")
+            delta = self._merge(relevant.unionByName(delta))
+        # localCheckpoint: the overwrite below must not re-read the
+        # partitions it is replacing mid-plan
+        out = delta.localCheckpoint()
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(self.path)
+        )
+
+    def for_each_batch(self):
+        def _sink(df: DataFrame, epoch_id: int) -> None:
+            self.update(df, epoch_id)
+
+        return _sink

@@ -503,3 +503,94 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     q.stop()
     rows = spark.sql("SELECT text FROM dd_out").collect()
     assert sorted(r.text for r in rows) == ["alpha", "beta", "gamma"]
+
+
+def test_continuous_rollup_incremental_equals_full(spark, tmp_path):
+    """Hypertable-style continuous aggregate: batched incremental
+    updates — including a LATE batch re-touching an old bucket — land
+    exactly where one full recompute would."""
+    import datetime as dt
+
+    from dataworks_spark.streaming.rollup import ContinuousRollup
+
+    t0 = dt.datetime(2024, 3, 1, 0, 10, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    rows1 = [(1, t0, 1, 10.0), (2, t0 + dt.timedelta(minutes=20), 2, 2.0),
+             (3, t0 + dt.timedelta(hours=2), 1, 5.0)]
+    rows2 = [(4, t0 + dt.timedelta(days=1), 2, 7.0),
+             (5, t0 + dt.timedelta(minutes=5), 1, 1.0)]  # LATE: old bucket
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+
+    roll = ContinuousRollup(
+        spark, str(tmp_path / "roll"), ts_col="ts", bucket="1 hour",
+        keys=("user_id",),
+        aggs={"n": ("count", None), "sum_v": ("sum", "value"),
+              "max_v": ("max", "value")},
+    )
+    roll.update(b1)
+    roll.update(b2)
+    got = {
+        (r.bucket_start, r.user_id): (r.n, r.sum_v, r.max_v)
+        for r in roll.read().collect()
+    }
+
+    full = ContinuousRollup(
+        spark, str(tmp_path / "roll_full"), ts_col="ts", bucket="1 hour",
+        keys=("user_id",),
+        aggs={"n": ("count", None), "sum_v": ("sum", "value"),
+              "max_v": ("max", "value")},
+    )
+    full.update(b1.unionByName(b2))
+    want = {
+        (r.bucket_start, r.user_id): (r.n, r.sum_v, r.max_v)
+        for r in full.read().collect()
+    }
+    assert got == want
+    # the late row merged INTO the old bucket, not a new one
+    assert got[(dt.datetime(2024, 3, 1, 0, 0, 0), 1)] == (2, 11.0, 10.0)
+    # directory-partitioned by date → readers range-prune
+    import glob as _glob
+
+    dirs = _glob.glob(str(tmp_path / "roll" / "bucket_date=*"))
+    assert len(dirs) == 2
+
+
+def test_continuous_rollup_streaming_and_guards(spark, tmp_path):
+    """foreachBatch adapter maintains the rollup across real epochs;
+    non-mergeable aggregates are rejected at construction."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from dataworks_spark.streaming.rollup import ContinuousRollup
+
+    with _pytest.raises(ValueError, match="mergeable"):
+        ContinuousRollup(spark, str(tmp_path / "x"), aggs={"a": ("avg", "value")})
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 3, 2, 12, 0, 0)
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame([(1, t0, 1.0), (2, t0, 3.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame([(3, t0, 5.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    roll = ContinuousRollup(
+        spark, str(tmp_path / "roll_s"), ts_col="ts", bucket="1 hour",
+        aggs={"n": ("count", None), "sum_v": ("sum", "value")},
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(roll.for_each_batch())
+        .option("checkpointLocation", str(tmp_path / "roll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = roll.read().collect()
+    assert len(rows) == 1 and rows[0].n == 3 and rows[0].sum_v == 9.0
