@@ -103,3 +103,60 @@ def asof_join(
         & (versions[valid_to].isNull() | (fact[fact_ts] < versions[valid_to]))
     )
     return fact.join(versions, on=cond, how=how)
+
+
+def bucketized_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "1 hour",
+    extra_keys: tuple = (),
+    max_buckets_per_interval: int | None = 10_000,
+) -> DataFrame:
+    """Scalable point-in-interval (range) join: the keyless form of
+    :func:`range_join` that does NOT degrade to a nested-loop compare
+    of every point against every interval.
+
+    Construction (the standard time-bucketization of interval joins —
+    Flink's interval-join partitioning, DuckDB/Postgres range-join
+    bucketing): each interval is EXPLODED onto every ``bucket`` it
+    overlaps, each point maps to its single bucket, the join becomes an
+    equi-join on (bucket, *extra_keys) and the original containment
+    predicate ``start <= ts < end`` verifies exactly. Every true pair
+    meets in precisely the point's bucket, so no dedup is needed; pair
+    work is Σ_bucket |points_b|·|intervals_b| instead of |P|·|I|.
+
+    Choose ``bucket`` near the median interval length: shorter buckets
+    replicate long intervals (bounded by ``max_buckets_per_interval``,
+    enforced at execution — a cap breach raises rather than silently
+    exploding), longer buckets put unrelated rows in one bucket.
+    Half-open semantics: a point with ``ts == end`` does not match."""
+    bstep = F.expr(f"interval {bucket}")
+    p = points.withColumn("__b", F.window(F.col(point_ts), bucket)["start"])
+    istart = F.window(F.col(start_col), bucket)["start"]
+    # last bucket containing any instant < end: floor(end - 1 microsecond)
+    iend = F.window(F.col(end_col) - F.expr("interval 1 microsecond"), bucket)["start"]
+    seq = F.sequence(istart, iend, bstep)
+    if max_buckets_per_interval is not None:
+        guard = F.assert_true(
+            F.size(seq) <= max_buckets_per_interval,
+            F.lit(
+                f"interval spans more than {max_buckets_per_interval} "
+                f"'{bucket}' buckets; raise bucket or the cap"
+            ),
+        )
+        seq = F.when(guard.isNull(), seq)
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__b", F.explode(seq)
+    )
+    on = [p["__b"] == iv["__b"]] + [p[k] == iv[k] for k in extra_keys]
+    cond = (
+        (F.col(point_ts) >= iv[start_col])
+        & (F.col(point_ts) < iv[end_col])
+    )
+    joined = p.join(iv, on=[*on, cond], how="inner")
+    return joined.drop(p["__b"]).drop(iv["__b"]).drop(
+        *[iv[k] for k in extra_keys]
+    )

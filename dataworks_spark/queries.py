@@ -1406,6 +1406,29 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "sha256", "feature_0", "feature_1")
 
 
+def q_interval_join(spark, sf_dir):
+    """Keyless point-in-interval join at scale (ops/joins.py
+    bucketized_interval_join): events falling inside any 30-minute
+    incident window opened by an error event of users 0-4. Intervals
+    explode onto the time buckets they overlap, points map to ONE
+    bucket, the join is an equi-join on bucket + exact containment
+    verify — pair work is per-bucket, never |P|·|I| (the plain
+    theta-join form is BroadcastNestedLoopJoin and dies at scale). The
+    oracle runs the DEFINING theta join, so the hash match proves the
+    bucketization is exactly equivalent."""
+    from dataworks_spark.ops.joins import bucketized_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    win = ev.filter((F.col("event_type") == "error") & (F.col("user_id") < 5)).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("end"),
+    )
+    pts = ev.filter(F.col("user_id") < 50).select("event_id", "ts")
+    out = bucketized_interval_join(pts, win, "ts", bucket="30 minutes")
+    return out.select("event_id", "window_id")
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode (L5 upgrade): binaryFile ingest of the
     generated DECODABLE fixture (netpbm images + WAV audio), actual
@@ -1588,6 +1611,17 @@ ORACLE_SQL: dict[str, str] = {
                                         / count(bucket_hex)))), 6) AS quality_score
         FROM tok LEFT JOIN w USING (bucket_hex)
         GROUP BY doc_id
+    """,
+    "q_interval_join": """
+        WITH win AS (
+          SELECT event_id AS window_id, ts AS w_start,
+                 ts + INTERVAL 30 MINUTE AS w_end
+          FROM events WHERE event_type = 'error' AND user_id < 5
+        ), pts AS (
+          SELECT event_id, ts FROM events WHERE user_id < 50
+        )
+        SELECT p.event_id, w.window_id
+        FROM pts p JOIN win w ON p.ts >= w.w_start AND p.ts < w.w_end
     """,
     "q_quality_buckets": """
         WITH b AS (

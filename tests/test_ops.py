@@ -73,3 +73,47 @@ def test_frequent_items_no_false_negatives(spark, sf_dir):
         for r in li.groupBy("l_returnflag").count().filter(F.col("count") > 0.2 * n).collect()
     }
     assert exact <= sketch
+
+
+def test_bucketized_interval_join_edges(spark):
+    """Half-open boundary semantics, multi-bucket intervals, empty and
+    inverted intervals, and the bucket-cap guard."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataworks_spark.ops.joins import bucketized_interval_join
+
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+    pts = spark.createDataFrame(
+        [
+            (1, t0),                                # == start: matches
+            (2, t0 + dt.timedelta(hours=3)),        # inside, 4th bucket
+            (3, t0 + dt.timedelta(hours=4)),        # == end: must NOT match
+            (4, t0 - dt.timedelta(seconds=1)),      # before
+        ],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (10, t0, t0 + dt.timedelta(hours=4)),   # spans 4 one-hour buckets
+            (11, t0, t0),                           # empty: dropped
+            (12, t0 + dt.timedelta(hours=1), t0),   # inverted: dropped
+        ],
+        "window_id long, start timestamp, end timestamp",
+    )
+    out = bucketized_interval_join(pts, iv, "ts", bucket="1 hour")
+    got = sorted((r.event_id, r.window_id) for r in out.collect())
+    assert got == [(1, 10), (2, 10)]
+
+    with _pytest.raises(Exception, match="buckets"):
+        bucketized_interval_join(
+            pts, iv, "ts", bucket="1 hour", max_buckets_per_interval=2
+        ).collect()
+
+    # keyed variant: containment alone is not enough — keys must match
+    ptsk = pts.withColumn("user_id", F.col("event_id") % 2)
+    ivk = iv.withColumn("user_id", F.lit(1))
+    outk = bucketized_interval_join(ptsk, ivk, "ts", bucket="1 hour", extra_keys=("user_id",))
+    assert sorted((r.event_id, r.window_id) for r in outk.collect()) == [(1, 10)]
