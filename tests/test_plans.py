@@ -135,3 +135,13 @@ def test_contamination_scan_joins_broadcast_eval(spark):
     the corpus itself must never shuffle to be audited."""
     plan = _plan(spark, "q_contamination_report")
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The bucketized interval join must compile to a HASH equi-join on
+    the bucket key (broadcast here; shuffle at scale) with containment
+    as the join residual — never BroadcastNestedLoopJoin, which is what
+    the plain theta-join form degenerates to."""
+    plan = _plan(spark, "q_interval_join")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
