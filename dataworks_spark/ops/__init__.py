@@ -15,6 +15,7 @@ from dataworks_spark.ops.projection import (
 from dataworks_spark.ops.joins import (
     anti_join,
     asof_join,
+    bucketized_interval_join,
     point_lookup,
     range_join,
     semi_join,
@@ -36,6 +37,7 @@ __all__ = [
     "semi_join",
     "anti_join",
     "asof_join",
+    "bucketized_interval_join",
     "range_join",
     "point_lookup",
     "grouped_agg",
