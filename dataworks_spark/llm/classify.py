@@ -254,7 +254,12 @@ def train_classifier(
         score = classifier_score_expr(
             text, w, bias=b, n_hex_chars=n_hex_chars, round_to=None
         )
-        toks = token_buckets(text, n_hex_chars)
+        # NULL text → empty bucket array (not NULL): an exploded NULL
+        # array would drop the row and silently exclude the doc from
+        # even the bias gradient
+        toks = F.coalesce(
+            token_buckets(text, n_hex_chars), F.array().cast("array<string>")
+        )
         per_doc = df.select(
             (y - score).alias("__err"),
             F.greatest(F.size(toks), F.lit(1)).cast("double").alias("__nt"),

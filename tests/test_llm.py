@@ -1976,3 +1976,16 @@ def test_resize_images_real_composition(spark, decodable_media):
     )
     out = resize_images(junk, 8, 8).collect()[0]
     assert out.payload is None and out.width is None
+
+
+def test_train_classifier_null_text_contributes_bias(spark):
+    """A NULL-text doc still moves the bias (it has a label): training
+    on all-tokenless docs with label 1 pushes bias positive."""
+    from dataworks_spark.llm.classify import train_classifier
+
+    df = spark.createDataFrame(
+        [(1, None, 1), (2, "", 1), (3, None, 1)], "doc_id long, text string, label int"
+    )
+    w, b = train_classifier(df, "label", rounds=3, lr=1.0)
+    assert b > 0.5  # three rounds of err≈0.5 on every doc
+    assert all(x == 0.0 for x in w)  # no tokens → no feature gradients
