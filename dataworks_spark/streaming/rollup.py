@@ -35,6 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: aggregate -> (partial expression builder, merge expression builder)
+#: approx_distinct stores a DataSketches HLL sketch (binary) — the
+#: mergeable form of COUNT DISTINCT (exact distinct is NOT mergeable
+#: without keeping the value sets; the sketch is the scale trade) —
+#: estimated at read time by :meth:`ContinuousRollup.read`.
 _MERGEABLE = {
     "count": (
         lambda c: F.count(F.lit(1)),
@@ -43,6 +47,10 @@ _MERGEABLE = {
     "sum": (lambda c: F.sum(c), lambda col: F.sum(col)),
     "min": (lambda c: F.min(c), lambda col: F.min(col)),
     "max": (lambda c: F.max(c), lambda col: F.max(col)),
+    "approx_distinct": (
+        lambda c: F.hll_sketch_agg(c),
+        lambda col: F.hll_union_agg(col),
+    ),
 }
 
 
@@ -107,8 +115,19 @@ class ContinuousRollup:
             not n.startswith((".", "_")) for n in os.listdir(self.path)
         )
 
-    def read(self) -> DataFrame | None:
-        return self.spark.read.parquet(self.path) if self._exists() else None
+    def read(self, estimated: bool = True) -> DataFrame | None:
+        """Current rollup. ``estimated=True`` (default) converts
+        approx_distinct sketch columns to their bigint estimates;
+        ``estimated=False`` returns the raw mergeable sketches (what a
+        further downstream merge would consume)."""
+        if not self._exists():
+            return None
+        df = self.spark.read.parquet(self.path)
+        if estimated:
+            for name, (kind, _c) in self.aggs.items():
+                if kind == "approx_distinct":
+                    df = df.withColumn(name, F.hll_sketch_estimate(F.col(name)))
+        return df
 
     # -- the incremental update ------------------------------------------
     def update(self, batch: DataFrame, epoch_id: int | None = None) -> None:
@@ -119,7 +138,7 @@ class ContinuousRollup:
         overwrite. Mergeability makes the result independent of how
         rows were split across updates."""
         delta = self._partials(batch)
-        stored = self.read()
+        stored = self.read(estimated=False)
         if stored is not None:
             dates = delta.select("bucket_date").dropDuplicates()
             relevant = stored.join(F.broadcast(dates), on="bucket_date", how="left_semi")

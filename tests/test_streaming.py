@@ -594,3 +594,37 @@ def test_continuous_rollup_streaming_and_guards(spark, tmp_path):
     q.awaitTermination(120)
     rows = roll.read().collect()
     assert len(rows) == 1 and rows[0].n == 3 and rows[0].sum_v == 9.0
+
+
+def test_continuous_rollup_approx_distinct_merges(spark, tmp_path):
+    """Distinct users per bucket via mergeable HLL sketches: batched
+    updates estimate the same as one full build, and at these
+    cardinalities the estimate is exact."""
+    import datetime as dt
+
+    from dataworks_spark.streaming.rollup import ContinuousRollup
+
+    t0 = dt.datetime(2024, 4, 1, 9, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+    b1 = spark.createDataFrame(
+        [(1, t0, 1), (2, t0, 2), (3, t0, 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(4, t0, 2), (5, t0, 3), (6, t0 + dt.timedelta(hours=1), 9)], schema
+    )
+
+    def mk(p):
+        return ContinuousRollup(
+            spark, str(tmp_path / p), ts_col="ts", bucket="1 hour",
+            aggs={"n": ("count", None), "u": ("approx_distinct", "user_id")},
+        )
+
+    inc = mk("inc"); inc.update(b1); inc.update(b2)
+    full = mk("full"); full.update(b1.unionByName(b2))
+    got = {r.bucket_start: (r.n, r.u) for r in inc.read().collect()}
+    want = {r.bucket_start: (r.n, r.u) for r in full.read().collect()}
+    assert got == want
+    assert got[t0.replace(minute=0)] == (5, 3)  # users {1,2,3} across batches
+    # raw sketches stay mergeable for downstream consumers
+    raw = inc.read(estimated=False).collect()[0]
+    assert isinstance(raw.u, (bytes, bytearray))
