@@ -34,3 +34,20 @@ def norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def unit_vector(a: Column) -> Column:
+    """L2-normalized copy of ``a`` with the norm evaluated ONCE.
+
+    Higher-order lambda bodies get no common-subexpression elimination,
+    so the naive ``transform(a, x -> x / norm(a))`` re-runs the O(dim)
+    norm aggregate once PER ELEMENT — O(dim²) interpreted work per row.
+    The single-element outer transform is the repo's let-binding idiom
+    (see llm/dedup.shingle_hashes): it binds the norm scalar once and
+    the inner transform divides by the bound variable."""
+    return F.flatten(
+        F.transform(
+            F.array(norm(a)),
+            lambda nv: F.transform(a, lambda x: x.cast("double") / nv),
+        )
+    )

@@ -504,12 +504,18 @@ def near_dup_clusters(
     with cluster = MIN doc id in the component — the deterministic
     canonical representative a dedup pipeline keeps.
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round takes the min over neighbors' labels. Rounds =
-    O(component diameter) — near-dup components are shallow (a dup of a
-    dup of X is still textually near X), so a handful of rounds
-    converges even at corpus scale; each round is ONE Spark job (the
-    non-eager localCheckpoint is materialized by the convergence probe).
+    LOG-ROUNDS fixpoint: each round is min-label propagation over the
+    edges (label ← min over neighbors' labels) followed by POINTER
+    JUMPING (label ← label-of-label) — the standard path-halving
+    connected-components plan. Propagation alone needs O(diameter)
+    rounds; with the jump, the hop distance a node's label has
+    traveled roughly doubles per round, so a 64-node chain converges
+    in ~6 rounds instead of 63 (tested). Labels are monotone
+    non-increasing per node (label(x) ≤ x always, so label-of-label
+    never increases), which makes the jump safe to apply every round.
+    Each probe batch is ONE Spark job (non-eager localCheckpoints
+    materialized by the convergence probe).
+
     Convergence is a TYPE-AGNOSTIC signature: bit_xor of xxhash64(label)
     — ids here are routinely strings ('user/<name>'), for which a plain
     sum(label) silently nulls out (Spark casts string→double) and would
@@ -518,12 +524,11 @@ def near_dup_clusters(
     changed labeling cannot xor-compensate back to the same signature
     except through a 2⁻⁶⁴-scale hash collision.
 
-    ``rounds_per_probe`` batches that many propagation joins into each
-    materialized job: min-label rounds past convergence are no-ops, so
+    ``rounds_per_probe`` batches that many prop+jump rounds into each
+    materialized job: rounds past convergence are no-ops, so
     overshooting is harmless, and on a barrier scheduler every probe
-    skipped is a driver round-trip saved — near-dup components are
-    diameter-2-ish, where batching halves the job count. Probe-only
-    rounds count toward ``max_iterations`` in propagation units.
+    skipped is a driver round-trip saved. Probe-only rounds count
+    toward ``max_iterations`` in round units.
 
     The loop runs on the shared ISOLATED fixpoint session
     (`ops/recursive._fixpoint_session`): its byte-based AQE coalescing
@@ -533,18 +538,23 @@ def near_dup_clusters(
     corpus-scale graph still fans out by bytes. Loop rounds never
     expand their input (min-label is row-preserving), which is exactly
     the precondition the fixpoint session's conf is tuned for; the
-    caller's session confs are never touched."""
+    caller's session confs are never touched, and the RESULT is lifted
+    back onto the caller's session so downstream actions plan under
+    the caller's confs, mirroring ops/recursive._doubling's exit."""
     from dataworks_spark.ops.recursive import _fixpoint_session, _lift
 
-    fs = _fixpoint_session(pairs.sparkSession)
+    caller = pairs.sparkSession
+    fs = _fixpoint_session(caller)
     pairs = _lift(pairs, fs)
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # non-eager: the first probe materializes edges + round 1 in ONE
+    # job instead of paying a separate checkpoint action
     sym = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sig = F.bit_xor(F.xxhash64(F.col("label").cast("string")))
     labels = (
@@ -578,6 +588,24 @@ def near_dup_clusters(
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
             )
+            # pointer jump (path halving): label ← label-of-label. The
+            # left join misses only when a node's label is already a
+            # component root that the label relation maps to itself —
+            # coalesce keeps it. One extra |V|-row equi-join per round
+            # buys log-diameter total rounds.
+            hop = labels.select(
+                F.col("src").alias("__ln"), F.col("label").alias("__lp")
+            )
+            labels = (
+                labels.join(hop, labels["label"] == hop["__ln"], "left")
+                .select(
+                    "src",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__lp"), F.col("label")),
+                    ).alias("label"),
+                )
+            )
         labels = labels.localCheckpoint(eager=False)
         cur = labels.agg(sig).first()[0]
         if cur == prev:
@@ -588,7 +616,10 @@ def near_dup_clusters(
             f"near_dup_clusters did not converge in {max_iterations} rounds "
             "(component diameter exceeds the cap); raise max_iterations"
         )
-    return labels.select(F.col("src").alias("id"), F.col("label").alias("cluster"))
+    return _lift(
+        labels.select(F.col("src").alias("id"), F.col("label").alias("cluster")),
+        caller,
+    )
 
 
 def dedup_keep_canonical(

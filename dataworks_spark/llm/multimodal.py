@@ -317,9 +317,17 @@ def decode_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
                 a = _np.repeat(a, 3, axis=2)
             means = a.reshape(-1, 3).mean(axis=0)
             gray = a.mean(axis=2)
-            # 8×8 block-mean downsample (pad-free: trim to multiples)
-            by, bx = max(ih // 8, 1), max(iw // 8, 1)
-            g = gray[: by * 8, : bx * 8].reshape(8, by, 8, bx).mean(axis=(1, 3))
+            if ih >= 8 and iw >= 8:
+                # 8×8 block-mean downsample (pad-free: trim to multiples)
+                by, bx = ih // 8, iw // 8
+                g = gray[: by * 8, : bx * 8].reshape(8, by, 8, bx).mean(axis=(1, 3))
+            else:
+                # degenerate dimensions (<8 px): nearest-index resample to
+                # the 8×8 grid — the block-mean reshape would raise on a
+                # clamped slice and fail the whole task instead of the row
+                yi = (_np.arange(8) * ih) // 8
+                xi = (_np.arange(8) * iw) // 8
+                g = gray[yi][:, xi]
             bits = (g > g.mean()).flatten()
             ah = 0
             for i, bit in enumerate(bits):

@@ -15,7 +15,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataworks_spark.functions.arrays import cosine_similarity, dot, norm
+from dataworks_spark.functions.arrays import cosine_similarity, dot, unit_vector
 
 
 def brute_force_cosine_topk(
@@ -141,20 +141,17 @@ def ivf_build_centroids_distributed(
     so the result is deterministic under any partitioning: every input
     to every round is a partitioning-invariant aggregate of the full
     table."""
-    from dataworks_spark.functions.arrays import norm as _norm
+    from dataworks_spark.functions.arrays import unit_vector
 
     cents = ivf_build_centroids(
         df, vec_col, n_centroids=n_centroids, sample=sample, seed=seed
     )
     dim = cents.shape[1]
-    # unit vectors computed ONCE per row (one interpreted norm each);
-    # cosine assignment is scale-invariant, so assigning on units is
+    # unit vectors computed ONCE per row — unit_vector let-binds the
+    # norm so it is one O(dim) aggregate, not one per element; cosine
+    # assignment is scale-invariant, so assigning on units is
     # identical to assigning on the raw vectors
-    vecs = df.select(
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
-        ).alias("__v")
-    )
+    vecs = df.select(unit_vector(F.col(vec_col)).alias("__v"))
     for _ in range(max(iterations, 0)):
         rows = (
             vecs.withColumn("__c", ivf_assign(F.col("__v"), cents))
@@ -600,9 +597,7 @@ def semantic_dedup_pairs(
     cents = ivf_build_centroids(
         df, vec_col, n_centroids=n_clusters, sample=sample, seed=seed
     )
-    unit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
-    )
+    unit = unit_vector(F.col(vec_col))
     assigned = df.select(
         F.col(id_col),
         unit.alias("__nv"),

@@ -117,24 +117,24 @@ def unigram_lm_scores(
     candidates.
 
     Scale shape: ONE expensive lineage — per-(doc, token) tf (a shuffle
-    whose rows are DISTINCT doc-term pairs, not token occurrences),
-    then corpus counts as a window sum partitioned by term over that
-    same relation (no counts join, no second derivation of tf — a
-    tf ⋈ counts formulation plans the explode+aggregate once per
-    branch, tripling the heavy scan). A stop-token's window partition
-    is |docs containing it| rows — bounded by doc count, and at ingest
-    scale the vocabulary head would be precomputed corpus metadata like
-    the BM25 stats. The one-row (N, V) totals are re-aggregates of the
-    SAME tf relation (N = Σtf, V = distinct terms), so Catalyst's
-    ReuseExchange serves both the stats branch and the window from one
-    physical tf shuffle — the corpus is scanned and exploded exactly
-    once — and the row broadcasts in as a crossJoin like the BM25
-    stats row. The mean is ROUNDed to 6 decimals —
-    partial-agg float order is engine-specific; everything upstream of
-    the mean is exact integer arithmetic, so the score is
+    whose rows are DISTINCT doc-term pairs, not token occurrences).
+    Corpus term counts are a GROUPED AGGREGATE rejoined onto tf, not a
+    window sum partitioned by term: a window partition for a stop word
+    is |docs containing it| rows — at corpus scale that IS the corpus,
+    and a skewed window partition cannot be split. A skewed JOIN key
+    can (AQE skew-join splits the hot partition and replicates the
+    matching counts row), and the counts aggregate itself is map-side
+    combined, so no single task scales with corpus size. The
+    shuffle_hash hint skips the two sort passes a sort-merge join would
+    pay. tf appears in three branches (join left, counts, the one-row
+    (N, V) totals) but its (doc, tok) aggregate exchange is IDENTICAL
+    in each, so Catalyst's ReuseExchange serves all three from one
+    physical shuffle — the corpus is scanned and exploded exactly once
+    (plan-asserted in tests/test_plans.py). The stats row broadcasts in
+    as a crossJoin like the BM25 stats row. The mean is ROUNDed to 6
+    decimals — partial-agg float order is engine-specific; everything
+    upstream of the mean is exact integer arithmetic, so the score is
     oracle-checkable."""
-    from pyspark.sql import Window
-
     tf = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -143,9 +143,8 @@ def unigram_lm_scores(
         .groupBy("__id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    with_cnt = tf.withColumn(
-        "cnt", F.sum("tf").over(Window.partitionBy("tok"))
-    )
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    with_cnt = tf.join(counts.hint("shuffle_hash"), on="tok")
     stats = tf.agg(
         F.sum("tf").alias("n_total"), F.count_distinct("tok").alias("v")
     )

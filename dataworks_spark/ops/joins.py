@@ -152,9 +152,12 @@ def bucketized_interval_join(
         "__b", F.explode(seq)
     )
     on = [p["__b"] == iv["__b"]] + [p[k] == iv[k] for k in extra_keys]
+    # point side qualified explicitly: an unqualified F.col(point_ts) is
+    # ambiguous when the intervals frame carries a same-named column
+    # (common when both sides derive from one events table)
     cond = (
-        (F.col(point_ts) >= iv[start_col])
-        & (F.col(point_ts) < iv[end_col])
+        (p[point_ts] >= iv[start_col])
+        & (p[point_ts] < iv[end_col])
     )
     joined = p.join(iv, on=[*on, cond], how="inner")
     return joined.drop(p["__b"]).drop(iv["__b"]).drop(

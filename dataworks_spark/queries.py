@@ -144,15 +144,8 @@ def q_scan_filter_topk(spark, sf_dir):
 
 
 # B3 — implicit nil-drop (reference composes (filter some?), stream.clj:47)
-
-def q_nil_drop(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("prev_value", F.lag("value").over(w))
-        .transform(lambda df: ops.nil_drop(df, ["prev_value"]))
-        .select("event_id", "user_id", "value", "prev_value")
-    )
+# — exercised inside q_window_functions (the lag column's leading nulls
+# are dropped through ops.nil_drop), per the §7.3 consolidation.
 
 
 # B7/B8 — predicate filter + entity point lookup in one scan
@@ -199,6 +192,11 @@ def q_join_star(spark, sf_dir):
 # C6 — semi/anti join (collector.clj:69-82 existence; auth.clj:90-100 uniqueness)
 
 def q_join_semi_anti(spark, sf_dir):
+    """Semi + anti existence joins (C6) plus the left-OUTER enrichment
+    branch (Datalog option → outer) folded into one tagged relation —
+    the §7.3 consolidation of the former q_join_outer: the outer branch
+    left-joins per-customer order counts (zero included via coalesce)
+    and aggregates them per segment."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     on = F.col("c_custkey") == F.col("o_custkey")
@@ -214,7 +212,21 @@ def q_join_semi_anti(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("tag", F.lit("no_orders"))
     )
-    return with_orders.unionByName(without).select("tag", "c_mktsegment", "n")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    outer = (
+        c.join(counts, c.c_custkey == counts.o_custkey, "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.sum("n_orders").alias("n"))
+        .withColumn("tag", F.lit("outer_orders"))
+    )
+    return (
+        with_orders.unionByName(without).unionByName(outer)
+        .select("tag", "c_mktsegment", "n")
+    )
 
 
 # C8 — as-of (temporal point) join (db/app_db.clj:37-43 bitemporal arity)
@@ -278,22 +290,6 @@ def q_join_enrich(spark, sf_dir):
     )
 
 
-def q_join_outer(spark, sf_dir):
-    """Left-outer enrichment (SURVEY §2 C-notes: Datalog option →
-    outer): all customers with their order count, zero included."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    return (
-        c.join(counts, c.c_custkey == counts.o_custkey, "left")
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
-        )
-    )
-
-
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape (local supplier volume): 6-way join where the
     customer and supplier must sit in the same nation."""
@@ -319,61 +315,6 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
-def q_tpch_q3(spark, sf_dir):
-    """TPC-H Q3 shape (shipping priority): segment-filtered 3-way join,
-    revenue per order, top-10 via TakeOrderedAndProject — the canonical
-    filter→join→agg→top-k pipeline. Ordering is made total (revenue
-    DESC, orderdate, orderkey) so the k-boundary is engine-independent;
-    revenue is the decimal-exact money sum (order-independent across
-    any partitioning). The fixture has no o_shippriority column, so
-    o_orderpriority stands in."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(_money(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
-
-
-def q_tpch_q18(spark, sf_dir):
-    """TPC-H Q18 shape (large-volume customers): the per-order quantity
-    rollup is the one big shuffle; its hash partitioning on l_orderkey
-    already satisfies the orders join requirement, so the filtered agg
-    output joins without a second exchange of itself; customer
-    broadcasts. Quantity sums go through the decimal cast — l_quantity
-    is DOUBLE in the fixture and a float sum would be partial-order
-    dependent."""
-    li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("__sq"))
-        .filter(F.col("__sq") > 150)
-    )
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-            F.col("__sq").cast("double").alias("sum_qty"),
-        )
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -418,13 +359,20 @@ def q_agg_grouped(spark, sf_dir):
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+            # exact interpolated quantiles (the D7 sketches' exact twin,
+            # folded in from the former q_agg_median per §7.3)
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
         )
     )
 
 
 def q_agg_distinct(spark, sf_dir):
-    """Distinct-set folds (D2): counted AND surfaced as an ordered
-    value — the reference's `(into #{} …)` rendered deterministically."""
+    """Distinct-set folds (D2) + per-group existence/universal folds
+    (D1/D3: reference not-empty / every?) in one grouped pass — the
+    §7.3 consolidation of the former q_agg_exists. The distinct set is
+    counted AND surfaced as an ordered value — the reference's
+    `(into #{} …)` rendered deterministically."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
@@ -432,33 +380,33 @@ def q_agg_distinct(spark, sf_dir):
         F.concat_ws(
             ",", F.array_sort(F.collect_set("c_nationkey")).cast("array<string>")
         ).alias("nations"),
-    )
-
-
-def q_agg_exists(spark, sf_dir):
-    """Per-group existence/universal folds (D1/D3: reference not-empty /
-    every?)."""
-    c = _t(spark, sf_dir, "customer")
-    return c.groupBy("c_nationkey").agg(
         F.bool_or(F.col("c_acctbal") < 0).alias("has_negative"),
         F.bool_and(F.col("c_acctbal") < 9900).alias("all_below_9900"),
     )
 
 
-def q_agg_rollup(spark, sf_dir):
+def q_agg_rollup_cube(spark, sf_dir):
+    """ROLLUP and CUBE multi-level aggregates (D6) as one tagged
+    relation — both grouping-set operators exercised in a single entry
+    (§7.3 consolidation), same measures in each branch."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    measures = [
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-def q_agg_cube(spark, sf_dir):
-    """CUBE multi-level aggregate (D6 twin of rollup)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum(_money(F.col("l_extendedprice"))), 2).cast("double").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
+    ]
+    r = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(*measures)
+        .withColumn("tag", F.lit("rollup"))
+    )
+    c = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(*measures)
+        .withColumn("tag", F.lit("cube"))
+    )
+    return r.unionByName(c).select(
+        "tag", "l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n"
     )
 
 
@@ -474,15 +422,6 @@ def q_pivot(spark, sf_dir):
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
     )
     return wide.unpivot("l_returnflag", ["qty_open", "qty_filled"], "measure", "qty")
-
-
-def q_agg_median(spark, sf_dir):
-    """Exact interpolated quantiles (the D7 sketches' exact twin)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
-    )
 
 
 def q_agg_approx(spark, sf_dir):
@@ -524,75 +463,62 @@ def q_correlated_subquery(spark, sf_dir):
 # E — windows
 # ---------------------------------------------------------------------------
 
-def q_window_rank(spark, sf_dir):
-    """Ranking analytics in one window pass (E1: row_number + ntile +
-    dense_rank). Unique ordering (price, orderkey, linenumber) for the
-    row-splitting functions; value-only ordering for dense_rank, which
-    is deterministic under ties by construction."""
-    li = _t(spark, sf_dir, "lineitem")
-    order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
-    wu = Window.partitionBy("l_suppkey").orderBy(*order)
-    wv = Window.partitionBy("l_suppkey").orderBy(F.col("l_extendedprice").desc())
-    ranked = ops.rank_in_group(li, partition_by=["l_suppkey"], order_by=order, name="rn")
-    return ranked.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-        "rn",
-        F.ntile(4).over(wu).alias("price_quartile"),
-        F.dense_rank().over(wv).alias("price_dense_rank"),
-    ).filter(F.col("rn") <= 3)
+def q_window_functions(spark, sf_dir):
+    """The full window-function family in ONE pass over events (§7.3
+    consolidation of q_window_rank / q_window_lag / q_window_running +
+    the nil-drop demo): E1 ranking (row_number via ops.rank_in_group,
+    ntile, dense_rank), E2 offsets and frame edges (lag/lead via
+    ops.lag_lead, first/last), E3 frame-spec aggregates (ROWS running
+    sum via ops.running_agg + RANGE trailing-hour sum), then B3
+    implicit nil-drop on the lag column (each partition's first row has
+    no predecessor — the reference's `(filter some?)` composition).
 
-
-def q_window_lag(spark, sf_dir):
-    """Offset + frame-edge window functions (E2: lag/lead/first/last)."""
+    All the (user_id)-partitioned specs share ONE window exchange+sort;
+    only the RANGE frame (millis ordering) and dense_rank (value
+    ordering) re-sort within the same partitioning — no second
+    shuffle."""
     ev = _t(spark, sf_dir, "events")
-    lagged = ops.lag_lead(
-        ev,
-        col="value",
-        partition_by=["user_id"],
-        order_by=["ts", "event_id"],
-        lag_name="prev_value",
-        lead_name="next_value",
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return lagged.select(
-        "event_id",
-        "user_id",
-        "value",
-        "prev_value",
-        "next_value",
-        F.first("value").over(w).alias("first_value"),
-        F.last("value").over(w).alias("last_value"),
-    )
-
-
-def q_window_running(spark, sf_dir):
-    """Frame-spec aggregates (E3): ROWS running sum + RANGE trailing-
-    hour sum by event time — both frame families in one query."""
-    ev = _t(spark, sf_dir, "events")
-    run = ops.running_agg(
-        ev,
-        agg_col=F.sum("value"),
-        partition_by=["user_id"],
-        order_by=["ts", "event_id"],
-        name="running_value",
-    )
+    order = ["ts", "event_id"]
+    wu = Window.partitionBy("user_id").orderBy(*order)
+    wf = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc())
     wr = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_millis(F.col("ts")))
         .rangeBetween(-3600_000, 0)
     )
-    return run.select(
-        "event_id",
-        "user_id",
-        F.round(F.col("running_value"), 4).alias("running_value"),
-        F.round(F.sum("value").over(wr), 4).alias("trailing_hour_value"),
+    ranked = ops.rank_in_group(ev, partition_by=["user_id"], order_by=order, name="rn")
+    lagged = ops.lag_lead(
+        ranked,
+        col="value",
+        partition_by=["user_id"],
+        order_by=order,
+        lag_name="prev_value",
+        lead_name="next_value",
+    )
+    run = ops.running_agg(
+        lagged,
+        agg_col=F.sum("value"),
+        partition_by=["user_id"],
+        order_by=order,
+        name="running_value",
+    )
+    return (
+        run.select(
+            "event_id",
+            "user_id",
+            "value",
+            "rn",
+            F.ntile(4).over(wu).alias("time_quartile"),
+            F.dense_rank().over(wv).alias("value_dense_rank"),
+            "prev_value",
+            "next_value",
+            F.first("value").over(wf).alias("first_value"),
+            F.last("value").over(wf).alias("last_value"),
+            F.round(F.col("running_value"), 4).alias("running_value"),
+            F.round(F.sum("value").over(wr), 4).alias("trailing_hour_value"),
+        )
+        .transform(lambda df: ops.nil_drop(df, ["prev_value"]))
     )
 
 
@@ -613,69 +539,55 @@ def q_set_union_intersect_except(spark, sf_dir):
 # H — scalar function library
 # ---------------------------------------------------------------------------
 
-def q_scalar_strings(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("name_upper"),
-        F.lower("c_mktsegment").alias("seg_lower"),
-        F.length("c_name").alias("name_len"),
-        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
-        F.col("c_name").contains("99").alias("has_99"),
-        F.col("c_name").startswith("Customer#0000000").alias("low_key"),
-        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
-        F.substring("c_name", 10, 5).alias("key_digits"),
-        F.split("c_name", "#").getItem(1).alias("key_part"),
-    )
-
-
-def q_scalar_time(spark, sf_dir):
-    """consume-time surface (H3; utils/time.clj:11-94)."""
-    o = _t(spark, sf_dir, "orders")
-    ts = F.col("o_orderdate").cast("timestamp")  # parquet ms → NTZ; unix_millis wants LTZ
-    return o.select(
-        "o_orderkey",
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        (ts + F.expr("INTERVAL 3 DAYS")).alias("plus_3d"),
-        F.unix_millis(ts).alias("epoch_ms"),
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
-            "days_to_y2k"
-        ),
-        # next-day-of-week promotion (reference consume-time DayOfWeek
-        # case, utils/time.clj:70-73)
-        F.next_day(F.col("o_orderdate").cast("date"), "Mon").alias("next_monday"),
-    )
-
-
-def q_scalar_json(spark, sf_dir):
-    """JSON decode (H4; reference cheshire JSON wire format,
-    utils/kafka.clj:121-128) + map construction/extraction (H9 map
-    side: the reference's assoc/get over document maps,
-    utils/common.clj:505-533)."""
+def q_scalar_functions(spark, sf_dir):
+    """The whole scalar-function library (H1 strings, H3 consume-time,
+    H4 JSON, H9 map/array higher-order ops) in ONE projection over one
+    events scan — the §7.3 consolidation of q_scalar_strings /
+    q_scalar_time / q_scalar_json / q_scalar_array. Every expression is
+    a JVM builtin; the plan is a single scan + project, predicates and
+    column pruning reach the source. Reference surfaces:
+    utils/time.clj:11-94 (consume-time incl. the DayOfWeek promotion),
+    utils/kafka.clj:121-128 (JSON wire), utils/common.clj:505-533
+    (map assoc/get)."""
     ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
     m = F.map_from_arrays(F.array("event_type"), F.array("value"))
+    arr = F.array(
+        F.col("value"), F.col("value") * 2, F.col("value") + F.lit(1.0)
+    )
     return ev.select(
         "event_id",
+        # H1 strings
+        F.upper("event_type").alias("type_upper"),
+        F.length("event_type").alias("type_len"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "type_key"
+        ),
+        F.col("event_type").contains("ck").alias("has_ck"),
+        F.col("event_type").startswith("cl").alias("is_cl"),
+        F.replace(F.col("event_type"), F.lit("e"), F.lit("E")).alias("type_repl"),
+        F.substring("event_type", 1, 3).alias("type_pre"),
+        F.split("event_type", "r").getItem(0).alias("type_split"),
+        # H3 consume-time
+        F.date_trunc("hour", ts).alias("hour_start"),
+        (ts + F.expr("INTERVAL 3 DAYS")).alias("plus_3d"),
+        F.unix_millis(ts).alias("epoch_ms"),
+        F.year(ts).alias("y"),
+        F.month(ts).alias("m"),
+        F.datediff(F.lit("2024-06-01").cast("date"), ts.cast("date")).alias("days_to_mid"),
+        F.next_day(ts.cast("date"), "Mon").alias("next_monday"),
+        # H4 JSON
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        # H9 maps
         F.element_at(m, F.col("event_type")).alias("mapped_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
-    )
-
-
-def q_scalar_array(spark, sf_dir):
-    """Array/higher-order ops (H9) on the embedding column — JVM-side
-    zip_with/aggregate, no Python boundary."""
-    e = _t(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    return e.select(
-        "vec_id",
-        F.size(emb).alias("dim"),
-        F.element_at(emb, 1).alias("first_val"),
-        F.round(dot(emb, emb), 6).alias("norm_sq"),
-        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        # H9 arrays / higher-order (per-row double arithmetic is
+        # bit-identical across engines — left raw)
+        F.size(arr).alias("arr_dim"),
+        F.element_at(arr, 2).alias("arr_second"),
+        F.round(dot(arr, arr), 6).alias("arr_norm_sq"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("arr_n_pos"),
     )
 
 
@@ -722,59 +634,45 @@ def _docs_from_events(spark, sf_dir):
     return docs
 
 
-def q_bitemporal_asof(spark, sf_dir):
-    """As-of read (J7) at 2024-01-15: the version of each doc visible
-    then (db/app_db.clj:33-43)."""
-    docs = _docs_from_events(spark, sf_dir)
-    return as_of_snapshot(docs, "2024-01-15 00:00:00", include_deleted=True).select(
-        "id", "event_type", "value", "valid_from"
-    )
-
-
-def q_doc_delete_view(spark, sf_dir):
-    """Latest view after tombstones (J5): docs whose last version is a
-    delete vanish (utils/alert.clj:30-31 delete semantics)."""
-    docs = _docs_from_events(spark, sf_dir)
-    return latest_snapshot(docs).select("id", "event_type", "value", "valid_from")
-
-
-def q_doc_history(spark, sf_dir):
-    """Entity-history read (Crux entity-history analog): full ordered
-    version trail of one document id.
+def q_doc_store(spark, sf_dir):
+    """The document store's three read surfaces in one tagged relation
+    (§7.3 consolidation of q_bitemporal_asof / q_doc_delete_view /
+    q_doc_history): 'asof' = the J7 as-of read at 2024-01-15
+    (db/app_db.clj:33-43), 'latest' = the tombstone-respecting latest
+    view (J5, utils/alert.clj:30-31 delete semantics), 'history' = one
+    document's full ordered version trail (Crux entity-history analog).
+    All three read the SAME cached version log, so the union is three
+    projections of one materialization.
 
     Open intervals surface as NULL at the output boundary — the NEVER
     sentinel stays internal so collection layers (Arrow/pandas) never
     see a near-range-limit timestamp."""
     docs = _docs_from_events(spark, sf_dir)
-    return (
-        docs.filter(F.col("id") == "app/3")
-        .select(
-            "id",
-            "event_type",
-            "value",
-            "valid_from",
-            F.nullif(F.col("valid_to"), F.lit(NEVER).cast("timestamp")).alias("valid_to"),
-        )
+    null_ts = F.lit(None).cast("timestamp")
+    asof = as_of_snapshot(docs, "2024-01-15 00:00:00", include_deleted=True).select(
+        F.lit("asof").alias("tag"), "id", "event_type", "value", "valid_from",
+        null_ts.alias("valid_to"),
     )
+    latest = latest_snapshot(docs).select(
+        F.lit("latest").alias("tag"), "id", "event_type", "value", "valid_from",
+        null_ts.alias("valid_to"),
+    )
+    history = docs.filter(F.col("id") == "app/3").select(
+        F.lit("history").alias("tag"),
+        "id",
+        "event_type",
+        "value",
+        "valid_from",
+        F.nullif(F.col("valid_to"), F.lit(NEVER).cast("timestamp")).alias("valid_to"),
+    )
+    return asof.unionByName(latest).unionByName(history)
 
 
-# C5 — recursive rule / transitive closure (db/app_db.clj:121-126)
-
-def q_recursive_closure(spark, sf_dir):
-    """Transitive closure via log-depth path doubling (C5). Bounded key
-    range like the other kernel demos — the operator is unbounded; the
-    bound keeps bench measuring fixpoint machinery, not |part|."""
-    p = _t(spark, sf_dir, "part")
-    edges = p.filter((F.col("p_partkey") >= 2) & (F.col("p_partkey") <= 2000)).select(
-        F.col("p_partkey").alias("src"), F.expr("p_partkey DIV 2").alias("dst")
-    )
-    # the k→k/2 forest's longest path is ⌈log₂ 2000⌉ = 11, known from
-    # the edge construction itself — the bound lets doubling skip the
-    # final no-growth probe round
-    closure = ops.transitive_closure(edges, "src", "dst", depth_bound=11)
-    return closure.groupBy("src").agg(
-        F.count(F.lit(1)).alias("n_reachable"), F.min("dst").alias("min_dst")
-    )
+# C5 — recursive rule / transitive closure (db/app_db.clj:121-126):
+# q_datalog_rule exercises the same log-depth doubling fixpoint through
+# the rule engine (ops.transitive_closure keeps its own unit/property
+# suite — tests/test_recursive*.py); the standalone closure demo was
+# retired in the §7.3 consolidation.
 
 
 # ---------------------------------------------------------------------------

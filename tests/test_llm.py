@@ -283,6 +283,22 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     assert kept_ids == all_ids - dropped
 
 
+def test_near_dup_clusters_log_rounds_on_long_chain(spark):
+    """Pointer jumping must make deep components converge in
+    O(log diameter) rounds: a 64-node chain has diameter 63, so plain
+    min-label propagation needs ~63 rounds — the log-rounds plan must
+    land it (and the confirming probe) within a 12-round cap."""
+    from dataworks_spark.llm.dedup import near_dup_clusters
+
+    chain = [(i, i + 1) for i in range(64)]
+    pdf = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {
+        r.id: r.cluster
+        for r in near_dup_clusters(pdf, max_iterations=12).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
+
+
 def test_ivf_partitioned_write_prunes(spark, emb, tmp_path):
     """The IVF 100 TB path EXECUTED: write the table partitioned by the
     coarse-quantizer cell, read back with the probe-list filter, and
