@@ -1606,13 +1606,6 @@ ORACLE_SQL: dict[str, str] = {
           AND l_shipdate <  TIMESTAMP '1996-01-01'
         ORDER BY disc_price DESC, l_orderkey, l_linenumber LIMIT 100
     """,
-    "q_nil_drop": """
-        SELECT event_id, user_id, value, prev_value FROM (
-          SELECT event_id, user_id, value,
-                 lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-          FROM events) t
-        WHERE prev_value IS NOT NULL
-    """,
     "q_lookup_pred": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE c_custkey = 42 OR c_name LIKE 'Customer#000000%'
@@ -1639,6 +1632,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'no_orders' AS tag, c_mktsegment, COUNT(*) AS n
         FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'outer_orders' AS tag, c_mktsegment,
+               CAST(SUM(COALESCE(n.n_orders, 0)) AS BIGINT) AS n
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) n
+        ON c_custkey = n.o_custkey
+        GROUP BY c_mktsegment
     """,
     "q_join_asof": """
         WITH v AS (
@@ -1656,35 +1656,6 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_mktsegment, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment, event_type
-    """,
-    "q_join_outer": """
-        SELECT c_custkey, c_mktsegment, COALESCE(n.n_orders, 0) AS n_orders
-        FROM customer LEFT JOIN (
-          SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) n
-        ON c_custkey = n.o_custkey
-    """,
-    "q_tpch_q3": """
-        SELECT l_orderkey, o_orderdate, o_orderpriority,
-               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                    AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1996-03-15'
-          AND l_shipdate > TIMESTAMP '1996-03-15'
-        GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, o_orderdate, l_orderkey
-        LIMIT 10
-    """,
-    "q_tpch_q18": """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-        HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 150
     """,
     "q_tpch_q5": """
         SELECT n_name,
@@ -1712,7 +1683,9 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(AVG(l_quantity), 6) AS avg_qty,
                ROUND(AVG(l_extendedprice), 6) AS avg_price,
                ROUND(AVG(l_discount), 6) AS avg_disc,
-               COUNT(*) AS count_order
+               COUNT(*) AS count_order,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
@@ -1729,27 +1702,21 @@ ORACLE_SQL: dict[str, str] = {
     "q_agg_distinct": """
         SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
                COUNT(*) AS n_customers,
-               array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
+               array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+               bool_or(c_acctbal < 0) AS has_negative,
+               bool_and(c_acctbal < 9900) AS all_below_9900
         FROM customer GROUP BY c_mktsegment
     """,
-    "q_agg_exists": """
-        SELECT c_nationkey, bool_or(c_acctbal < 0) AS has_negative,
-               bool_and(c_acctbal < 9900) AS all_below_9900
-        FROM customer GROUP BY c_nationkey
-    """,
-    "q_agg_median": """
-        SELECT l_returnflag,
-               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
-               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "q_agg_rollup": """
-        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+    "q_agg_rollup_cube": """
+        SELECT 'rollup' AS tag, l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    "q_agg_cube": """
-        SELECT l_returnflag, l_linestatus,
+        UNION ALL
+        SELECT 'cube' AS tag, l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2)
                     AS DOUBLE) AS sum_price,
                COUNT(*) AS n
@@ -1854,38 +1821,30 @@ ORACLE_SQL: dict[str, str] = {
         FROM c JOIN part p ON p.p_partkey = c.src
         WHERE c.dst = 7
     """,
-    "q_window_rank": """
-        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn,
-               price_quartile, price_dense_rank FROM (
-          SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+    "q_window_functions": """
+        SELECT event_id, user_id, value, rn, time_quartile, value_dense_rank,
+               prev_value, next_value, first_value, last_value,
+               running_value, trailing_hour_value FROM (
+          SELECT event_id, user_id, value,
                  row_number() OVER wu AS rn,
-                 ntile(4) OVER wu AS price_quartile,
-                 dense_rank() OVER (PARTITION BY l_suppkey
-                     ORDER BY l_extendedprice DESC) AS price_dense_rank
-          FROM lineitem
-          WINDOW wu AS (PARTITION BY l_suppkey
-                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)) t
-        WHERE rn <= 3
-    """,
-    "q_window_lag": """
-        SELECT event_id, user_id, value,
-               lag(value)  OVER wo AS prev_value,
-               lead(value) OVER wo AS next_value,
-               first_value(value) OVER wf AS first_value,
-               last_value(value)  OVER wf AS last_value
-        FROM events
-        WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
-               wf AS (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-    "q_window_running": """
-        SELECT event_id, user_id,
-               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
-               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4)
-                 AS trailing_hour_value
-        FROM events
+                 ntile(4) OVER wu AS time_quartile,
+                 dense_rank() OVER (PARTITION BY user_id
+                     ORDER BY value DESC) AS value_dense_rank,
+                 lag(value)  OVER wu AS prev_value,
+                 lead(value) OVER wu AS next_value,
+                 first_value(value) OVER wf AS first_value,
+                 last_value(value)  OVER wf AS last_value,
+                 ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value,
+                 ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 4)
+                   AS trailing_hour_value
+          FROM events
+          WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+        WHERE prev_value IS NOT NULL
     """,
     "q_set_union_intersect_except": """
         SELECT 'union' AS tag, nk FROM (
@@ -1897,89 +1856,61 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'except' AS tag, nk FROM (
           SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier) e
     """,
-    "q_scalar_strings": """
-        SELECT c_custkey,
-               UPPER(c_name) AS name_upper,
-               LOWER(c_mktsegment) AS seg_lower,
-               CAST(LENGTH(c_name) AS INTEGER) AS name_len,
-               c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key,
-               contains(c_name, '99') AS has_99,
-               c_name LIKE 'Customer#0000000%' AS low_key,
-               REPLACE(c_name, 'Customer', 'C') AS short_name,
-               SUBSTRING(c_name, 10, 5) AS key_digits,
-               string_split(c_name, '#')[2] AS key_part
-        FROM customer
-    """,
-    "q_scalar_time": """
-        SELECT o_orderkey,
-               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-               o_orderdate + INTERVAL 3 DAY AS plus_3d,
-               epoch_ms(o_orderdate) AS epoch_ms,
-               CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               CAST(month(o_orderdate) AS INTEGER) AS o_month,
-               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER)
-                 AS days_to_y2k,
-               CAST(o_orderdate AS DATE)
-                 + CAST(((1 - isodow(o_orderdate) + 6) % 7) + 1 AS INTEGER) AS next_monday
-        FROM orders
-    """,
-    "q_scalar_json": """
+    "q_scalar_functions": """
         SELECT event_id,
+               UPPER(event_type) AS type_upper,
+               CAST(LENGTH(event_type) AS INTEGER) AS type_len,
+               event_type || '-' || CAST(user_id AS VARCHAR) AS type_key,
+               contains(event_type, 'ck') AS has_ck,
+               starts_with(event_type, 'cl') AS is_cl,
+               REPLACE(event_type, 'e', 'E') AS type_repl,
+               SUBSTRING(event_type, 1, 3) AS type_pre,
+               string_split(event_type, 'r')[1] AS type_split,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               ts + INTERVAL 3 DAY AS plus_3d,
+               epoch_ms(ts) AS epoch_ms,
+               CAST(year(ts) AS INTEGER) AS y,
+               CAST(month(ts) AS INTEGER) AS m,
+               CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS INTEGER)
+                 AS days_to_mid,
+               CAST(ts AS DATE)
+                 + CAST(((1 - isodow(ts) + 6) % 7) + 1 AS INTEGER) AS next_monday,
                json_extract_string(props, '$.k') AS k_str,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
                map([event_type], [value])[event_type][1] AS mapped_value,
-               CAST(cardinality(map([event_type], [value])) AS INTEGER) AS n_keys
+               CAST(cardinality(map([event_type], [value])) AS INTEGER) AS n_keys,
+               CAST(len([value, value * 2, value + 1.0]) AS INTEGER) AS arr_dim,
+               [value, value * 2, value + 1.0][2] AS arr_second,
+               ROUND(list_aggregate(list_transform([value, value * 2, value + 1.0],
+                     x -> x * x), 'sum'), 6) AS arr_norm_sq,
+               CAST(len(list_filter([value, value * 2, value + 1.0],
+                     x -> x > 0)) AS INTEGER) AS arr_n_pos
         FROM events
-    """,
-    "q_scalar_array": """
-        SELECT vec_id,
-               CAST(len(embedding) AS INTEGER) AS dim,
-               embedding[1] AS first_val,
-               ROUND(list_aggregate(list_transform(embedding,
-                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS norm_sq,
-               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
-        FROM embeddings
     """,
     "q_explode_flatmap": """
         SELECT lang, token, COUNT(*) AS n FROM (
           SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) t
         GROUP BY lang, token
     """,
-    "q_bitemporal_asof": """
-        SELECT id, event_type, value, valid_from FROM (
+    "q_doc_store": """
+        WITH log AS (
           SELECT 'app/' || CAST(user_id AS VARCHAR) AS id, event_type, value,
                  ts AS valid_from,
-                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
-          FROM events) t
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+          FROM events)
+        SELECT 'asof' AS tag, id, event_type, value, valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM log
         WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
           AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
-    """,
-    "q_doc_delete_view": """
-        SELECT id, event_type, value, valid_from FROM (
-          SELECT 'app/' || CAST(user_id AS VARCHAR) AS id, event_type, value,
-                 ts AS valid_from,
-                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
-          FROM events) t
-        WHERE rn = 1 AND event_type <> 'error'
-    """,
-    "q_doc_history": """
-        SELECT id, event_type, value, valid_from, valid_to FROM (
-          SELECT 'app/' || CAST(user_id AS VARCHAR) AS id, event_type, value,
-                 ts AS valid_from,
-                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
-          FROM events) t
-        WHERE id = 'app/3'
-    """,
-    "q_recursive_closure": """
-        WITH RECURSIVE e AS (
-          SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part
-          WHERE p_partkey >= 2 AND p_partkey <= 2000
-        ), c(src, dst) AS (
-          SELECT src, dst FROM e
-          UNION
-          SELECT c.src, e.dst FROM c JOIN e ON c.dst = e.src
-        )
-        SELECT src, COUNT(*) AS n_reachable, MIN(dst) AS min_dst FROM c GROUP BY src
+        UNION ALL
+        SELECT 'latest' AS tag, id, event_type, value, valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM log WHERE rn = 1 AND event_type <> 'error'
+        UNION ALL
+        SELECT 'history' AS tag, id, event_type, value, valid_from, valid_to
+        FROM log WHERE id = 'app/3'
     """,
     "q_dedup_exact": """
         SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
