@@ -28,10 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: re-counting the same returned frame would skip that work, i.e.
 #: measure cached results instead of a prepared plan.
 _REBUILD_EACH_PASS = {
-    "q_recursive_closure",
     "q_datalog_rule",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
+    "q_dedup_sketch",
     "q_dedup_clusters",  # localCheckpoint-holding fixpoint loop
     "q_quality_buckets",  # percentile-boundary job runs at plan build
 }

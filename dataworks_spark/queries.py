@@ -292,7 +292,12 @@ def q_join_enrich(spark, sf_dir):
 
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape (local supplier volume): 6-way join where the
-    customer and supplier must sit in the same nation."""
+    customer and supplier must sit in the same nation. Broadcast hints
+    only on the two FIXED-cardinality dims (nation=25, region=5);
+    customer and supplier GROW with scale — at 100 TB a forced
+    broadcast of either OOMs every executor, so their join strategy is
+    left to AQE (which still broadcasts them at small SF, and switches
+    to shuffle joins past the threshold)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -303,8 +308,8 @@ def q_tpch_q5(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -410,10 +415,14 @@ def q_agg_rollup_cube(spark, sf_dir):
     )
 
 
-def q_pivot(spark, sf_dir):
-    """Pivot then unpivot (D6 wide↔long round-trip): groupBy
-    returnflag, one column per linestatus, then melted back to
-    (measure, qty) rows — both directions in one plan."""
+def q_pivot_unpivot(spark, sf_dir):
+    """Both directions of D6's wide↔long reshaping in one tagged
+    relation (§8 consolidation of q_pivot + q_unpivot): the 'pivot'
+    branch is a pivot→unpivot ROUND-TRIP over lineitem (groupBy
+    returnflag, one column per linestatus, melted back), the 'unpivot'
+    branch is the built-in ``unpivot`` over customer measures —
+    wide→long is a projection-time explode, no shuffle in either
+    branch beyond the pivot's aggregation."""
     li = _t(spark, sf_dir, "lineitem")
     wide = (
         li.groupBy("l_returnflag")
@@ -421,7 +430,29 @@ def q_pivot(spark, sf_dir):
         .agg(F.round(F.sum("l_quantity"), 2))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
     )
-    return wide.unpivot("l_returnflag", ["qty_open", "qty_filled"], "measure", "qty")
+    piv = wide.unpivot(
+        "l_returnflag", ["qty_open", "qty_filled"], "measure", "value"
+    ).select(
+        F.lit("pivot").alias("tag"),
+        F.col("l_returnflag").alias("key"),
+        "measure",
+        "value",
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    cwide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    unp = cwide.unpivot(
+        "c_custkey", ["acctbal", "nationkey"], "measure", "value"
+    ).select(
+        F.lit("unpivot").alias("tag"),
+        F.col("c_custkey").cast("string").alias("key"),
+        "measure",
+        "value",
+    )
+    return piv.unionByName(unp)
 
 
 def q_agg_approx(spark, sf_dir):
@@ -722,31 +753,72 @@ def q_semantic_dedup(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-def q_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k (L3 baseline): query = vec_id 0.
-    Ordering is on the ROUNDED score + vec_id so both engines pick an
-    identical, deterministic top set."""
+def q_cosine_knn(spark, sf_dir):
+    """Exact embedding similarity (L3 brute-force baseline + L9 batch
+    kNN join) as one tagged relation — the §8 consolidation of
+    q_cosine_topk + q_knn_join. 'topk' = brute-force cosine top-10 for
+    query vec_id 0; 'knn' = 5 query vectors × top-3 corpus neighbors
+    through the two-window skew-free kernel (per-scan-partition top-k,
+    then a metadata-scale global rank). Ordering is on the ROUNDED
+    score + vec_id so both engines pick an identical, deterministic
+    top set; these are the hash-matched exact twins of q_embed_ann's
+    rows-only ANN paths."""
+    from dataworks_spark.llm.similarity import knn_join
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
         "vec_id",
-        "label",
         F.round(cosine_similarity(F.col("embedding"), F.col("qvec")), 6).alias("cos_sim"),
     )
-    return ops.top_k(scored, order_by=[F.col("cos_sim").desc(), F.col("vec_id")], k=10)
+    topk = ops.top_k(
+        scored, order_by=[F.col("cos_sim").desc(), F.col("vec_id")], k=10
+    ).select(
+        F.lit("topk").alias("tag"),
+        F.lit(0).cast("bigint").alias("q_id"),
+        "vec_id",
+        "cos_sim",
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    knn = knn_join(corpus, queries, corpus_id="vec_id", vec_col="embedding", k=3).select(
+        F.lit("knn").alias("tag"), "q_id", "vec_id", "cos_sim"
+    )
+    return topk.unionByName(knn)
 
 
 def q_text_stats(spark, sf_dir):
     """Text-analysis profile per language (L4): corpus stats + mean
     quality-scoring features (length/punct/stopword ratios, BPE-ish
-    token counts) — every feature expression folded into a single
-    aggregation pass, all JVM-side builtins."""
-    from dataworks_spark.llm.text import bpe_ish_tokens, quality_features, repetition_features
+    token counts) + the language-ID confusion counts (§8 consolidation
+    of q_lang_id: the per-language stopword-score argmax guess, pivoted
+    to one column per guessed language) — every feature expression
+    folded into a single aggregation pass, all JVM-side builtins."""
+    from dataworks_spark.llm.text import (
+        bpe_ish_tokens,
+        quality_features,
+        repetition_features,
+        stopword_ratio_tokens,
+        tokens,
+    )
 
     d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    s_en, s_de, s_es = (stopword_ratio_tokens(toks, lang) for lang in ("en", "de", "es"))
+    guess = (
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+    )
+    d = d.withColumn("guess", guess)
     feats = quality_features(F.col("text"))
     rep = repetition_features(F.col("text"), ngram_n=3)
     return d.groupBy("lang").agg(
+        F.sum((F.col("guess") == "en").cast("bigint")).alias("n_guess_en"),
+        F.sum((F.col("guess") == "de").cast("bigint")).alias("n_guess_de"),
+        F.sum((F.col("guess") == "es").cast("bigint")).alias("n_guess_es"),
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
@@ -763,7 +835,10 @@ def q_text_stats(spark, sf_dir):
 def q_token_join(spark, sf_dir):
     """Similarity/text join (L6): token-overlap + Jaccard between
     low-id document pairs via the shared co-occurrence pair kernel
-    (grouped array combinatorics — no token self-join)."""
+    (grouped array combinatorics — no token self-join). ``max_df=50``
+    drops hub tokens (a token shared by k docs emits k²/2 pairs — the
+    quadratic term at 100 TB); the oracle applies the same df cap, so
+    the capped intersection counts stay hash-checked."""
     from dataworks_spark.llm.dedup import cooccurrence_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -773,7 +848,7 @@ def q_token_join(spark, sf_dir):
     tokens = d.select(F.col("doc_id").alias("doc"), toks.alias("tk")).select(
         "doc", F.size("tk").alias("n_tokens"), F.explode("tk").alias("token")
     )
-    pairs = cooccurrence_pairs(tokens, "doc", "token", size_col="n_tokens")
+    pairs = cooccurrence_pairs(tokens, "doc", "token", size_col="n_tokens", max_df=50)
     return (
         pairs.withColumnRenamed("inter", "overlap")
         .filter(F.col("overlap") >= 5)
@@ -788,43 +863,29 @@ def q_token_join(spark, sf_dir):
     )
 
 
-def q_bm25_search(spark, sf_dir):
-    """BM25 keyword retrieval (llm/retrieval.py): top-10 documents for
-    a 3-term query. Stats pass (N, Σdl, per-term df) is one map-side-
+def q_text_retrieval(spark, sf_dir):
+    """Both sparse-retrieval surfaces (L8) as one tagged relation — the
+    §8 consolidation of q_bm25_search + q_tfidf_vectors. 'bm25' =
+    top-10 documents for a 3-term query (stats pass is one map-side-
     combined aggregation broadcast into the scoring scan; top-k is
-    TakeOrderedAndProject. Deterministic (exact integer counts, rounded
-    scores) → hash-checked against the same closed form in SQL."""
-    from dataworks_spark.llm.retrieval import bm25_topk
+    TakeOrderedAndProject); 'tfidf' = fixed-vocabulary per-doc vectors
+    (one let-binding projection per doc, broadcast df stats).
+    Deterministic (exact integer counts, rounded scores) →
+    hash-checked against the same closed forms in SQL; scores travel in
+    a vals array so both shapes share one schema."""
+    from dataworks_spark.llm.retrieval import bm25_topk, tfidf_vectors
 
     d = _t(spark, sf_dir, "documents")
-    return bm25_topk(d, ["vector", "stream", "merge"], k=10)
-
-
-def q_tfidf_vectors(spark, sf_dir):
-    """Fixed-vocabulary TF-IDF vectors (llm/retrieval.py): one
-    let-binding projection per doc, broadcast df stats, array output —
-    every component hash-checked against the closed form in SQL."""
-    from dataworks_spark.llm.retrieval import tfidf_vectors
-
-    d = _t(spark, sf_dir, "documents")
-    vecs = tfidf_vectors(d, ["table", "spark", "vector"])
-    return vecs.select(
-        "doc_id", F.transform("tfidf", lambda x: F.round(x, 6)).alias("tfidf")
+    bm = bm25_topk(d, ["vector", "stream", "merge"], k=10).select(
+        F.lit("bm25").alias("tag"), "doc_id", F.array("bm25").alias("vals")
     )
-
-
-def q_knn_join(spark, sf_dir):
-    """Batch kNN join (L3): 5 query vectors × top-3 corpus neighbors in
-    one pass — the two-window skew-free formulation (per-scan-partition
-    top-k, then a metadata-scale global rank)."""
-    from dataworks_spark.llm.similarity import knn_join
-
-    e = _t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    tf = tfidf_vectors(d, ["table", "spark", "vector"]).select(
+        F.lit("tfidf").alias("tag"),
+        "doc_id",
+        F.transform("tfidf", lambda x: F.round(x, 6)).alias("vals"),
     )
-    corpus = e.filter(F.col("vec_id") >= 5)
-    return knn_join(corpus, queries, corpus_id="vec_id", vec_col="embedding", k=3)
+    return bm.unionByName(tf)
+
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -854,11 +915,27 @@ def q_pack_sequences(spark, sf_dir):
 def q_corpus_stats(spark, sf_dir):
     """One-row corpus summary (llm/text.py corpus_stats): counts,
     vocabulary, type-token ratio, exact interpolated p50/p90 doc
-    lengths. Everything upstream of the three rounded ratios is exact
-    integer arithmetic."""
-    from dataworks_spark.llm.text import corpus_stats
+    lengths — plus the document-fingerprint rollup (§8 consolidation of
+    q_fingerprint: md5 over the sorted distinct token set, catching
+    token-shuffled near-copies, aggregated to distinct-fingerprint /
+    duplicated-doc / largest-class counts). Everything upstream of the
+    three rounded ratios is exact integer arithmetic; the fingerprint
+    branch is one hash-groupBy (|docs| shuffle rows of (fp, count),
+    never text)."""
+    from dataworks_spark.llm.text import corpus_stats, document_fingerprint
 
-    return corpus_stats(_t(spark, sf_dir, "documents")).select(
+    d = _t(spark, sf_dir, "documents")
+    fp_classes = (
+        d.select(document_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_fp"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_dup_docs"),
+            F.max("n").alias("max_fp_docs"),
+        )
+    )
+    return corpus_stats(d).select(
         "n_docs",
         "n_tokens",
         "vocab_size",
@@ -866,7 +943,7 @@ def q_corpus_stats(spark, sf_dir):
         "p50_doc_tokens",
         "p90_doc_tokens",
         "type_token_ratio",
-    )
+    ).crossJoin(F.broadcast(fp_classes))
 
 
 def q_lm_quality(spark, sf_dir):
@@ -898,13 +975,20 @@ def q_chunk_documents(spark, sf_dir):
 
 
 def q_mix_corpus(spark, sf_dir):
-    """Domain mixing (llm/pipeline.py): 0.5/0.3/0.2 token-share targets
-    over three sources, largest no-upsample mix, in the
-    oracle-reproducible ``sample_mode="id"``. The oracle SQL recomputes
-    the whole construction — per-stratum token totals, the binding
-    ``min(actual/w)`` scale, keep fractions, the modular-bucket filter
-    — so the driver hash-checks the selection logic end-to-end, not
-    just the row shape."""
+    """Domain mixing, both budget modes, as one tagged relation (§8
+    consolidation of q_mix_corpus + q_mix_corpus_exact): 0.5/0.3/0.2
+    token-share targets over three sources, largest no-upsample mix, in
+    the oracle-reproducible ``sample_mode="id"``. 'expected' hits the
+    targets in expectation via the modular-bucket filter; 'exact'
+    contributes each stratum's maximal greedy-prefix token mass ≤ its
+    target (the Spark side resolves the prefix through the
+    histogram+boundary-window two-phase; the oracle runs the DEFINING
+    one-window form, so the hash match proves the scale-safe
+    decomposition equals the semantics it claims). The oracle SQL
+    recomputes the whole construction — per-stratum token totals, the
+    binding ``min(actual/w)`` scale, keep fractions, bucket filter and
+    prefix cumsum — so the driver hash-checks the selection logic
+    end-to-end, not just the row shape."""
     from dataworks_spark.llm.pipeline import mix_corpus
 
     d = _t(spark, sf_dir, "documents").select(
@@ -915,33 +999,19 @@ def q_mix_corpus(spark, sf_dir):
     mixed = mix_corpus(
         d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, sample_mode="id"
     )
-    return mixed.select("doc_id", "source", "n_tokens", "epoch")
-
-
-def q_mix_corpus_exact(spark, sf_dir):
-    """Hard-budget domain mixing (llm/pipeline.py exact_tokens): same
-    0.5/0.3/0.2 recipe as q_mix_corpus, but each stratum contributes
-    the maximal greedy-prefix token mass ≤ its target instead of the
-    target in expectation. The Spark side resolves the prefix through
-    the histogram+boundary-window two-phase; the oracle runs the
-    DEFINING one-window form (global per-stratum cumsum ≤ w·scale), so
-    the hash match proves the scale-safe decomposition equals the
-    semantics it claims."""
-    from dataworks_spark.llm.pipeline import mix_corpus
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-    )
-    mixed = mix_corpus(
+    exact = mix_corpus(
         d,
         "source",
         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
         sample_mode="id",
         exact_tokens=True,
     )
-    return mixed.select("doc_id", "source", "n_tokens", "epoch")
+    return (
+        mixed.select(F.lit("expected").alias("tag"), "doc_id", "source", "n_tokens", "epoch")
+        .unionByName(
+            exact.select(F.lit("exact").alias("tag"), "doc_id", "source", "n_tokens", "epoch")
+        )
+    )
 
 
 def q_redact_pii(spark, sf_dir):
@@ -1161,24 +1231,31 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (L2 scale path) — xxhash64-based,
-    engine-specific hashes → rows-only check; the exact-Jaccard twin
-    q_dedup_ngram is the hash-matched oracle."""
-    from dataworks_spark.llm.dedup import minhash_near_dup_pairs
+def q_dedup_sketch(spark, sf_dir):
+    """Sketch-based near-dup candidate generation (L2 scale paths) as
+    one tagged relation — the §8 consolidation of q_dedup_minhash /
+    q_dedup_simhash. Both are xxhash64-based, engine-specific → rows
+    -only; the exact-Jaccard twin q_dedup_ngram is the hash-matched
+    oracle. 'minhash' score = estimated Jaccard; 'simhash' score =
+    Hamming distance."""
+    from dataworks_spark.llm.dedup import minhash_near_dup_pairs, simhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(
+    mh = minhash_near_dup_pairs(
         d, "doc_id", "text", n_hashes=64, bands=16, threshold=0.3
+    ).select(
+        F.lit("minhash").alias("tag"), "doc_a", "doc_b",
+        F.col("est_jaccard").alias("score"),
     )
-
-
-def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (L2) — rows-only (xxhash64-based)."""
-    from dataworks_spark.llm.dedup import simhash_near_dup_pairs
-
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash_near_dup_pairs(d, "doc_id", "text").filter(F.col("hamming") <= 16)
+    sh = (
+        simhash_near_dup_pairs(d.filter(F.col("doc_id") < 500), "doc_id", "text")
+        .filter(F.col("hamming") <= 16)
+        .select(
+            F.lit("simhash").alias("tag"), "doc_a", "doc_b",
+            F.col("hamming").cast("double").alias("score"),
+        )
+    )
+    return mh.unionByName(sh)
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -1195,96 +1272,59 @@ def q_embed_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-def q_embed_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (L3 scale path) — hyperplane buckets are
-    implementation-defined → rows-only; the exact twin q_cosine_topk is
-    the hash-matched oracle."""
-    from dataworks_spark.llm.similarity import LshIndex
-
-    qvec = _query_vec(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, "lsh")
-    idx = _ANN_INDEX_CACHE.get(key)
-    if idx is None:
-        e = _t(spark, sf_dir, "embeddings")
-        idx = LshIndex(e.filter(F.col("vec_id") != 0), "embedding", len(qvec), n_planes=4)
-        _ANN_INDEX_CACHE[key] = idx
-    return idx.topk(qvec, k=10, id_cols=["vec_id", "label"])
-
-
-def q_embed_knn_lsh(spark, sf_dir):
-    """ANN-composed batch kNN (L9 scale path): 5 query vectors, each
-    scanning only its 2 most-promising LSH buckets, exact re-rank
-    through the shared two-window kernel. Buckets are
-    implementation-defined → rows-only; the exact twin q_knn_join is
-    the hash-matched oracle, and probing all 2^planes buckets equals
-    it verbatim (tested)."""
-    from dataworks_spark.llm.similarity import LshIndex, knn_join_lsh
+def q_embed_ann(spark, sf_dir):
+    """The three ANN scale paths (L3 LSH top-k, L3 IVF top-k, L9
+    LSH-probed batch kNN) as one tagged relation — the §8 consolidation
+    of q_embed_lsh_topk / q_embed_ivf_topk / q_embed_knn_lsh. Buckets
+    and centroids are implementation-defined → rows-only; the exact
+    twins (q_cosine_knn's branches) are the hash-matched oracles, and
+    probing all 2^planes buckets equals the exact kNN verbatim
+    (tested in test_llm)."""
+    from dataworks_spark.llm.similarity import IvfIndex, LshIndex, knn_join_lsh
 
     e = _t(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir, "knn_lsh")
-    idx = _ANN_INDEX_CACHE.get(key)
-    if idx is None:
-        dim = len(_query_vec(spark, sf_dir))
-        idx = LshIndex(e.filter(F.col("vec_id") >= 5), "embedding", dim, n_planes=4)
-        _ANN_INDEX_CACHE[key] = idx
+    qvec = _query_vec(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+
+    def _idx(kind, build):
+        key = (app, sf_dir, kind)
+        idx = _ANN_INDEX_CACHE.get(key)
+        if idx is None:
+            idx = build()
+            _ANN_INDEX_CACHE[key] = idx
+        return idx
+
+    lsh = _idx(
+        "lsh",
+        lambda: LshIndex(e.filter(F.col("vec_id") != 0), "embedding", len(qvec), n_planes=4),
+    )
+    ivf = _idx(
+        "ivf",
+        lambda: IvfIndex(e.filter(F.col("vec_id") != 0), "embedding", n_centroids=8),
+    )
+    knn_idx = _idx(
+        "knn_lsh",
+        lambda: LshIndex(e.filter(F.col("vec_id") >= 5), "embedding", len(qvec), n_planes=4),
+    )
+    q0 = F.lit(0).cast("bigint").alias("q_id")
+    lsh_top = lsh.topk(qvec, k=10, id_cols=["vec_id"]).select(
+        F.lit("lsh").alias("tag"), q0, "vec_id", "cos_sim"
+    )
+    ivf_top = ivf.topk(qvec, k=10, n_probe=2, id_cols=["vec_id"]).select(
+        F.lit("ivf").alias("tag"), q0, "vec_id", "cos_sim"
+    )
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
     )
-    return knn_join_lsh(idx, queries, "vec_id", k=3, n_probe=2)
-
-
-def q_embed_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN top-k (L3 scale path #2) — centroids are
-    implementation-defined → rows-only; q_cosine_topk is the exact
-    hash-matched twin."""
-    from dataworks_spark.llm.similarity import IvfIndex
-
-    qvec = _query_vec(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir, "ivf")
-    idx = _ANN_INDEX_CACHE.get(key)
-    if idx is None:
-        e = _t(spark, sf_dir, "embeddings")
-        idx = IvfIndex(e.filter(F.col("vec_id") != 0), "embedding", n_centroids=8)
-        _ANN_INDEX_CACHE[key] = idx
-    return idx.topk(qvec, k=10, n_probe=2, id_cols=["vec_id", "label"])
-
-
-def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic (L4): per-language stopword scores over a
-    ONE-pass tokenization (tokens projected once, scored three times),
-    argmax guess, counted per true lang label."""
-    from dataworks_spark.llm.text import stopword_ratio_tokens, tokens
-
-    d = _t(spark, sf_dir, "documents").withColumn("__toks", tokens(F.lower(F.col("text"))))
-    s_en, s_de, s_es = (
-        stopword_ratio_tokens(F.col("__toks"), lang) for lang in ("en", "de", "es")
+    knn = knn_join_lsh(knn_idx, queries, "vec_id", k=3, n_probe=2).select(
+        F.lit("knn_lsh").alias("tag"), "q_id", "vec_id", "cos_sim"
     )
-    guess = (
-        F.when((s_en >= s_de) & (s_en >= s_es), "en")
-        .when(s_de >= s_es, "de")
-        .otherwise("es")
-    )
-    return (
-        d.withColumn("guess", guess)
-        .groupBy("lang", "guess")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return lsh_top.unionByName(ivf_top).unionByName(knn)
 
 
-def q_fingerprint(spark, sf_dir):
-    """Document fingerprinting (L4): md5 over the sorted distinct token
-    set — catches token-shuffled near-copies."""
-    from dataworks_spark.llm.text import document_fingerprint
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.withColumn("fp", document_fingerprint(F.col("text")))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
-    )
 
 
-def q_multimodal_features(spark, sf_dir):
+def _multimodal_features_branch(spark, sf_dir):
     """Multimodal plumbing (L5): REAL binary files ingested via
     spark.read.format("binaryFile") → mapInPandas feature extraction
     (deterministic stub kernel; codec libs absent). Rows-only: the
@@ -1327,7 +1367,7 @@ def q_interval_join(spark, sf_dir):
     return out.select("event_id", "window_id")
 
 
-def q_multimodal_decode(spark, sf_dir):
+def _multimodal_decode_branch(spark, sf_dir):
     """REAL multimodal decode (L5 upgrade): binaryFile ingest of the
     generated DECODABLE fixture (netpbm images + WAV audio), actual
     pixel/sample math in Arrow mapInPandas — channel means, perceptual
@@ -1370,63 +1410,78 @@ def q_multimodal_decode(spark, sf_dir):
     return im.unionByName(au)
 
 
-def q_events_sessionize(spark, sf_dir):
-    """Sessionization (I10 session-window batch twin): a >30 min gap
-    starts a new session — lag + running count of session starts, the
-    batch expression of F.session_window."""
+def q_multimodal(spark, sf_dir):
+    """The multimodal surface (L5) as one tagged relation — the §8
+    consolidation of q_multimodal_decode (real netpbm/WAV decode via
+    Arrow mapInPandas) and q_multimodal_features (binaryFile ingest +
+    deterministic feature-stub kernel). Rows-only by nature (binary
+    parsing has no SQL oracle); unit tests anchor known pixel/sine
+    values. Each branch keeps its own columns; the other branch's
+    columns read NULL — the same widen-union convention as the doc
+    store."""
+    dec = _multimodal_decode_branch(spark, sf_dir).select(
+        F.lit("decode").alias("tag"), "*"
+    )
+    feats = _multimodal_features_branch(spark, sf_dir).select(
+        F.lit("features").alias("tag"), "*"
+    )
+    return dec.unionByName(feats, allowMissingColumns=True)
+
+
+def q_events_windows(spark, sf_dir):
+    """The three event-time window shapes (I10 batch twins) as one
+    tagged relation — the §8 consolidation of q_events_tumbling /
+    q_events_sliding / q_events_sessionize. 'tumbling' = 1-hour
+    windows; 'sliding' = 1-hour windows every 30 minutes (each event in
+    exactly two; the oracle reproduces Spark's epoch-aligned starts via
+    time_bucket + its 30-minute predecessor — DuckDB's 2000-01-01
+    bucket origin is 30-minute-aligned with the epoch, so the grids
+    coincide); 'session' = >30 min gap starts a new session (lag +
+    running count of session starts, the batch expression of
+    F.session_window), keyed as user_id/session_id."""
     ev = _t(spark, sf_dir, "events")
+
+    def windowed(win, tag):
+        return (
+            ev.groupBy(win.alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.lit(tag).alias("tag"),
+                F.col("event_type").alias("grp"),
+                F.col("win.start").alias("win_start"),
+                "n",
+                "sum_value",
+            )
+        )
+
+    tumbling = windowed(F.window("ts", "1 hour"), "tumbling")
+    sliding = windowed(F.window("ts", "1 hour", "30 minutes"), "sliding")
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
     is_new = F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), 1).otherwise(0)
-    sessions = ev.withColumn("session_id", F.sum(is_new).over(w))
-    return sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+    sessions = (
+        ev.withColumn("session_id", F.sum(is_new).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("win_start"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("session").alias("tag"),
+            F.concat_ws(
+                "/", F.col("user_id").cast("string"), F.col("session_id").cast("string")
+            ).alias("grp"),
+            "win_start",
+            "n",
+            "sum_value",
+        )
     )
-
-
-# I10 batch twin — tumbling event-time window
-
-def q_events_tumbling(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    win = F.window("ts", "1 hour")
-    return (
-        ev.groupBy(win.alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
-    )
-
-
-def q_events_sliding(spark, sf_dir):
-    """Sliding event-time windows (I10 — the overlapping-window variant
-    of q_events_tumbling): 1-hour windows every 30 minutes, so each
-    event lands in exactly two. The oracle reproduces Spark's
-    epoch-aligned window starts via time_bucket + its 30-minute
-    predecessor (DuckDB's 2000-01-01 bucket origin is 30-minute-aligned
-    with the epoch, so the grids coincide)."""
-    ev = _t(spark, sf_dir, "events")
-    win = F.window("ts", "1 hour", "30 minutes")
-    return (
-        ev.groupBy(win.alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
-    )
-
-
-def q_unpivot(spark, sf_dir):
-    """Unpivot/melt (the inverse of D6's pivot): customer balance and
-    order-count measures as (key, measure, value) rows via the built-in
-    ``unpivot`` — wide→long is a projection-time explode, no shuffle."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
-    wide = c.select(
-        "c_custkey",
-        F.col("c_acctbal").cast("double").alias("acctbal"),
-        F.col("c_nationkey").cast("double").alias("nationkey"),
-    )
-    return wide.unpivot(
-        "c_custkey", ["acctbal", "nationkey"], "measure", "value"
-    )
+    return tumbling.unionByName(sliding).unionByName(sessions)
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -1787,15 +1842,25 @@ ORACLE_SQL: dict[str, str] = {
         WHERE n_tokens >= 5 AND punct_ratio <= 0.5
           AND quality_score >= 0.3 AND dup_ngram_ratio <= 0.5
     """,
-    "q_pivot": """
+    "q_pivot_unpivot": """
         WITH wide AS (
           SELECT l_returnflag,
                  ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
                  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
           FROM lineitem GROUP BY l_returnflag)
-        SELECT l_returnflag, 'qty_open' AS measure, qty_open AS qty FROM wide
+        SELECT 'pivot' AS tag, l_returnflag AS key, 'qty_open' AS measure,
+               qty_open AS value FROM wide
         UNION ALL
-        SELECT l_returnflag, 'qty_filled' AS measure, qty_filled AS qty FROM wide
+        SELECT 'pivot' AS tag, l_returnflag AS key, 'qty_filled' AS measure,
+               qty_filled AS value FROM wide
+        UNION ALL
+        SELECT 'unpivot' AS tag, CAST(c_custkey AS VARCHAR) AS key, measure, value
+        FROM (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey
+          FROM customer WHERE c_custkey <= 100
+        )
+        UNPIVOT (value FOR measure IN (acctbal, nationkey))
     """,
     "q_datalog_join": """
         SELECT DISTINCT c_custkey AS custkey, c_name AS cust_name, n_name AS nation_name
@@ -1916,18 +1981,45 @@ ORACLE_SQL: dict[str, str] = {
         SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
     """,
-    "q_cosine_topk": """
-        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, label,
-               ROUND(
-                 list_aggregate(list_transform(list_zip(embedding, qvec),
-                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-                 / (SQRT(list_aggregate(list_transform(embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-                  * SQRT(list_aggregate(list_transform(qvec,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6) AS cos_sim
-        FROM embeddings, q WHERE vec_id <> 0
-        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    "q_cosine_knn": """
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 ROUND(
+                   list_aggregate(list_transform(list_zip(embedding, qvec),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (SQRT(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * SQRT(list_aggregate(list_transform(qvec,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)
+                   AS cos_sim
+          FROM embeddings, q WHERE vec_id <> 0
+        ),
+        kq AS (
+          SELECT vec_id AS q_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+        ), kc AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+        ), kscored AS (
+          SELECT q_id, kc.vec_id,
+                 ROUND(
+                   list_aggregate(list_transform(list_zip(embedding, qvec),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (SQRT(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    * SQRT(list_aggregate(list_transform(qvec,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)
+                   AS cos_sim
+          FROM kc, kq
+        )
+        SELECT 'topk' AS tag, CAST(0 AS BIGINT) AS q_id, vec_id, cos_sim
+        FROM (SELECT vec_id, cos_sim FROM scored
+              ORDER BY cos_sim DESC, vec_id LIMIT 10)
+        UNION ALL
+        SELECT tag, q_id, vec_id, cos_sim FROM (
+          SELECT 'knn' AS tag, q_id, vec_id, cos_sim,
+                 row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM kscored) WHERE rnk <= 3
     """,
     "q_text_stats": """
         WITH f AS (
@@ -1942,6 +2034,12 @@ ORACLE_SQL: dict[str, str] = {
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(['the','a','of','and','to','in','is'], t)))
                    / greatest(len(string_split(lower(text), ' ')), 1) AS sw_ratio,
+                 len(list_filter(string_split(lower(text), ' '),
+                     t -> list_contains(['der','die','das','und','zu','ist'], t)))
+                   / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
+                 len(list_filter(string_split(lower(text), ' '),
+                     t -> list_contains(['el','la','de','que','y','es'], t)))
+                   / greatest(len(string_split(lower(text), ' ')), 1) AS s_es,
                  len(list_transform(generate_series(1,
                        greatest(len(string_split(text, ' ')) - 2, 0)),
                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
@@ -1951,7 +2049,14 @@ ORACLE_SQL: dict[str, str] = {
                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))))
                    AS n_distinct_grams
           FROM documents)
-        SELECT lang, COUNT(*) AS n_docs,
+        SELECT lang,
+               SUM(CASE WHEN sw_ratio >= s_de AND sw_ratio >= s_es
+                   THEN 1 ELSE 0 END) AS n_guess_en,
+               SUM(CASE WHEN NOT (sw_ratio >= s_de AND sw_ratio >= s_es)
+                        AND s_de >= s_es THEN 1 ELSE 0 END) AS n_guess_de,
+               SUM(CASE WHEN NOT (sw_ratio >= s_de AND sw_ratio >= s_es)
+                        AND NOT (s_de >= s_es) THEN 1 ELSE 0 END) AS n_guess_es,
+               COUNT(*) AS n_docs,
                ROUND(AVG(n_chars), 6) AS avg_chars,
                ROUND(AVG(n_toks), 6) AS avg_tokens,
                COUNT(DISTINCT source) AS n_sources,
@@ -1971,9 +2076,12 @@ ORACLE_SQL: dict[str, str] = {
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
           FROM documents WHERE doc_id < 100),
         sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+        keep AS (
+          SELECT token FROM tok GROUP BY token HAVING COUNT(DISTINCT doc_id) <= 50),
         overlap AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
           FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+          JOIN keep k ON k.token = a.token
           GROUP BY a.doc_id, b.doc_id)
         SELECT doc_a, doc_b, overlap,
                ROUND(overlap / (sa.n_tokens + sb.n_tokens - overlap), 6) AS jaccard
@@ -2012,33 +2120,7 @@ ORACLE_SQL: dict[str, str] = {
           FROM e a JOIN e b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim FROM pr WHERE cs >= 0.35
     """,
-    "q_lang_id": """
-        WITH s AS (
-          SELECT lang,
-            len(list_filter(string_split(lower(text), ' '),
-                t -> list_contains(['the','a','of','and','to','in','is'], t)))
-              / greatest(len(string_split(lower(text), ' ')), 1) AS s_en,
-            len(list_filter(string_split(lower(text), ' '),
-                t -> list_contains(['der','die','das','und','zu','ist'], t)))
-              / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
-            len(list_filter(string_split(lower(text), ' '),
-                t -> list_contains(['el','la','de','que','y','es'], t)))
-              / greatest(len(string_split(lower(text), ' ')), 1) AS s_es
-          FROM documents)
-        SELECT lang,
-               CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
-                    WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS guess,
-               COUNT(*) AS n
-        FROM s GROUP BY 1, 2
-    """,
-    "q_fingerprint": """
-        SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id FROM (
-          SELECT doc_id,
-                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
-          FROM documents) t
-        GROUP BY fp
-    """,
-    "q_events_sessionize": """
+    "q_events_windows": """
         WITH g AS (
           SELECT user_id, event_id, ts, value,
                  epoch_ms(ts) - epoch_ms(lag(ts) OVER
@@ -2049,39 +2131,30 @@ ORACLE_SQL: dict[str, str] = {
                  SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-          FROM g)
-        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-               COUNT(*) AS n_events, MIN(ts) AS session_start,
-               ROUND(SUM(value), 4) AS sum_value
-        FROM s GROUP BY user_id, session_id
-    """,
-    "q_events_tumbling": """
-        SELECT date_trunc('hour', ts) AS win_start, event_type,
-               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-        FROM events GROUP BY 1, 2
-    """,
-    "q_events_sliding": """
-        WITH w AS (
+          FROM g),
+        sl AS (
           SELECT event_type, value,
                  unnest([time_bucket(INTERVAL '30 minutes', ts),
                          time_bucket(INTERVAL '30 minutes', ts)
                            - INTERVAL '30 minutes']) AS win_start
-          FROM events
-        )
-        SELECT win_start, event_type, COUNT(*) AS n,
+          FROM events)
+        SELECT 'tumbling' AS tag, event_type AS grp,
+               date_trunc('hour', ts) AS win_start,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'sliding' AS tag, event_type AS grp, win_start,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM sl GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'session' AS tag,
+               CAST(user_id AS VARCHAR) || '/' || CAST(session_id AS VARCHAR) AS grp,
+               MIN(ts) AS win_start, COUNT(*) AS n,
                ROUND(SUM(value), 4) AS sum_value
-        FROM w GROUP BY 1, 2
+        FROM s GROUP BY user_id, session_id
     """,
-    "q_unpivot": """
-        SELECT c_custkey, measure, value
-        FROM (
-          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
-                 CAST(c_nationkey AS DOUBLE) AS nationkey
-          FROM customer WHERE c_custkey <= 100
-        )
-        UNPIVOT (value FOR measure IN (acctbal, nationkey))
-    """,
-    "q_bm25_search": """
+    "q_text_retrieval": """
+        SELECT 'bm25' AS tag, doc_id, [bm25] AS vals FROM (
         WITH feat AS (
           SELECT doc_id, len(tk) AS dl,
                  len(list_filter(tk, t -> t = 'vector')) AS tf0,
@@ -2106,8 +2179,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM feat CROSS JOIN stats
         WHERE tf0>0 OR tf1>0 OR tf2>0
         ORDER BY bm25 DESC, doc_id LIMIT 10
-    """,
-    "q_tfidf_vectors": """
+    )
+        UNION ALL
+        SELECT 'tfidf' AS tag, doc_id, tfidf AS vals FROM (
         WITH feat AS (
           SELECT doc_id,
                  len(list_filter(tk, t -> t = 'table'))  AS tf0,
@@ -2127,34 +2201,13 @@ ORACLE_SQL: dict[str, str] = {
           ROUND(CASE WHEN tf2>0 THEN (1.0 + ln(CAST(tf2 AS DOUBLE))) * (ln(n_docs/(1.0+df2)) + 1.0) ELSE 0.0 END, 6)
         ] AS tfidf
         FROM feat CROSS JOIN stats
-    """,
-    "q_knn_join": """
-        WITH q AS (
-          SELECT vec_id AS q_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
-        ), c AS (
-          SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
-        ), scored AS (
-          SELECT q_id, c.vec_id,
-                 ROUND(
-                   list_aggregate(list_transform(list_zip(embedding, qvec),
-                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
-                   / (SQRT(list_aggregate(list_transform(embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-                    * SQRT(list_aggregate(list_transform(qvec,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)
-                   AS cos_sim
-          FROM c, q
-        )
-        SELECT q_id, vec_id, cos_sim,
-               CAST(row_number() OVER (
-                 PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
-        FROM scored
-        QUALIFY rank <= 3
+    )
     """,
     "q_mix_corpus": """
         WITH tok AS (
           SELECT doc_id, source,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 ((doc_id % 1000000) * 2654435761) % 1000000 AS bucket
           FROM documents WHERE source IN ('src0', 'src1', 'src2')
         ), tw(source, w) AS (
           VALUES ('src0', CAST(0.5 AS DOUBLE)),
@@ -2167,11 +2220,20 @@ ORACLE_SQL: dict[str, str] = {
         ), frac AS (
           SELECT source, w * t / CAST(actual AS DOUBLE) AS f
           FROM tot JOIN tw USING (source) CROSS JOIN scale
+        ), cum AS (
+          SELECT doc_id, source, n_tokens, w,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY bucket, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM tok JOIN tw USING (source)
         )
-        SELECT doc_id, source, n_tokens, 0 AS epoch
+        SELECT 'expected' AS tag, doc_id, source, n_tokens, 0 AS epoch
         FROM tok JOIN frac USING (source)
-        WHERE ((doc_id % 1000000) * 2654435761) % 1000000 <
-              FLOOR(f) * 1000000 + FLOOR((f - FLOOR(f)) * 1000000)
+        WHERE bucket < FLOOR(f) * 1000000 + FLOOR((f - FLOOR(f)) * 1000000)
+        UNION ALL
+        SELECT 'exact' AS tag, doc_id, source, n_tokens, 0 AS epoch
+        FROM cum CROSS JOIN scale
+        WHERE CAST(c AS DOUBLE) <= w * t
     """,
     "q_dedup_spans": """
         WITH t AS (
@@ -2212,13 +2274,22 @@ ORACLE_SQL: dict[str, str] = {
           SELECT COUNT(DISTINCT tok) AS vocab_size
           FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
                 FROM documents)
+        ), fp AS (
+          SELECT COUNT(*) AS n_distinct_fp,
+                 CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+                 MAX(n) AS max_fp_docs
+          FROM (
+            SELECT md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS f2, COUNT(*) AS n
+            FROM documents GROUP BY 1)
         )
         SELECT n_docs, n_tokens, vocab_size,
                ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens,
                ROUND(p50, 6) AS p50_doc_tokens,
                ROUND(p90, 6) AS p90_doc_tokens,
-               ROUND(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS type_token_ratio
-        FROM doc_stats CROSS JOIN vocab
+               ROUND(CAST(vocab_size AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+               n_distinct_fp, n_dup_docs, max_fp_docs
+        FROM doc_stats CROSS JOIN vocab CROSS JOIN fp
     """,
     "q_lm_quality": """
         WITH tf AS (
@@ -2250,31 +2321,6 @@ ORACLE_SQL: dict[str, str] = {
                  AS chunk_text,
                CAST(LEAST(64, n - s + 1) AS BIGINT) AS chunk_n_tokens
         FROM t, UNNEST(generate_series(1, GREATEST(n - 16, 1), 48)) AS u(s)
-    """,
-    "q_mix_corpus_exact": """
-        WITH tok AS (
-          SELECT doc_id, source,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                 ((doc_id % 1000000) * 2654435761) % 1000000 AS bucket
-          FROM documents WHERE source IN ('src0', 'src1', 'src2')
-        ), tw(source, w) AS (
-          VALUES ('src0', CAST(0.5 AS DOUBLE)),
-                 ('src1', CAST(0.3 AS DOUBLE)),
-                 ('src2', CAST(0.2 AS DOUBLE))
-        ), tot AS (
-          SELECT source, SUM(n_tokens) AS actual FROM tok GROUP BY source
-        ), scale AS (
-          SELECT MIN(CAST(actual AS DOUBLE) / w) AS t FROM tot JOIN tw USING (source)
-        ), cum AS (
-          SELECT doc_id, source, n_tokens, w,
-                 SUM(n_tokens) OVER (
-                   PARTITION BY source ORDER BY bucket, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-          FROM tok JOIN tw USING (source)
-        )
-        SELECT doc_id, source, n_tokens, 0 AS epoch
-        FROM cum CROSS JOIN scale
-        WHERE CAST(c AS DOUBLE) <= w * t
     """,
     "q_edit_distance_join": """
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -24,12 +24,9 @@ from tests.conftest import SF_DIR
 #: into the scoring scan — both are 1/|Q|×n map-side expansions.
 NESTED_LOOP_OK = {
     "q_embed_neardup",
-    "q_cosine_topk",
-    "q_embed_lsh_topk",
-    "q_embed_ivf_topk",
-    "q_knn_join",
-    "q_bm25_search",
-    "q_tfidf_vectors",  # same one-row stats broadcast as bm25
+    "q_cosine_knn",
+    "q_embed_ann",
+    "q_text_retrieval",  # one-row bm25-stats broadcast + tfidf's same shape
     "q_lm_quality",  # one-row (N, V) corpus-total broadcast, same shape
     "q_corpus_stats",  # two one-row aggregates joined, both bounded
 }
