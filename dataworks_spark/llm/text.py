@@ -126,11 +126,14 @@ def unigram_lm_scores(
     matching counts row), and the counts aggregate itself is map-side
     combined, so no single task scales with corpus size. The
     shuffle_hash hint skips the two sort passes a sort-merge join would
-    pay. tf appears in three branches (join left, counts, the one-row
-    (N, V) totals) but its (doc, tok) aggregate exchange is IDENTICAL
-    in each, so Catalyst's ReuseExchange serves all three from one
-    physical shuffle — the corpus is scanned and exploded exactly once
-    (plan-asserted in tests/test_plans.py). The stats row broadcasts in
+    pay. tf has two consumers (join left, counts) and the one-row
+    (N, V) totals fold from counts rather than opening a third tf
+    lineage; the tf (doc, tok) aggregate exchange and the counts (tok)
+    exchange are each canonically IDENTICAL across their consumers, so
+    AQE's stage reuse (ReusedExchange) serves both from one physical
+    shuffle each — the corpus is scanned and exploded exactly once
+    (plan-asserted: test_plans.test_lm_quality_single_tf_lineage). The
+    stats row broadcasts in
     as a crossJoin like the BM25 stats row. The mean is ROUNDed to 6
     decimals — partial-agg float order is engine-specific; everything
     upstream of the mean is exact integer arithmetic, so the score is
@@ -145,8 +148,13 @@ def unigram_lm_scores(
     )
     counts = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     with_cnt = tf.join(counts.hint("shuffle_hash"), on="tok")
-    stats = tf.agg(
-        F.sum("tf").alias("n_total"), F.count_distinct("tok").alias("v")
+    # (N, V) totals fold FROM counts (|vocab| rows), not from a third
+    # tf lineage: Σcnt = Σtf and |counts| = count_distinct(tok), and
+    # deriving them here is what lets AQE's stage reuse serve the tf
+    # exchange once — a direct tf.agg() canonicalizes differently and
+    # re-exploded the corpus (measured; see test_plans).
+    stats = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("v")
     )
     bits = -F.log2(
         (F.col("cnt") + F.lit(k)) / (F.col("n_total") + F.lit(k) * F.col("v"))

@@ -456,12 +456,32 @@ def q_pivot_unpivot(spark, sf_dir):
 
 
 def q_agg_approx(spark, sf_dir):
-    """Approximate aggregates (D7) — HLL++/quantile-sketch values are
-    engine-specific, so this entry is rows-only checked (no oracle)."""
+    """Approximate aggregates (D7) WITH their exact twins and
+    deterministic error-bound checks. Raw HLL++/quantile-sketch values
+    are engine-specific, so the sketches surface as BOOLEANS instead:
+    the sketch runs for real, then is asserted against its exact twin
+    (HLL within 3σ of the default rsd=0.05 → 15 %; approx median
+    between the exact p40 and p60). Spark's sketches are deterministic
+    for a given input set, so the booleans are stable and the whole row
+    — exact counts, exact quantiles, bound checks — hash-matches a
+    DuckDB oracle that computes the exact side and expects TRUE. This
+    upgrades D7 from rows-only to differentially verified without
+    pretending two engines share sketch internals."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_median_price"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            <= F.countDistinct("l_partkey") * 0.15
+        ).alias("hll_within_15pct"),
+        F.expr(
+            "percentile_approx(l_extendedprice, 0.5) "
+            "BETWEEN percentile(l_extendedprice, 0.40) "
+            "AND percentile(l_extendedprice, 0.60)"
+        ).alias("approx_median_within_p40_p60"),
     )
 
 
@@ -1753,6 +1773,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer c
         WHERE c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    "q_agg_approx": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+               TRUE AS hll_within_15pct,
+               TRUE AS approx_median_within_p40_p60
+        FROM lineitem GROUP BY l_returnflag
     """,
     "q_agg_distinct": """
         SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,

@@ -108,6 +108,45 @@ def topic_admin_config(partitions: int = 6, replication: int = 3) -> dict:
     return {"num.partitions": partitions, "replication.factor": replication}
 
 
+def topics_to_create(admin, required: dict) -> dict:
+    """The subset of ``required`` topics absent from the cluster
+    (utils/kafka.clj:31-42 topics-to-create): ``admin`` is any object
+    with ``list_topics() -> iterable[str]`` — the injectable seam that
+    stands in for Kafka's AdminClient (the sandbox has no broker;
+    confluent-kafka's AdminClient satisfies the duck type via a thin
+    adapter)."""
+    existing = set(admin.list_topics())
+    return {t: cfg for t, cfg in required.items() if t not in existing}
+
+
+def create_missing_topics(
+    admin, required, partitions: int = 6, replication: int = 3
+) -> list:
+    """Idempotent topic auto-create (A3, utils/kafka.clj:26-50
+    create-topics): list existing topics once, create only the missing
+    ones via ``admin.create_topics([(name, partitions, replication),
+    …])``. ``required`` is either a list of names (defaults applied —
+    the reference's default-topic-settings 6/3) or a dict
+    ``{name: {"partitions": n, "replication": r}}`` mirroring the
+    reference's per-topic NewTopic settings. Returns the sorted list of
+    names actually created."""
+    if not isinstance(required, dict):
+        required = {t: {} for t in required}
+    todo = topics_to_create(admin, required)
+    if todo:
+        admin.create_topics(
+            [
+                (
+                    t,
+                    (cfg or {}).get("partitions", partitions),
+                    (cfg or {}).get("replication", replication),
+                )
+                for t, cfg in sorted(todo.items())
+            ]
+        )
+    return sorted(todo)
+
+
 def encode_json_value(record: dict) -> str:
     """Driver-side JSON encoder matching the reference's cheshire
     serializer with time encoders (utils/time.clj:8-9)."""

@@ -142,3 +142,19 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     plan = _plan(spark, "q_interval_join")
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_lm_quality_single_tf_lineage(spark):
+    """The unigram-LM score has ONE tf lineage: the (doc, tok) tf
+    exchange feeds both its consumers (counts, join left) through AQE
+    stage reuse, and the (N, V) totals fold from counts — so the final
+    adaptive plan shows ReusedExchange and the corpus is exploded
+    exactly once."""
+    df = Q.QUERIES["q_lm_quality"](spark, SF_DIR)
+    df.collect()  # stage reuse is decided as AQE materializes stages
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final, f"no ReusedExchange in final plan:\n{final}"
+    # exactly one live explode of the corpus: the Generate node appears
+    # once outside ReusedExchange references
+    assert final.count("Generate explode") <= 1, final

@@ -628,3 +628,32 @@ def test_continuous_rollup_approx_distinct_merges(spark, tmp_path):
     # raw sketches stay mergeable for downstream consumers
     raw = inc.read(estimated=False).collect()[0]
     assert isinstance(raw.u, (bytes, bytearray))
+
+
+def test_create_missing_topics_idempotent_seam():
+    """A3 topic auto-create (utils/kafka.clj:26-50): only absent topics
+    are created, per-topic settings override the 6/3 defaults, and a
+    second call with everything present is a no-op."""
+    from dataworks_spark.streaming.kafka import create_missing_topics
+
+    class FakeAdmin:
+        def __init__(self, existing):
+            self.existing = set(existing)
+            self.created = []
+
+        def list_topics(self):
+            return sorted(self.existing)
+
+        def create_topics(self, specs):
+            self.created.extend(specs)
+            self.existing.update(name for name, _, _ in specs)
+
+    admin = FakeAdmin({"present"})
+    made = create_missing_topics(
+        admin, {"present": {}, "a": {}, "b": {"partitions": 2, "replication": 1}}
+    )
+    assert made == ["a", "b"]
+    assert admin.created == [("a", 6, 3), ("b", 2, 1)]
+    # list form + idempotence
+    assert create_missing_topics(admin, ["a", "b", "present"]) == []
+    assert len(admin.created) == 2
