@@ -731,10 +731,17 @@ def q_doc_store(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup (L1): keep lowest doc_id per identical text."""
-    from dataworks_spark.llm.dedup import exact_dedup
-
-    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """Exact dedup (L1): keep lowest doc_id per identical text, keyed
+    by md5(text) so the dedup shuffle carries 32-char digests instead
+    of document bodies — the scale form (llm/dedup.py
+    exact_dedup_keepers' shape) in the one digest both engines
+    reproduce bit-for-bit, so the grouping itself stays hash-checked.
+    ``exact_dedup`` (content-surfacing) and ``exact_dedup_keepers``
+    (xxhash64, 8-byte keys) remain the library variants."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
 
 
 def q_dedup_spans(spark, sf_dir):
@@ -2006,8 +2013,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM log WHERE id = 'app/3'
     """,
     "q_dedup_exact": """
-        SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-        FROM documents GROUP BY text
+        SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
     """,
     "q_cosine_knn": """
         WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
