@@ -106,3 +106,47 @@ class ControlListener:
         while not stop.is_set():
             self.poll()
             time.sleep(interval_s)
+
+
+class KafkaControlBus:
+    """Kafka-backed control bus — the production transport for I7
+    (app_graph.clj:21-51): publish FunctionChanged JSON to the control
+    topic (the reference's ``dataworks.internal.functions``); every
+    reader consumes the topic from an explicit offset with its own
+    fresh group — Kafka's random-UUID-group broadcast trick, which is
+    exactly :class:`FileControlBus.read_from`'s contract.
+
+    Broker clients are INJECTED (the sandbox has no broker; the unit
+    test drives a fake, kafka-python/confluent-kafka satisfy the duck
+    types via thin adapters):
+
+    - ``producer``: ``send(topic, value: bytes) -> int`` returning the
+      record's offset (confluent's delivery callback or kafka-python's
+      ``RecordMetadata.offset`` both surface it), plus ``flush()``.
+    - ``consumer_factory``: ``(topic) -> iterable`` of records with
+      ``.offset``/``.value`` attributes, reading from the beginning —
+      one fresh consumer per read, never a shared group offset, so a
+      read can never steal messages from another driver's listener.
+
+    Interface-compatible with :class:`FileControlBus`, so
+    :class:`ControlListener` works against either transport unchanged.
+    """
+
+    def __init__(self, topic: str, producer, consumer_factory):
+        self.topic = topic
+        self.producer = producer
+        self.consumer_factory = consumer_factory
+
+    def publish(self, msg: FunctionChanged) -> int:
+        offset = self.producer.send(self.topic, msg.to_json().encode("utf-8"))
+        self.producer.flush()
+        return offset if offset is not None else -1
+
+    def read_from(self, offset: int) -> list[FunctionChanged]:
+        out = []
+        for rec in self.consumer_factory(self.topic):
+            if rec.offset < offset:
+                continue
+            d = json.loads(rec.value.decode("utf-8"))
+            out.append(FunctionChanged(d["type"], d["name"], d["spec"], seq=rec.offset))
+        return out

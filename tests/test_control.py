@@ -176,3 +176,52 @@ def test_streaming_ingest_into_doc_store(spark, sf_dir, tmp_path):
     }
     got = {r.id: r.value for r in latest}
     assert got == expect
+
+
+def test_kafka_control_bus_same_contract_as_file_bus():
+    """I7 production transport (app_graph.clj:21-51): the Kafka-backed
+    bus satisfies the same publish/read_from contract through injected
+    duck-typed clients, so ControlListener broadcast + replay semantics
+    hold unchanged over either transport."""
+    from types import SimpleNamespace
+
+    from dataworks_spark.streaming.control import KafkaControlBus
+
+    class FakeBroker:
+        def __init__(self):
+            self.topics = {}
+
+        def send(self, topic, value):
+            log = self.topics.setdefault(topic, [])
+            log.append(SimpleNamespace(offset=len(log), value=value))
+            return len(log) - 1
+
+        def flush(self):
+            pass
+
+        def consume(self, topic):
+            # fresh consumer per call, from the beginning — the
+            # random-UUID-group broadcast read
+            return list(self.topics.get(topic, []))
+
+    broker = FakeBroker()
+    bus = KafkaControlBus("dataworks.internal.functions", broker, broker.consume)
+
+    assert bus.publish(FunctionChanged("transformer", "up", {"fn": "upper"})) == 0
+    assert bus.publish(FunctionChanged("stream", "s1", {"steps": []})) == 1
+
+    # two independent listeners each see the full log (broadcast)
+    seen_a, seen_b = [], []
+    la = ControlListener(bus, {"transformer": seen_a.append, "stream": seen_a.append})
+    lb = ControlListener(bus, {"transformer": seen_b.append})
+    assert la.poll() == 2 and [m.name for m in seen_a] == ["up", "s1"]
+    lb.poll()
+    assert [m.name for m in seen_b] == ["up"]  # unhandled types skipped
+
+    # offset semantics: a restarted listener replays from 0; a live one
+    # only sees the suffix
+    bus.publish(FunctionChanged("transformer", "low", {"fn": "lower"}))
+    assert la.poll() == 1 and seen_a[-1].name == "low"
+    restarted = ControlListener(bus, {"transformer": (lambda m: None)})
+    assert restarted.poll() == 3  # full replay
+    assert bus.read_from(2)[0].seq == 2
