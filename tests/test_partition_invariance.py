@@ -62,8 +62,8 @@ def test_lsh_topk_partition_invariant(spark, sf_dir):
 
 
 def test_knn_join_lsh_partition_invariant(spark, sf_dir):
-    """The ANN-composed batch kNN (rows-only driver entry
-    q_embed_knn_lsh) must be a function of the input SET: same probes,
+    """The ANN-composed batch kNN (the knn_lsh branch of the
+    rows-only driver entry q_embed_ann) must be a function of the input SET: same probes,
     same candidates, same ranks under different corpus layouts."""
     from dataworks_spark.llm.similarity import knn_join_lsh
 
