@@ -313,14 +313,31 @@ def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
 def minhash_from_hashes(hashes: Column, n_hashes: int = 64) -> Column:
     """MinHash signature from a *materialized* shingle-hash column:
     sig[i] = min over shingles of xxhash64(i, h). ``hashes`` must be a
-    plain column reference (not the shingle expression itself) or each
-    of the n_hashes minima re-evaluates the shingle construction —
-    measured 25× slower at sf0.1."""
-    return F.array(
-        *[
-            F.array_min(F.transform(hashes, lambda h, i=i: F.xxhash64(F.lit(i), h)))
-            for i in range(n_hashes)
-        ]
+    plain column reference (not the shingle expression itself) or the
+    per-element hash fan-out re-evaluates the shingle construction —
+    measured 25× slower at sf0.1.
+
+    SHAPE IS LOAD-BEARING (round-8 correctness fix): the obvious form —
+    ``array(*[array_min(transform(hs, λh. xxhash64(i, h))) for i])`` —
+    silently returns the SAME value for every i on Spark 4.1:
+    subexpression elimination collapses sibling
+    ``ArrayMin(ArrayTransform(...))`` trees that differ only in a
+    literal inside the lambda (verified: correct with
+    ``spark.sql.subexpressionElimination.enabled=false``, wrong with
+    the default). That degenerated the signature to 64 copies of one
+    minimum — banding became a single-hash equality join and
+    est_jaccard was always 1. This single-pass form keeps all
+    ``n_hashes`` literals inside ONE expression tree (per-element
+    fan-out to an n_hashes-array, then an elementwise-min fold), which
+    CSE cannot tear apart; it is regression-pinned against
+    independently-computed per-i minima in tests/test_llm.py."""
+    per = F.transform(
+        hashes, lambda h: F.array(*[F.xxhash64(F.lit(i), h) for i in range(n_hashes)])
+    )
+    return F.aggregate(
+        per,
+        F.array_repeat(F.lit(None).cast("long"), n_hashes),
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: F.least(F.coalesce(a, b), b)),
     )
 
 

@@ -2005,3 +2005,78 @@ def test_train_classifier_null_text_contributes_bias(spark):
     w, b = train_classifier(df, "label", rounds=3, lr=1.0)
     assert b > 0.5  # three rounds of err≈0.5 on every doc
     assert all(x == 0.0 for x in w)  # no tokens → no feature gradients
+
+
+def test_minhash_signature_entries_are_independent_minima(spark):
+    """Round-8 regression pin: Spark 4.1's subexpression elimination
+    collapses sibling array_min(transform(...)) trees that differ only
+    in a lambda literal, which silently turned the 64-entry MinHash
+    signature into 64 copies of ONE minimum (banding degenerated to a
+    single-hash equality join). The fixed single-pass fold must equal
+    the independently-shaped explode+groupBy minima for EVERY i, and a
+    multi-shingle doc must not have an all-identical signature."""
+    from dataworks_spark.llm.dedup import minhash_from_hashes
+
+    n = 16
+    df = spark.createDataFrame(
+        [(1, [5, 9, 123456]), (2, [7]), (3, [])],
+        "doc long, hs array<long>",
+    )
+    got = {
+        r["doc"]: r["sig"]
+        for r in df.select("doc", minhash_from_hashes(F.col("hs"), n).alias("sig")).collect()
+    }
+    expected = {
+        r["doc"]: [r[f"m{i}"] for i in range(n)]
+        for r in df.select("doc", F.explode("hs").alias("h"))
+        .groupBy("doc")
+        .agg(*[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(n)])
+        .collect()
+    }
+    for doc, sig in expected.items():
+        assert got[doc] == sig, f"doc {doc}: {got[doc][:3]}... != {sig[:3]}..."
+    assert len(set(got[1])) > 1, "multi-shingle signature must vary across i"
+    assert got[3] == [None] * n  # empty shingle set -> all-null signature
+
+
+def test_simhash_matches_python_reference_bit_for_bit(spark, docs):
+    """Cross-shape pin for the other sketch: the nested HOF vote fold
+    must equal a per-bit Python reference fed the same spark-computed
+    token hashes (guards the same CSE bug class the minhash fix
+    documents)."""
+    from dataworks_spark.llm.dedup import simhash
+
+    sample = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in sample.select("doc_id", simhash(F.col("text")).alias("s")).collect()
+    }
+    rows = sample.select(
+        "doc_id", F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("th")
+    ).collect()
+    for r in rows:
+        votes = [0] * 64
+        for h in r["th"]:
+            h64 = h & 0xFFFFFFFFFFFFFFFF
+            for i in range(64):
+                votes[i] += 1 if (h64 >> i) & 1 else -1
+        fp = sum(1 << i for i in range(64) if votes[i] > 0)
+        if fp >= 2**63:
+            fp -= 2**64
+        assert fp == got[r["doc_id"]], r["doc_id"]
+
+
+def test_lsh_buckets_are_not_collapsed(spark, emb):
+    """The per-plane dot subtrees differ only in literal plane arrays —
+    assert the bucket assignment actually spreads (a CSE collapse would
+    leave every row in bucket 0 or a single sign pattern)."""
+    from dataworks_spark.llm.similarity import _hyperplanes, lsh_bucket
+
+    planes = _hyperplanes(64, 4, 42)
+    hist = (
+        emb.select(lsh_bucket(F.col("embedding"), planes).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert len(hist) >= 8, f"expected ≥8 of 16 buckets populated, got {len(hist)}"
