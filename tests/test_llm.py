@@ -2080,3 +2080,19 @@ def test_lsh_buckets_are_not_collapsed(spark, emb):
         .collect()
     )
     assert len(hist) >= 8, f"expected ≥8 of 16 buckets populated, got {len(hist)}"
+
+
+def test_ivf_assignment_is_not_collapsed(spark, emb):
+    """Same CSE-collapse guard for the IVF coarse quantizer: sibling
+    per-centroid dot subtrees must yield a real argmax spread, not one
+    winning cluster for every row."""
+    from dataworks_spark.llm.similarity import ivf_assign, ivf_build_centroids
+
+    cents = ivf_build_centroids(emb, "embedding", n_centroids=8, sample=512, seed=42)
+    hist = (
+        emb.select(ivf_assign(F.col("embedding"), cents).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    assert len(hist) >= 6, f"expected ≥6 of 8 clusters populated, got {len(hist)}"
