@@ -22,7 +22,7 @@ sys.path.insert(
 DEFAULT_QUERIES = [
     "q_dedup_ngram",
     "q_tpch_q5",
-    "q_recursive_closure",
+    "q_datalog_rule",
     "q_text_stats",
     "q_join_enrich",
     "q_prepare_corpus",
