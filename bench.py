@@ -81,8 +81,9 @@ def run_spark(
     # AQE stays ON even at this sub-second scale: its re-planning costs
     # ~25% on the short scan/agg queries (measured, BASELINE.md §5) but
     # its post-shuffle coalescing is what keeps the iterative fixpoint
-    # queries cheap (q_recursive_closure regresses 2 s → 33 s without
-    # it). One engine config, no per-query special cases.
+    # queries cheap (measured r5 on the since-retired q_recursive_closure:
+    # 2 s → 33 s without it; q_datalog_rule exercises the same doubling
+    # loop today). One engine config, no per-query special cases.
     spark = get_spark("dataworks_spark_bench")
     passes = max(passes, 2)  # steady needs ≥1 post-warm pass
     cold: dict[str, float] = {}

@@ -330,14 +330,21 @@ def minhash_from_hashes(hashes: Column, n_hashes: int = 64) -> Column:
     ``n_hashes`` literals inside ONE expression tree (per-element
     fan-out to an n_hashes-array, then an elementwise-min fold), which
     CSE cannot tear apart; it is regression-pinned against
-    independently-computed per-i minima in tests/test_llm.py."""
-    per = F.transform(
-        hashes, lambda h: F.array(*[F.xxhash64(F.lit(i), h) for i in range(n_hashes)])
-    )
+    independently-computed per-i minima in tests/test_llm.py.
+
+    The per-element ``n_hashes``-array is built INSIDE the fold's merge
+    lambda (simhash's existing shape two functions down), so transient
+    memory is O(n_hashes) per row — a transform-then-fold variant
+    materializes the full |shingles|×n_hashes array-of-arrays first,
+    ~5 MB of ArrayData for a 10 k-shingle document."""
     return F.aggregate(
-        per,
+        hashes,
         F.array_repeat(F.lit(None).cast("long"), n_hashes),
-        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: F.least(F.coalesce(a, b), b)),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(i), h) for i in range(n_hashes)]),
+            lambda a, b: F.least(F.coalesce(a, b), b),
+        ),
     )
 
 

@@ -97,7 +97,15 @@ class ControlListener:
             if handler is not None:
                 handler(m)
                 self.applied.append(m)
-        self.offset += len(msgs)
+        if msgs:
+            # advance past the HIGHEST seq actually seen, not by count:
+            # a log with holes (e.g. a compacted Kafka control topic —
+            # superseded function versions removed) would otherwise
+            # re-deliver its last surviving record on every poll
+            self.offset = max(
+                max((m.seq for m in msgs), default=-1) + 1,
+                self.offset + len(msgs),
+            )
         return len(msgs)
 
     def poll_loop(self, stop: threading.Event, interval_s: float = 0.1) -> None:
@@ -127,6 +135,15 @@ class KafkaControlBus:
       ``.offset``/``.value`` attributes, reading from the beginning —
       one fresh consumer per read, never a shared group offset, so a
       read can never steal messages from another driver's listener.
+
+    CONTRACT: the control topic must be SINGLE-PARTITION (create it
+    with ``create_missing_topics(admin, {topic: {"partitions": 1}})``)
+    — a control log needs a total order for replay to be meaningful,
+    and per-partition Kafka offsets would collide across partitions in
+    ``read_from``'s filter. Offsets may still have HOLES (compaction
+    removing superseded function versions); :class:`ControlListener`
+    tolerates that by advancing past the highest seq it has seen
+    rather than counting messages.
 
     Interface-compatible with :class:`FileControlBus`, so
     :class:`ControlListener` works against either transport unchanged.

@@ -134,16 +134,25 @@ def create_missing_topics(
         required = {t: {} for t in required}
     todo = topics_to_create(admin, required)
     if todo:
-        admin.create_topics(
-            [
-                (
-                    t,
-                    (cfg or {}).get("partitions", partitions),
-                    (cfg or {}).get("replication", replication),
-                )
-                for t, cfg in sorted(todo.items())
-            ]
-        )
+        try:
+            admin.create_topics(
+                [
+                    (
+                        t,
+                        (cfg or {}).get("partitions", partitions),
+                        (cfg or {}).get("replication", replication),
+                    )
+                    for t, cfg in sorted(todo.items())
+                ]
+            )
+        except Exception:
+            # list-then-create races with a concurrently booting driver
+            # (both see the topic missing, one create loses with
+            # TopicExists) — idempotence means the loser verifies the
+            # topics exist NOW and proceeds; anything still missing is
+            # a real failure worth the original error
+            if topics_to_create(admin, {t: required[t] for t in todo}):
+                raise
     return sorted(todo)
 
 

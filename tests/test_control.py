@@ -225,3 +225,25 @@ def test_kafka_control_bus_same_contract_as_file_bus():
     restarted = ControlListener(bus, {"transformer": (lambda m: None)})
     assert restarted.poll() == 3  # full replay
     assert bus.read_from(2)[0].seq == 2
+
+
+def test_listener_tolerates_compacted_offset_holes():
+    """A compacted Kafka control topic has holes (superseded function
+    versions removed). The listener must advance past the highest seq
+    seen — counting messages would re-deliver the last survivor on
+    every poll forever."""
+    from types import SimpleNamespace
+
+    from dataworks_spark.streaming.control import KafkaControlBus
+
+    records = [
+        SimpleNamespace(offset=0, value=FunctionChanged("transformer", "a", {}).to_json().encode()),
+        # offset 1 compacted away
+        SimpleNamespace(offset=2, value=FunctionChanged("transformer", "b", {}).to_json().encode()),
+    ]
+    bus = KafkaControlBus("t", producer=None, consumer_factory=lambda topic: list(records))
+    seen = []
+    lst = ControlListener(bus, {"transformer": seen.append})
+    assert lst.poll() == 2 and [m.name for m in seen] == ["a", "b"]
+    assert lst.poll() == 0  # no re-delivery of the offset-2 record
+    assert [m.name for m in seen] == ["a", "b"]

@@ -657,3 +657,37 @@ def test_create_missing_topics_idempotent_seam():
     # list form + idempotence
     assert create_missing_topics(admin, ["a", "b", "present"]) == []
     assert len(admin.created) == 2
+
+
+def test_create_missing_topics_tolerates_create_race():
+    """Two drivers boot concurrently: both list, both try to create,
+    one loses with TopicExists. Idempotence means the loser verifies
+    the topics exist now and proceeds; a topic STILL missing re-raises
+    the original error."""
+    from dataworks_spark.streaming.kafka import create_missing_topics
+
+    class RacingAdmin:
+        """create_topics always loses the race: it raises, but a rival
+        driver has already created the topics by the time it does."""
+
+        def __init__(self):
+            self.existing = set()
+
+        def list_topics(self):
+            return sorted(self.existing)
+
+        def create_topics(self, specs):
+            self.existing.update(name for name, _, _ in specs)  # the rival won
+            raise RuntimeError("TopicExistsException")
+
+    admin = RacingAdmin()
+    assert create_missing_topics(admin, ["t1", "t2"]) == ["t1", "t2"]
+
+    class BrokenAdmin(RacingAdmin):
+        def create_topics(self, specs):
+            raise RuntimeError("broker down")  # nothing got created
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="broker down"):
+        create_missing_topics(BrokenAdmin(), ["t1"])

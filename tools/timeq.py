@@ -1,6 +1,6 @@
 """Quick per-query timing loop for iterating on bench hot spots.
 
-Usage: python tools/timeq.py q_datalog_rule q_recursive_closure [--passes 3]
+Usage: python tools/timeq.py q_datalog_rule q_dedup_clusters [--passes 3]
 Runs each named query against $SPARK_GRAFT_SF_DIR (default sf0.1) and
 prints cold + steady seconds, mirroring bench.py's measurement.
 """
