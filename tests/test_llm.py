@@ -2096,3 +2096,30 @@ def test_ivf_assignment_is_not_collapsed(spark, emb):
         .collect()
     )
     assert len(hist) >= 6, f"expected ≥6 of 8 clusters populated, got {len(hist)}"
+
+
+def test_minhash_estimates_jaccard_accurately(docs):
+    """Quality gate on the ESTIMATOR, not just candidate recall: with
+    64 hashes the est_jaccard of true near-dup pairs must track exact
+    n-gram Jaccard closely (binomial σ ≈ √(j(1-j)/64) ≈ 0.06 at
+    j=0.5). The pre-r8 degenerate signature had est ≡ 1.0 — this
+    would have failed loudly."""
+    from dataworks_spark.llm.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.2).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    overlap = exact.keys() & est.keys()
+    assert len(overlap) >= 10, "fixture should contain strong near-dups"
+    errs = sorted(abs(est[p] - exact[p]) for p in overlap)
+    mean_err = sum(errs) / len(errs)
+    p95_err = errs[int(0.95 * len(errs))]
+    assert mean_err < 0.05, f"mean |est-exact| {mean_err:.3f}"
+    assert p95_err < 0.15, f"p95 |est-exact| {p95_err:.3f}"
