@@ -1,0 +1,86 @@
+"""I2 lossy-buffer analogs: sliding (keep newest) / dropping (keep
+oldest) per key, and the fixed-buffer admission caps. Batch semantics
+are the microbatch semantics (applied per trigger via transform/
+foreachBatch); a streaming smoke drives sliding_buffer inside
+foreachBatch to prove the composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataworks_spark.streaming.buffering import (
+    admission_options,
+    dropping_buffer,
+    sliding_buffer,
+)
+
+
+@pytest.fixture()
+def batch(spark):
+    rows = [(k, t, f"{k}-{t}") for k in ("a", "b") for t in range(1, 6)]
+    return spark.createDataFrame(rows, "key string, ts int, payload string")
+
+
+def test_sliding_keeps_newest_per_key(batch):
+    out = sliding_buffer(batch, ["key"], "ts", capacity=2, tiebreak="payload")
+    got = sorted((r.key, r.ts) for r in out.collect())
+    assert got == [("a", 4), ("a", 5), ("b", 4), ("b", 5)]
+
+
+def test_dropping_keeps_oldest_per_key(batch):
+    out = dropping_buffer(batch, ["key"], "ts", capacity=2, tiebreak="payload")
+    got = sorted((r.key, r.ts) for r in out.collect())
+    assert got == [("a", 1), ("a", 2), ("b", 1), ("b", 2)]
+
+
+def test_capacity_edge_cases(batch):
+    assert sliding_buffer(batch, ["key"], "ts", 0).count() == 0
+    assert sliding_buffer(batch, ["key"], "ts", 99).count() == batch.count()
+    with pytest.raises(ValueError):
+        dropping_buffer(batch, ["key"], "ts", -1)
+
+
+def test_shed_is_deterministic_under_repartition(batch):
+    a = sliding_buffer(batch.repartition(1), ["key"], "ts", 3, tiebreak="payload")
+    b = sliding_buffer(batch.repartition(7), ["key"], "ts", 3, tiebreak="payload")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_admission_options_per_source():
+    assert admission_options(500) == {"maxOffsetsPerTrigger": "500"}
+    assert admission_options(3, "file") == {"maxFilesPerTrigger": "3"}
+    assert admission_options(100, "rate") == {"rowsPerSecond": "100"}
+    with pytest.raises(ValueError):
+        admission_options(0)
+    with pytest.raises(ValueError):
+        admission_options(1, "socketz")
+
+
+def test_sliding_buffer_in_foreachbatch_stream(spark, tmp_path):
+    """Streaming composition: each microbatch sheds to capacity before
+    the sink — the per-trigger rendering of a lossy channel."""
+    src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    kept = []
+
+    def sink(df, epoch_id):
+        out = sliding_buffer(
+            df.withColumn("key", (F.col("value") % 2).cast("string")),
+            ["key"],
+            "timestamp",
+            capacity=3,
+            tiebreak="value",
+        )
+        kept.append(out.groupBy("key").count().collect())
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counted = [r for batch_rows in kept for r in batch_rows]
+    assert counted, "stream produced no batches"
+    assert all(r["count"] <= 3 for r in counted)
