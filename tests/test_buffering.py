@@ -57,30 +57,30 @@ def test_admission_options_per_source():
 
 def test_sliding_buffer_in_foreachbatch_stream(spark, tmp_path):
     """Streaming composition: each microbatch sheds to capacity before
-    the sink — the per-trigger rendering of a lossy channel."""
-    src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    the sink — the per-trigger rendering of a lossy channel. Bounded
+    file source + availableNow so the stream drains deterministically
+    (a rate source never drains under processAllAvailable)."""
+    src_dir = str(tmp_path / "in")
+    rows = [(k, t, f"{k}-{t}") for k in ("a", "b") for t in range(1, 8)]
+    spark.createDataFrame(rows, "key string, ts int, payload string").write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("key string, ts int, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
     kept = []
 
     def sink(df, epoch_id):
-        out = sliding_buffer(
-            df.withColumn("key", (F.col("value") % 2).cast("string")),
-            ["key"],
-            "timestamp",
-            capacity=3,
-            tiebreak="value",
-        )
+        out = sliding_buffer(df, ["key"], "ts", capacity=3, tiebreak="payload")
         kept.append(out.groupBy("key").count().collect())
 
     q = (
-        src.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(processingTime="1 second")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    q.awaitTermination(120)
     counted = [r for batch_rows in kept for r in batch_rows]
     assert counted, "stream produced no batches"
     assert all(r["count"] <= 3 for r in counted)
