@@ -44,6 +44,47 @@ from pyspark.sql import functions as F
 from dataworks_spark.streaming.transforms import OpChain
 
 
+@dataclass(frozen=True)
+class BufferSpec:
+    """Validated node buffer (I2, reference validate-buffer
+    stream.clj:83-95): ``fixed`` = plain int buffer → pure
+    backpressure, rendered as source admission caps
+    (:func:`dataworks_spark.streaming.buffering.admission_options`) —
+    never a data drop; ``sliding``/``dropping`` = lossy policies
+    rendered as deterministic per-key sheds on the node's INPUT
+    (the reference buffers the channel before the transducer)."""
+
+    policy: str  # 'fixed' | 'sliding' | 'dropping'
+    capacity: int
+    key_cols: tuple = ()
+    ts_col: str = "ts"
+    tiebreak: str | None = None
+
+
+def validate_buffer(
+    buffer, key_cols: list[str] | None = None, ts_col: str = "ts", tiebreak: str | None = None
+) -> BufferSpec:
+    """The validate-buffer analog (stream.clj:83-95): a plain int is a
+    fixed buffer; ``{"sliding-buffer": n}`` / ``{"dropping-buffer": n}``
+    (the reference's spec shape) select the lossy policies. Anything
+    else is the reference's ``:invalid-buffer`` failure — a ValueError
+    here."""
+    if isinstance(buffer, BufferSpec):
+        return buffer
+    if isinstance(buffer, bool):
+        raise ValueError(f"invalid buffer: {buffer!r}")
+    if isinstance(buffer, int):
+        if buffer <= 0:
+            raise ValueError(f"invalid buffer: {buffer!r}")
+        return BufferSpec("fixed", buffer)
+    if isinstance(buffer, dict) and len(buffer) == 1:
+        kind, cap = next(iter(buffer.items()))
+        policy = {"sliding-buffer": "sliding", "dropping-buffer": "dropping"}.get(kind)
+        if policy is not None and isinstance(cap, int) and cap >= 0:
+            return BufferSpec(policy, cap, tuple(key_cols or ()), ts_col, tiebreak)
+    raise ValueError(f"invalid buffer: {buffer!r}")
+
+
 @dataclass
 class Node:
     """A stream node (reference stream.clj:117-133 stored-function doc).
@@ -53,12 +94,19 @@ class Node:
     downstream (the reference attaches an exception handler fn to the
     channel, stream.clj:50-57 — with declarative chains, failures are
     data-dependent and expressible as a predicate).
+
+    ``buffer`` is the I2 channel-buffer analog (a :class:`BufferSpec`
+    or anything :func:`validate_buffer` accepts): sliding/dropping
+    sheds apply to the node's merged input before the op-chain, per
+    (micro)batch; a fixed buffer is admission-time only and leaves the
+    data path untouched.
     """
 
     name: str
     chain: OpChain = field(default_factory=OpChain)
     upstreams: list[str] = field(default_factory=list)
     quarantine: object | None = None  # Column predicate → dead-letter
+    buffer: object | None = None  # BufferSpec | int | {"sliding-buffer": n} | ...
 
 
 class StreamGraph:
@@ -138,6 +186,19 @@ class StreamGraph:
         if node.quarantine is not None:
             self._dead_letters[name] = df.filter(node.quarantine)
             df = df.filter(~node.quarantine)
+        if node.buffer is not None:
+            spec = validate_buffer(node.buffer)
+            if spec.policy in ("sliding", "dropping"):
+                from dataworks_spark.streaming.buffering import (
+                    dropping_buffer,
+                    sliding_buffer,
+                )
+
+                shed = sliding_buffer if spec.policy == "sliding" else dropping_buffer
+                df = shed(
+                    df, list(spec.key_cols), spec.ts_col, spec.capacity, spec.tiebreak
+                )
+            # 'fixed' is admission-time (source caps) — no data-path op
         return node.chain(df)
 
     def dead_letter(self, name: str) -> DataFrame | None:

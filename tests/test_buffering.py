@@ -84,3 +84,38 @@ def test_sliding_buffer_in_foreachbatch_stream(spark, tmp_path):
     counted = [r for batch_rows in kept for r in batch_rows]
     assert counted, "stream produced no batches"
     assert all(r["count"] <= 3 for r in counted)
+
+
+def test_node_buffer_spec_applies_in_graph(spark, batch):
+    """The reference attaches the buffer to the stream-node spec
+    (validate-buffer, stream.clj:83-95); a graph node declared with a
+    sliding-buffer sheds its merged input before the op-chain."""
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+
+    g = StreamGraph(spark)
+    g.add_source("src", lambda: batch)
+    g.add_node(
+        Node(
+            "shed",
+            upstreams=["src"],
+            buffer=validate_buffer(
+                {"sliding-buffer": 2}, key_cols=["key"], ts_col="ts", tiebreak="payload"
+            ),
+        )
+    )
+    got = sorted((r.key, r.ts) for r in g.build("shed").collect())
+    assert got == [("a", 4), ("a", 5), ("b", 4), ("b", 5)]
+
+
+def test_validate_buffer_reference_shapes():
+    from dataworks_spark.streaming.graph import validate_buffer
+
+    assert validate_buffer(8).policy == "fixed"
+    s = validate_buffer({"sliding-buffer": 3}, key_cols=["k"], ts_col="t")
+    assert (s.policy, s.capacity, s.key_cols) == ("sliding", 3, ("k",))
+    assert validate_buffer({"dropping-buffer": 1}).policy == "dropping"
+    import pytest as _pytest
+
+    for bad in (0, -1, True, {"ring-buffer": 3}, {"sliding-buffer": "x"}, "big"):
+        with _pytest.raises(ValueError):
+            validate_buffer(bad)
