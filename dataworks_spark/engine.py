@@ -131,10 +131,28 @@ class Engine:
 
     def _on_stream_change(self, msg: FunctionChanged) -> None:
         chain = OpChain.from_spec(msg.spec, registry=self.transformers)
+        buffer = None
+        if msg.spec.get("buffer") is not None:
+            from dataworks_spark.streaming.graph import validate_buffer as _vb
+
+            # already validated at create_function; re-parse here so a
+            # doc replayed from the control bus activates identically
+            buffer = _vb(
+                msg.spec["buffer"],
+                key_cols=msg.spec.get("buffer_key"),
+                ts_col=msg.spec.get("buffer_ts", "ts"),
+            )
         if msg.name in self.graph._nodes:
-            self.graph.swap_node(msg.name, chain)
+            self.graph.swap_node(msg.name, chain, buffer=buffer)
         else:
-            self.graph.add_node(Node(msg.name, chain, list(msg.spec.get("upstreams", []))))
+            self.graph.add_node(
+                Node(
+                    msg.name,
+                    chain,
+                    list(msg.spec.get("upstreams", [])),
+                    buffer=buffer,
+                )
+            )
 
     def _on_transformer_change(self, msg: FunctionChanged) -> None:
         """Declarative transformer = SQL-macro semantics: ``expr`` is a

@@ -121,20 +121,34 @@ def function_already_exists(existing: Callable[[str], bool], field: str = "name"
 
 
 def validate_buffer() -> Check:
-    """Buffer validation (stream.clj:83-95): a positive int; the lossy
-    sliding/dropping modes are documented non-goals (SURVEY I2)."""
+    """Buffer validation (stream.clj:83-95 validate-buffer): a positive
+    int (fixed — admission-time backpressure) or the reference's lossy
+    spec shapes ``{"sliding-buffer": n}`` / ``{"dropping-buffer": n}``,
+    which since r8 activate the deterministic per-key shed analogs
+    (streaming/buffering.py; semantics note in that module). Lossy
+    specs additionally need ``buffer_key``/``buffer_ts`` fields on the
+    doc so the shed has a key and an event-time ordering. Anything else
+    is the reference's ``:invalid-buffer`` failure."""
 
     def check(doc):
         buf = doc.get("buffer")
         if buf is None:
             return doc
-        if isinstance(buf, int) and buf > 0:
-            return doc
-        if isinstance(buf, dict) and buf.get("kind") in {"sliding", "dropping"}:
-            return Invalid(
-                "lossy-buffer-unsupported",
-                {"hint": "Spark backpressure is bounded but lossless (SURVEY I2)"},
+        from dataworks_spark.streaming.graph import validate_buffer as vb
+
+        try:
+            spec = vb(
+                buf,
+                key_cols=doc.get("buffer_key"),
+                ts_col=doc.get("buffer_ts", "ts"),
             )
-        return Invalid("invalid-buffer", {"buffer": buf})
+        except ValueError:
+            return Invalid("invalid-buffer", {"buffer": buf})
+        if spec.policy != "fixed" and not spec.key_cols:
+            return Invalid(
+                "invalid-buffer",
+                {"buffer": buf, "hint": "lossy buffer needs buffer_key"},
+            )
+        return doc
 
     return check

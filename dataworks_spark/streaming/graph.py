@@ -132,7 +132,7 @@ class StreamGraph:
         with self._lock:
             self._nodes[node.name] = node
 
-    def swap_node(self, name: str, chain: OpChain, quarantine=None) -> int:
+    def swap_node(self, name: str, chain: OpChain, quarantine=None, buffer=None) -> int:
         """Hot-swap a node's logic (I1/I7). Running queries over this
         node must be restarted (see :meth:`restart`) — messages
         processed before the restart batch boundary used the old chain,
@@ -146,7 +146,10 @@ class StreamGraph:
         mixed footers that confuse later reads."""
         with self._lock:
             old = self._nodes[name]
-            self._nodes[name] = Node(name, chain, old.upstreams, quarantine)
+            self._nodes[name] = Node(
+                name, chain, old.upstreams, quarantine,
+                buffer if buffer is not None else old.buffer,
+            )
             self._epoch += 1
             return self._epoch
 

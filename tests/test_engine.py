@@ -147,3 +147,50 @@ def test_collector_stored_function_lifecycle(engine):
             assert resp.status == 200
     fn_ids = {r.id for r in engine.app_db.latest().select("id").collect()}
     assert {"collector/applogs", "collector/metrics"} <= fn_ids
+
+
+def test_stream_with_lossy_buffer_through_lifecycle(engine, spark, sf_dir):
+    """I2 through the full deployment pipeline: a stream doc carrying
+    the reference's {sliding-buffer n} spec validates, activates, and
+    sheds the node input to capacity per key before the op-chain; a
+    lossy spec without a buffer_key fails validation; an unknown
+    buffer shape is the reference's :invalid-buffer failure."""
+    ok = engine.create_function(
+        "stream",
+        {
+            "name": "recent-clicks",
+            "upstreams": ["ingest"],
+            "buffer": {"sliding-buffer": 2},
+            "buffer_key": ["user_id"],
+            "buffer_ts": "ts",
+            "steps": [{"op": "filter", "expr": "event_type = 'click'"}],
+        },
+    )
+    assert not isinstance(ok, Invalid)
+
+    events = load_table(spark, sf_dir, "events")
+    engine.graph.add_source("ingest", lambda: events)
+    out = engine.graph.build("recent-clicks")
+    per_user = out.groupBy("user_id").count().collect()
+    assert per_user and all(r["count"] <= 2 for r in per_user)
+
+    missing_key = engine.create_function(
+        "stream",
+        {
+            "name": "nokey",
+            "upstreams": ["ingest"],
+            "buffer": {"dropping-buffer": 3},
+            "steps": [],
+        },
+    )
+    assert isinstance(missing_key, Invalid) and missing_key.message == "invalid-buffer"
+    bad = engine.create_function(
+        "stream",
+        {"name": "badbuf", "upstreams": ["ingest"], "buffer": {"ring-buffer": 3}, "steps": []},
+    )
+    assert isinstance(bad, Invalid) and bad.message == "invalid-buffer"
+    fixed = engine.create_function(
+        "stream",
+        {"name": "fixedbuf", "upstreams": ["ingest"], "buffer": 512, "steps": []},
+    )
+    assert not isinstance(fixed, Invalid)

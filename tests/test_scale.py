@@ -55,9 +55,18 @@ def test_validation_chain_short_circuits():
     assert dup.message == "function-already-exists"
 
 
-def test_lossy_buffer_rejected_as_documented_non_goal():
-    out = thread_checks({"buffer": {"kind": "sliding", "n": 5}}, validate_buffer())
-    assert isinstance(out, Invalid) and out.message == "lossy-buffer-unsupported"
+def test_buffer_validation_accepts_reference_shapes():
+    """Since r8 the lossy policies are SUPPORTED (SURVEY I2 analog):
+    the reference's {sliding-buffer n} shape validates when the doc
+    names a shed key; malformed shapes stay :invalid-buffer."""
+    ok = thread_checks(
+        {"buffer": {"sliding-buffer": 5}, "buffer_key": ["user_id"]}, validate_buffer()
+    )
+    assert not isinstance(ok, Invalid)
+    no_key = thread_checks({"buffer": {"dropping-buffer": 5}}, validate_buffer())
+    assert isinstance(no_key, Invalid) and no_key.message == "invalid-buffer"
+    bad = thread_checks({"buffer": {"kind": "sliding", "n": 5}}, validate_buffer())
+    assert isinstance(bad, Invalid) and bad.message == "invalid-buffer"
     assert thread_checks({"buffer": 10}, validate_buffer()) == {"buffer": 10}
 
 
