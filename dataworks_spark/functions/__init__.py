@@ -14,8 +14,11 @@ from dataworks_spark.functions.strings import (
 )
 from dataworks_spark.functions.timeops import consume_time
 from dataworks_spark.functions.arrays import cosine_similarity, dot
+from dataworks_spark.functions.ids import deterministic_uuid, uuid_col
 
 __all__ = [
+    "uuid_col",
+    "deterministic_uuid",
     "to_camel",
     "to_snake",
     "to_kebab",

@@ -8,9 +8,38 @@ DataFrame composition (in-process fan-out) or topic handoff (Kafka);
 sinks are writeStream / foreachBatch.
 """
 
+from dataworks_spark.streaming.buffering import (
+    admission_options,
+    dropping_buffer,
+    sliding_buffer,
+)
+from dataworks_spark.streaming.control import (
+    ControlListener,
+    FileControlBus,
+    FunctionChanged,
+    KafkaControlBus,
+)
 from dataworks_spark.streaming.dedup import dedup_stream
 from dataworks_spark.streaming.rollup import ContinuousRollup
-from dataworks_spark.streaming.graph import Node, StreamGraph
+from dataworks_spark.streaming.graph import BufferSpec, Node, StreamGraph, validate_buffer
+from dataworks_spark.streaming.kafka import create_missing_topics, topics_to_create
 from dataworks_spark.streaming.transforms import OpChain
 
-__all__ = ["Node", "StreamGraph", "OpChain", "dedup_stream", "ContinuousRollup"]
+__all__ = [
+    "Node",
+    "StreamGraph",
+    "OpChain",
+    "dedup_stream",
+    "ContinuousRollup",
+    "BufferSpec",
+    "validate_buffer",
+    "sliding_buffer",
+    "dropping_buffer",
+    "admission_options",
+    "ControlListener",
+    "FileControlBus",
+    "KafkaControlBus",
+    "FunctionChanged",
+    "create_missing_topics",
+    "topics_to_create",
+]
