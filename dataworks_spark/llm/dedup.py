@@ -317,20 +317,22 @@ def minhash_from_hashes(hashes: Column, n_hashes: int = 64) -> Column:
     per-element hash fan-out re-evaluates the shingle construction —
     measured 25× slower at sf0.1.
 
-    SHAPE IS LOAD-BEARING (round-8 correctness fix): the obvious form —
-    ``array(*[array_min(transform(hs, λh. xxhash64(i, h))) for i])`` —
-    silently returns the SAME value for every i on Spark 4.1:
-    subexpression elimination collapses sibling
-    ``ArrayMin(ArrayTransform(...))`` trees that differ only in a
-    literal inside the lambda (verified: correct with
-    ``spark.sql.subexpressionElimination.enabled=false``, wrong with
-    the default). That degenerated the signature to 64 copies of one
-    minimum — banding became a single-hash equality join and
-    est_jaccard was always 1. This single-pass form keeps all
-    ``n_hashes`` literals inside ONE expression tree (per-element
-    fan-out to an n_hashes-array, then an elementwise-min fold), which
-    CSE cannot tear apart; it is regression-pinned against
-    independently-computed per-i minima in tests/test_llm.py.
+    LAMBDA ARITY IS LOAD-BEARING (round-8 correctness fix): the
+    previous form captured the loop variable with a default argument —
+    ``transform(hs, lambda h, i=i: xxhash64(F.lit(i), h))`` — which
+    makes the lambda TWO-parameter, and PySpark binds a 2-param array
+    lambda as ``(element, array_index)``. The body's ``i`` therefore
+    named the INDEX COLUMN (``F.lit`` of a Column passes through), not
+    the captured Python int: every "hash function" computed the
+    identical ``min(xxhash64(idx, h))`` and the signature degenerated
+    to 64 copies of one minimum — banding became a single-hash
+    equality join and est_jaccard was always 1 (repro:
+    tools/hof_lambda_arity_repro.py). Capture loop variables in
+    PySpark HOF lambdas via comprehension scope or a factory function,
+    NEVER via default args. The fold below builds all ``n_hashes``
+    expressions in a comprehension inside a single-arg lambda; it is
+    regression-pinned against independently-computed per-i minima in
+    tests/test_llm.py.
 
     The per-element ``n_hashes``-array is built INSIDE the fold's merge
     lambda (simhash's existing shape two functions down), so transient

@@ -2008,13 +2008,15 @@ def test_train_classifier_null_text_contributes_bias(spark):
 
 
 def test_minhash_signature_entries_are_independent_minima(spark):
-    """Round-8 regression pin: Spark 4.1's subexpression elimination
-    collapses sibling array_min(transform(...)) trees that differ only
-    in a lambda literal, which silently turned the 64-entry MinHash
-    signature into 64 copies of ONE minimum (banding degenerated to a
-    single-hash equality join). The fixed single-pass fold must equal
-    the independently-shaped explode+groupBy minima for EVERY i, and a
-    multi-shingle doc must not have an all-identical signature."""
+    """Round-8 regression pin: the old code captured the loop variable
+    with a default argument (``lambda h, i=i``), which makes a PySpark
+    array-HOF lambda TWO-parameter — bound as (element, array_index) —
+    so ``i`` silently named the index column and the 64-entry MinHash
+    signature became 64 copies of ONE minimum (banding degenerated to
+    a single-hash equality join; repro tools/hof_lambda_arity_repro.py).
+    The fixed fold must equal the independently-shaped explode+groupBy
+    minima for EVERY i, and a multi-shingle doc must not have an
+    all-identical signature."""
     from dataworks_spark.llm.dedup import minhash_from_hashes
 
     n = 16
@@ -2042,8 +2044,8 @@ def test_minhash_signature_entries_are_independent_minima(spark):
 def test_simhash_matches_python_reference_bit_for_bit(spark, docs):
     """Cross-shape pin for the other sketch: the nested HOF vote fold
     must equal a per-bit Python reference fed the same spark-computed
-    token hashes (guards the same CSE bug class the minhash fix
-    documents)."""
+    token hashes (guards the same silent-degeneration class the minhash fix
+    documents: wrong-but-deterministic sketch values)."""
     from dataworks_spark.llm.dedup import simhash
 
     sample = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
@@ -2068,7 +2070,7 @@ def test_simhash_matches_python_reference_bit_for_bit(spark, docs):
 
 def test_lsh_buckets_are_not_collapsed(spark, emb):
     """The per-plane dot subtrees differ only in literal plane arrays —
-    assert the bucket assignment actually spreads (a CSE collapse would
+    assert the bucket assignment actually spreads (a degenerate expression would
     leave every row in bucket 0 or a single sign pattern)."""
     from dataworks_spark.llm.similarity import _hyperplanes, lsh_bucket
 
@@ -2083,7 +2085,7 @@ def test_lsh_buckets_are_not_collapsed(spark, emb):
 
 
 def test_ivf_assignment_is_not_collapsed(spark, emb):
-    """Same CSE-collapse guard for the IVF coarse quantizer: sibling
+    """Same degeneration guard for the IVF coarse quantizer: sibling
     per-centroid dot subtrees must yield a real argmax spread, not one
     winning cluster for every row."""
     from dataworks_spark.llm.similarity import ivf_assign, ivf_build_centroids
