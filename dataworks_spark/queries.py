@@ -36,6 +36,21 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 #: driver-side job that a repeated-query harness shouldn't re-pay.
 _QVEC_CACHE: dict[tuple[str, str], list[float]] = {}
 
+#: per-(app, sf_dir, table) memo of fixture row counts — table
+#: cardinality is fixed for a given sf_dir, so sizing decisions that
+#: need it (q_semantic_dedup's n_clusters ∝ n) should cost one parquet
+#: footer read per session, not one job per query call.
+_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def _table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = _t(spark, sf_dir, name).count()
+        _COUNT_CACHE[key] = n
+    return n
+
 #: per-(app, sf_dir, kind) memo of prebuilt ANN indexes (LSH buckets /
 #: IVF inverted lists). Index BUILD is ingest-time work (at 100 TB the
 #: bucket column is a partition column written once); only the probe is
@@ -104,6 +119,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _evict_stale(_QVEC_CACHE, app_id)
     _evict_stale(_ANN_INDEX_CACHE, app_id)
     _evict_stale(_PLAN_CACHE, app_id)
+    _evict_stale(_COUNT_CACHE, app_id)
     key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
@@ -466,22 +482,40 @@ def q_agg_approx(spark, sf_dir):
     — exact counts, exact quantiles, bound checks — hash-matches a
     DuckDB oracle that computes the exact side and expects TRUE. This
     upgrades D7 from rows-only to differentially verified without
-    pretending two engines share sketch internals."""
+    pretending two engines share sketch internals. Grouped by
+    (l_returnflag, l_linestatus) — 6 sketch states per assertion — and
+    asserting TWO HLL registers sets (part + order keys, different
+    cardinality regimes) and TWO KLL quantiles (median + p90, center
+    and tail) per group, so the error-bound gate covers 24 independent
+    sketch evaluations rather than r8's 6."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("exact_p90_price"),
         (
             F.abs(
                 F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
             )
             <= F.countDistinct("l_partkey") * 0.15
         ).alias("hll_within_15pct"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey") - F.countDistinct("l_orderkey")
+            )
+            <= F.countDistinct("l_orderkey") * 0.15
+        ).alias("hll_orders_within_15pct"),
         F.expr(
             "percentile_approx(l_extendedprice, 0.5) "
             "BETWEEN percentile(l_extendedprice, 0.40) "
             "AND percentile(l_extendedprice, 0.60)"
         ).alias("approx_median_within_p40_p60"),
+        F.expr(
+            "percentile_approx(l_extendedprice, 0.9) "
+            "BETWEEN percentile(l_extendedprice, 0.85) "
+            "AND percentile(l_extendedprice, 0.95)"
+        ).alias("approx_p90_within_p85_p95"),
     )
 
 
@@ -774,7 +808,7 @@ def q_semantic_dedup(spark, sf_dir):
     from dataworks_spark.llm.similarity import semantic_dedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    n_clusters = max(8, e.count() // 128)
+    n_clusters = max(8, _table_count(spark, sf_dir, "embeddings") // 128)
     return semantic_dedup_pairs(
         e, "vec_id", "embedding", threshold=0.35, n_clusters=n_clusters
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
@@ -862,10 +896,14 @@ def q_text_stats(spark, sf_dir):
 def q_token_join(spark, sf_dir):
     """Similarity/text join (L6): token-overlap + Jaccard between
     low-id document pairs via the shared co-occurrence pair kernel
-    (grouped array combinatorics — no token self-join). ``max_df=50``
+    (grouped array combinatorics — no token self-join). ``max_df=80``
     drops hub tokens (a token shared by k docs emits k²/2 pairs — the
     quadratic term at 100 TB); the oracle applies the same df cap, so
-    the capped intersection counts stay hash-checked."""
+    the capped intersection counts stay hash-checked. The constants are
+    fixture-calibrated (r8's max_df=50 left a single token alive at
+    sf0.01 and the hash match was vacuously over the empty set; at 80
+    the cap still removes the 3 hub tokens while 4787 pairs survive the
+    overlap>=5 gate — a discriminating result set)."""
     from dataworks_spark.llm.dedup import cooccurrence_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -875,7 +913,7 @@ def q_token_join(spark, sf_dir):
     tokens = d.select(F.col("doc_id").alias("doc"), toks.alias("tk")).select(
         "doc", F.size("tk").alias("n_tokens"), F.explode("tk").alias("token")
     )
-    pairs = cooccurrence_pairs(tokens, "doc", "token", size_col="n_tokens", max_df=50)
+    pairs = cooccurrence_pairs(tokens, "doc", "token", size_col="n_tokens", max_df=80)
     return (
         pairs.withColumnRenamed("inter", "overlap")
         .filter(F.col("overlap") >= 5)
@@ -898,18 +936,35 @@ def q_text_retrieval(spark, sf_dir):
     TakeOrderedAndProject); 'tfidf' = fixed-vocabulary per-doc vectors
     (one let-binding projection per doc, broadcast df stats).
     Deterministic (exact integer counts, rounded scores) →
-    hash-checked against the same closed forms in SQL; scores travel in
-    a vals array so both shapes share one schema."""
+    hash-checked against the same closed forms in SQL. The output is
+    FLAT — ``(tag, doc_id, term_idx, val)`` scalar rows via
+    ``posexplode`` — because the driver's pandas canonicalizer cannot
+    sort/hash array cells (r8 packed scores into an array column and
+    the whole query became uncheckable); tests/test_analysis_smoke.py
+    now pins 'no ArrayType/MapType in oracle-checked output' repo-wide."""
     from dataworks_spark.llm.retrieval import bm25_topk, tfidf_vectors
 
     d = _t(spark, sf_dir, "documents")
     bm = bm25_topk(d, ["vector", "stream", "merge"], k=10).select(
-        F.lit("bm25").alias("tag"), "doc_id", F.array("bm25").alias("vals")
-    )
-    tf = tfidf_vectors(d, ["table", "spark", "vector"]).select(
-        F.lit("tfidf").alias("tag"),
+        F.lit("bm25").alias("tag"),
         "doc_id",
-        F.transform("tfidf", lambda x: F.round(x, 6)).alias("vals"),
+        F.lit(0).cast("bigint").alias("term_idx"),
+        F.col("bm25").alias("val"),
+    )
+    tf = (
+        tfidf_vectors(d, ["table", "spark", "vector"])
+        .select(
+            "doc_id",
+            F.posexplode(F.transform("tfidf", lambda x: F.round(x, 6))).alias(
+                "term_idx", "val"
+            ),
+        )
+        .select(
+            F.lit("tfidf").alias("tag"),
+            "doc_id",
+            F.col("term_idx").cast("bigint").alias("term_idx"),
+            "val",
+        )
     )
     return bm.unionByName(tf)
 
@@ -1782,12 +1837,16 @@ ORACLE_SQL: dict[str, str] = {
                            WHERE c2.c_nationkey = c.c_nationkey)
     """,
     "q_agg_approx": """
-        SELECT l_returnflag,
+        SELECT l_returnflag, l_linestatus,
                COUNT(DISTINCT l_partkey) AS exact_parts,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90_price,
                TRUE AS hll_within_15pct,
-               TRUE AS approx_median_within_p40_p60
-        FROM lineitem GROUP BY l_returnflag
+               TRUE AS hll_orders_within_15pct,
+               TRUE AS approx_median_within_p40_p60,
+               TRUE AS approx_p90_within_p85_p95
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "q_agg_distinct": """
         SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
@@ -2086,12 +2145,12 @@ ORACLE_SQL: dict[str, str] = {
                    AS n_distinct_grams
           FROM documents)
         SELECT lang,
-               SUM(CASE WHEN sw_ratio >= s_de AND sw_ratio >= s_es
-                   THEN 1 ELSE 0 END) AS n_guess_en,
-               SUM(CASE WHEN NOT (sw_ratio >= s_de AND sw_ratio >= s_es)
-                        AND s_de >= s_es THEN 1 ELSE 0 END) AS n_guess_de,
-               SUM(CASE WHEN NOT (sw_ratio >= s_de AND sw_ratio >= s_es)
-                        AND NOT (s_de >= s_es) THEN 1 ELSE 0 END) AS n_guess_es,
+               CAST(SUM(CASE WHEN sw_ratio >= s_de AND sw_ratio >= s_es
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_guess_en,
+               CAST(SUM(CASE WHEN NOT (sw_ratio >= s_de AND sw_ratio >= s_es)
+                        AND s_de >= s_es THEN 1 ELSE 0 END) AS BIGINT) AS n_guess_de,
+               CAST(SUM(CASE WHEN NOT (sw_ratio >= s_de AND sw_ratio >= s_es)
+                        AND NOT (s_de >= s_es) THEN 1 ELSE 0 END) AS BIGINT) AS n_guess_es,
                COUNT(*) AS n_docs,
                ROUND(AVG(n_chars), 6) AS avg_chars,
                ROUND(AVG(n_toks), 6) AS avg_tokens,
@@ -2113,7 +2172,7 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE doc_id < 100),
         sizes AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
         keep AS (
-          SELECT token FROM tok GROUP BY token HAVING COUNT(DISTINCT doc_id) <= 50),
+          SELECT token FROM tok GROUP BY token HAVING COUNT(DISTINCT doc_id) <= 80),
         overlap AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
           FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
@@ -2190,54 +2249,56 @@ ORACLE_SQL: dict[str, str] = {
         FROM s GROUP BY user_id, session_id
     """,
     "q_text_retrieval": """
-        SELECT 'bm25' AS tag, doc_id, [bm25] AS vals FROM (
-        WITH feat AS (
+        WITH bfeat AS (
           SELECT doc_id, len(tk) AS dl,
                  len(list_filter(tk, t -> t = 'vector')) AS tf0,
                  len(list_filter(tk, t -> t = 'stream')) AS tf1,
                  len(list_filter(tk, t -> t = 'merge'))  AS tf2
           FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
-        ), stats AS (
+        ), bstats AS (
           SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
                  SUM(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS df0,
                  SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS df1,
                  SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS df2
-          FROM feat
-        )
-        SELECT doc_id, ROUND(
-            ln(1 + (n_docs - df0 + 0.5)/(df0 + 0.5))
-              * tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
-          + ln(1 + (n_docs - df1 + 0.5)/(df1 + 0.5))
-              * tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
-          + ln(1 + (n_docs - df2 + 0.5)/(df2 + 0.5))
-              * tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs))), 6)
-          AS bm25
-        FROM feat CROSS JOIN stats
-        WHERE tf0>0 OR tf1>0 OR tf2>0
-        ORDER BY bm25 DESC, doc_id LIMIT 10
-    )
-        UNION ALL
-        SELECT 'tfidf' AS tag, doc_id, tfidf AS vals FROM (
-        WITH feat AS (
+          FROM bfeat
+        ), bm AS (
+          SELECT doc_id, ROUND(
+              ln(1 + (n_docs - df0 + 0.5)/(df0 + 0.5))
+                * tf0*2.2/(tf0 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+            + ln(1 + (n_docs - df1 + 0.5)/(df1 + 0.5))
+                * tf1*2.2/(tf1 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+            + ln(1 + (n_docs - df2 + 0.5)/(df2 + 0.5))
+                * tf2*2.2/(tf2 + 1.2*(0.25 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs))), 6)
+            AS val
+          FROM bfeat CROSS JOIN bstats
+          WHERE tf0>0 OR tf1>0 OR tf2>0
+          ORDER BY val DESC, doc_id LIMIT 10
+        ), tfeat AS (
           SELECT doc_id,
                  len(list_filter(tk, t -> t = 'table'))  AS tf0,
                  len(list_filter(tk, t -> t = 'spark'))  AS tf1,
                  len(list_filter(tk, t -> t = 'vector')) AS tf2
           FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
-        ), stats AS (
+        ), tstats AS (
           SELECT COUNT(*) AS n_docs,
                  SUM(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS df0,
                  SUM(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS df1,
                  SUM(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS df2
-          FROM feat
+          FROM tfeat
+        ), tf AS (
+          SELECT doc_id,
+            ROUND(CASE WHEN tf0>0 THEN (1.0 + ln(CAST(tf0 AS DOUBLE))) * (ln(n_docs/(1.0+df0)) + 1.0) ELSE 0.0 END, 6) AS v0,
+            ROUND(CASE WHEN tf1>0 THEN (1.0 + ln(CAST(tf1 AS DOUBLE))) * (ln(n_docs/(1.0+df1)) + 1.0) ELSE 0.0 END, 6) AS v1,
+            ROUND(CASE WHEN tf2>0 THEN (1.0 + ln(CAST(tf2 AS DOUBLE))) * (ln(n_docs/(1.0+df2)) + 1.0) ELSE 0.0 END, 6) AS v2
+          FROM tfeat CROSS JOIN tstats
         )
-        SELECT doc_id, [
-          ROUND(CASE WHEN tf0>0 THEN (1.0 + ln(CAST(tf0 AS DOUBLE))) * (ln(n_docs/(1.0+df0)) + 1.0) ELSE 0.0 END, 6),
-          ROUND(CASE WHEN tf1>0 THEN (1.0 + ln(CAST(tf1 AS DOUBLE))) * (ln(n_docs/(1.0+df1)) + 1.0) ELSE 0.0 END, 6),
-          ROUND(CASE WHEN tf2>0 THEN (1.0 + ln(CAST(tf2 AS DOUBLE))) * (ln(n_docs/(1.0+df2)) + 1.0) ELSE 0.0 END, 6)
-        ] AS tfidf
-        FROM feat CROSS JOIN stats
-    )
+        SELECT 'bm25' AS tag, doc_id, CAST(0 AS BIGINT) AS term_idx, val FROM bm
+        UNION ALL
+        SELECT 'tfidf' AS tag, doc_id, CAST(0 AS BIGINT) AS term_idx, v0 AS val FROM tf
+        UNION ALL
+        SELECT 'tfidf' AS tag, doc_id, CAST(1 AS BIGINT) AS term_idx, v1 AS val FROM tf
+        UNION ALL
+        SELECT 'tfidf' AS tag, doc_id, CAST(2 AS BIGINT) AS term_idx, v2 AS val FROM tf
     """,
     "q_mix_corpus": """
         WITH tok AS (

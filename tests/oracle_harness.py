@@ -47,6 +47,20 @@ def _key(row):
     return tuple(str(_norm(v)) for v in row)
 
 
+def _num_class(dtype_name: str) -> str | None:
+    """Classify a type name into the numeric family the driver's
+    pandas-level hash distinguishes: int widths collapse (int32 vs
+    int64 hash equal — verified against driver-green r8 rows) but int
+    vs float does NOT (DuckDB HUGEINT -> pandas float64 rendered
+    ``70.0`` against Spark int64 ``70`` broke q_text_stats in r8)."""
+    d = dtype_name.lower()
+    if d.startswith(("int", "uint", "long", "short", "byte", "bigint", "smallint", "tinyint")):
+        return "int"
+    if d.startswith(("float", "double")):
+        return "float"
+    return None
+
+
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     spark_cols = [c.lower() for c in spark_df.columns]
     spark_rows = [tuple(r) for r in spark_df.collect()]
@@ -57,6 +71,30 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
 
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"schema mismatch: spark={spark_cols} duckdb={duck_cols}"
+
+    # Driver-fidelity dtype gate: the driver converts BOTH results to
+    # pandas before hashing, where DuckDB's 128-bit aggregates (SUM of
+    # int -> HUGEINT) become float64 while Spark's stay int64 — values
+    # identical, hashes different. The native fetchall() above cannot
+    # see this (HUGEINT -> Python int), so check the oracle's
+    # pandas-level dtype against the Spark schema's numeric family.
+    duck_pd_types = {
+        c.lower(): str(t)
+        for c, t in zip(duck_cols, con.execute(sql).df().dtypes.astype(str))
+    }
+    for f in spark_df.schema.fields:
+        s_cls = _num_class(f.dataType.simpleString())
+        d_cls = _num_class(duck_pd_types.get(f.name.lower(), ""))
+        if s_cls and d_cls and s_cls != d_cls:
+            col_i = spark_cols.index(f.name.lower())
+            if any(r[col_i] is None for r in spark_rows):
+                continue  # nullable upcast: pandas floats int cols with NULLs
+            return False, (
+                f"pandas-dtype mismatch on '{f.name}': spark={s_cls} "
+                f"duckdb={duck_pd_types[f.name.lower()]} — the driver's "
+                "pandas hash WILL diverge (CAST the oracle, e.g. "
+                "SUM(...) -> CAST(... AS BIGINT))"
+            )
     # align duckdb column order to spark's
     idx = [duck_cols.index(c) for c in spark_cols]
     duck_rows = [tuple(r[i] for i in idx) for r in duck_rows]

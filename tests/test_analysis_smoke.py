@@ -23,7 +23,7 @@ import os
 
 import pytest
 
-from dataworks_spark.queries import QUERIES
+from dataworks_spark.queries import ORACLE_SQL, QUERIES
 
 SF_DIRS = [d for d in sorted(glob.glob("/root/testdata/sf*")) if os.path.isdir(d)]
 
@@ -39,3 +39,25 @@ def test_query_analyzes(spark, name):
     for sf_dir in SF_DIRS:
         df = QUERIES[name](spark, sf_dir)
         assert df.schema.fields, f"{name} produced an empty schema at {sf_dir}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_oracle_checked_output_is_scalar(spark, name):
+    """Driver-canon constraint (r8 lesson): the driver's pandas
+    canonicalizer sorts every output column with ``sort_values`` before
+    hashing, and list/map cells are unhashable — an ArrayType or
+    MapType column in an oracle-checked query's output makes the whole
+    query UNCHECKABLE at the gate (r8's q_text_retrieval lost its
+    verification this way, silently). Flat scalar rows only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, SF_DIRS[0])
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} is ORACLE_SQL-checked but emits non-scalar columns {bad}; "
+        "flatten (posexplode / per-field columns) or drop the oracle"
+    )
