@@ -119,6 +119,12 @@ class Engine:
         # local double-apply when this engine's listener replays the log
         self.bus.publish(FunctionChanged(function_type, result["name"], result))
         self.listener.poll()
+        # poll() isolates handler failures so a malformed REPLAYED doc
+        # can't kill the daemon loop — but the synchronous create path
+        # should still fail loudly if activating THIS doc failed
+        for m, exc in self.listener.errors:
+            if m.function_type == function_type and m.name == result["name"]:
+                raise exc
         return result
 
     def _on_collector_change(self, msg: FunctionChanged) -> None:

@@ -19,6 +19,7 @@ what makes the hot-swap safe to broadcast.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 import time
@@ -89,13 +90,26 @@ class ControlListener:
         # we start at 0 so a restarted driver replays the full function
         # log (the reference re-reads docs from its Crux replica instead)
         self.applied: list[FunctionChanged] = []
+        #: per-message handler failures (message, exception) — a
+        #: malformed replayed doc must not kill the poll_loop daemon
+        #: and silently halt ALL further control processing; it is
+        #: logged, recorded here, and skipped
+        self.errors: list[tuple[FunctionChanged, Exception]] = []
 
     def poll(self) -> int:
         msgs = self.bus.read_from(self.offset)
         for m in msgs:
             handler = self.handlers.get(m.function_type)
             if handler is not None:
-                handler(m)
+                try:
+                    handler(m)
+                except Exception as exc:  # noqa: BLE001 — isolate per message
+                    logging.getLogger(__name__).warning(
+                        "control handler failed for %s/%s: %s",
+                        m.function_type, m.name, exc,
+                    )
+                    self.errors.append((m, exc))
+                    continue
                 self.applied.append(m)
         if msgs:
             # advance past the HIGHEST seq actually seen, not by count:

@@ -43,6 +43,10 @@ from pyspark.sql import functions as F
 
 from dataworks_spark.streaming.transforms import OpChain
 
+#: distinguishes 'argument not specified' (keep the node's current
+#: value) from an explicit None (remove it) in :meth:`StreamGraph.swap_node`
+_UNSET = object()
+
 
 @dataclass(frozen=True)
 class BufferSpec:
@@ -80,7 +84,10 @@ def validate_buffer(
     if isinstance(buffer, dict) and len(buffer) == 1:
         kind, cap = next(iter(buffer.items()))
         policy = {"sliding-buffer": "sliding", "dropping-buffer": "dropping"}.get(kind)
-        if policy is not None and isinstance(cap, int) and cap >= 0:
+        # cap >= 1, mirroring the fixed-buffer check: a zero-capacity
+        # lossy buffer would pass validation and then silently drop
+        # every row; bools sneak through isinstance(cap, int)
+        if policy is not None and isinstance(cap, int) and not isinstance(cap, bool) and cap >= 1:
             return BufferSpec(policy, cap, tuple(key_cols or ()), ts_col, tiebreak)
     raise ValueError(f"invalid buffer: {buffer!r}")
 
@@ -132,13 +139,18 @@ class StreamGraph:
         with self._lock:
             self._nodes[node.name] = node
 
-    def swap_node(self, name: str, chain: OpChain, quarantine=None, buffer=None) -> int:
+    def swap_node(self, name: str, chain: OpChain, quarantine=_UNSET, buffer=_UNSET) -> int:
         """Hot-swap a node's logic (I1/I7). Running queries over this
         node must be restarted (see :meth:`restart`) — messages
         processed before the restart batch boundary used the old chain,
         after it the new one (ReadMe.org:64 semantics). Returns the new
         epoch (the control-topic sequence number analog,
         app_graph.clj:21-51).
+
+        ``quarantine``/``buffer`` omitted → the node's existing value is
+        PRESERVED; pass ``None`` explicitly to REMOVE one (the sentinel
+        distinguishes 'not specified' from 'remove' — a stream doc
+        republished without a buffer field must be able to clear it).
 
         Caveat: if the new chain changes the node's *output schema*,
         restart against a fresh sink path (or a schema-evolving sink) —
@@ -147,8 +159,9 @@ class StreamGraph:
         with self._lock:
             old = self._nodes[name]
             self._nodes[name] = Node(
-                name, chain, old.upstreams, quarantine,
-                buffer if buffer is not None else old.buffer,
+                name, chain, old.upstreams,
+                old.quarantine if quarantine is _UNSET else quarantine,
+                old.buffer if buffer is _UNSET else buffer,
             )
             self._epoch += 1
             return self._epoch
@@ -170,17 +183,33 @@ class StreamGraph:
         return out
 
     # -- plan building (batch + streaming twins) ------------------------
-    def build(self, name: str, _visiting: frozenset = frozenset()) -> DataFrame:
+    def build(
+        self,
+        name: str,
+        _visiting: frozenset = frozenset(),
+        source_overrides: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
         """Compose the DataFrame for a node's output: union of upstream
         outputs → quarantine split → op-chain. Pure; works on both
-        static and streaming inputs."""
+        static and streaming inputs.
+
+        ``source_overrides`` substitutes named sources with given
+        DataFrames — the per-microbatch execution hook: lossy-buffered
+        streaming nodes are rebuilt per batch with the source replaced
+        by that batch's static frame (see :meth:`start`).
+        """
         if name in _visiting:
             raise ValueError(f"cycle through node {name}")
+        if source_overrides and name in source_overrides:
+            return source_overrides[name]
         with self._lock:
             if name in self._sources and name not in self._nodes:
                 return self._sources[name]()
             node = self._nodes[name]
-        ups = [self.build(u, _visiting | {name}) for u in (node.upstreams or [])]
+        ups = [
+            self.build(u, _visiting | {name}, source_overrides)
+            for u in (node.upstreams or [])
+        ]
         if not ups:
             raise ValueError(f"node {name} has no upstreams")
         df = ups[0]
@@ -192,6 +221,19 @@ class StreamGraph:
         if node.buffer is not None:
             spec = validate_buffer(node.buffer)
             if spec.policy in ("sliding", "dropping"):
+                if df.isStreaming:
+                    # row_number().over(Window) / limit() are illegal on
+                    # a streaming frame — the shed is a per-microbatch
+                    # operator. start()/start_foreach_batch() route
+                    # lossy nodes through foreachBatch automatically;
+                    # reaching here means a caller built the streaming
+                    # plan directly.
+                    raise ValueError(
+                        f"node {name!r} declares a lossy ({spec.policy}) buffer, "
+                        "which cannot run inside a streaming plan — start it via "
+                        "StreamGraph.start()/start_foreach_batch() (per-microbatch "
+                        "shed), or build() on batch inputs"
+                    )
                 from dataworks_spark.streaming.buffering import (
                     dropping_buffer,
                     sliding_buffer,
@@ -203,6 +245,54 @@ class StreamGraph:
                 )
             # 'fixed' is admission-time (source caps) — no data-path op
         return node.chain(df)
+
+    def _has_lossy_buffer(self, name: str) -> bool:
+        """True if ``name`` or any node upstream of it declares a
+        sliding/dropping buffer (those need per-microbatch execution
+        on streaming inputs)."""
+        with self._lock:
+            node = self._nodes.get(name)
+            if node is None:
+                return False
+            if node.buffer is not None:
+                if validate_buffer(node.buffer).policy in ("sliding", "dropping"):
+                    return True
+            return any(self._has_lossy_buffer(u) for u in (node.upstreams or []))
+
+    def _subtree_sources(self, name: str) -> list[str]:
+        """Source names feeding ``name``'s subtree (dependency order
+        not significant)."""
+        with self._lock:
+            if name in self._sources and name not in self._nodes:
+                return [name]
+            node = self._nodes[name]
+        out: list[str] = []
+        for u in node.upstreams or []:
+            for s in self._subtree_sources(u):
+                if s not in out:
+                    out.append(s)
+        return out
+
+    def _microbatch_plan(self, name: str):
+        """For a lossy-buffered node over a streaming source: return
+        ``(source_name, streaming_df)`` so the caller can foreachBatch
+        the source and rebuild the node per batch, or ``None`` when the
+        normal streaming plan works (batch source / no lossy buffer)."""
+        if not self._has_lossy_buffer(name):
+            return None
+        srcs = self._subtree_sources(name)
+        streaming = [
+            (s, df) for s in srcs if (df := self._sources[s]()).isStreaming
+        ]
+        if not streaming:
+            return None  # batch inputs: build() applies the shed inline
+        if len(streaming) > 1 or len(srcs) > 1:
+            raise ValueError(
+                f"node {name!r} has a lossy buffer over multiple sources "
+                f"({srcs}); per-microbatch shedding supports a single "
+                "source — merge upstream or shed per input node"
+            )
+        return streaming[0]
 
     def dead_letter(self, name: str) -> DataFrame | None:
         """The node's dead-letter stream (I5) — route to a DLQ sink."""
@@ -220,7 +310,45 @@ class StreamGraph:
     ):
         """Start a streaming query materializing node ``name`` (one
         query per sink = reference fan-out where each tap is an
-        independent consumer, I3)."""
+        independent consumer, I3).
+
+        A node whose subtree declares a lossy (sliding/dropping) buffer
+        runs PER MICROBATCH: the source stream is wrapped in
+        foreachBatch and the node's plan — shed included — is rebuilt
+        over each batch's static frame (the only place Spark allows a
+        row_number shed). File-path sinks only in that mode ('memory'
+        has no batch writer — use :meth:`start_foreach_batch`)."""
+        mb = self._microbatch_plan(name)
+        if mb is not None:
+            src_name, src_df = mb
+            if sink_format == "memory":
+                raise ValueError(
+                    f"lossy-buffered node {name!r} runs via foreachBatch; "
+                    "the 'memory' sink has no batch writer — pass a file "
+                    "sink (parquet/json/csv + path) or use "
+                    "start_foreach_batch()"
+                )
+            path = sink_options.get("path")
+            if not path:
+                raise ValueError(
+                    f"lossy-buffered node {name!r}: per-microbatch mode "
+                    "needs a 'path' sink option"
+                )
+
+            def _write_batch(batch_df: DataFrame, _epoch: int) -> None:
+                out = self.build(name, source_overrides={src_name: batch_df})
+                out.write.format(sink_format).mode("append").save(path)
+
+            writer = src_df.writeStream.foreachBatch(_write_batch).queryName(
+                query_name or name
+            )
+            if checkpoint:
+                writer = writer.option("checkpointLocation", checkpoint)
+            q = writer.start()
+            with self._lock:
+                self._queries[name] = q
+            return q
+
         df = self.build(name)
         writer = (
             df.writeStream.format(sink_format)
@@ -240,9 +368,20 @@ class StreamGraph:
         """foreachBatch sink — the transactor attachment point (K4):
         side effects happen per micro-batch, never inside column
         expressions (reference transact! is async fire-and-forget,
-        transactors.clj:15-19)."""
-        df = self.build(name)
-        writer = df.writeStream.foreachBatch(fn)
+        transactors.clj:15-19). Lossy-buffered nodes are rebuilt per
+        batch (shed applied to each batch's static frame) before ``fn``
+        sees the rows."""
+        mb = self._microbatch_plan(name)
+        if mb is not None:
+            src_name, src_df = mb
+
+            def _shed_then_fn(batch_df: DataFrame, epoch: int) -> None:
+                fn(self.build(name, source_overrides={src_name: batch_df}), epoch)
+
+            writer = src_df.writeStream.foreachBatch(_shed_then_fn)
+        else:
+            df = self.build(name)
+            writer = df.writeStream.foreachBatch(fn)
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
         q = writer.start()

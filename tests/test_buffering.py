@@ -119,3 +119,147 @@ def test_validate_buffer_reference_shapes():
     for bad in (0, -1, True, {"ring-buffer": 3}, {"sliding-buffer": "x"}, "big"):
         with _pytest.raises(ValueError):
             validate_buffer(bad)
+
+
+def test_validate_buffer_rejects_zero_and_bool_lossy_caps():
+    """ADVICE r8: {"sliding-buffer": 0} passed validation and then
+    silently dropped every row; {"sliding-buffer": True} passed
+    isinstance(cap, int). Both are :invalid-buffer now, mirroring the
+    fixed-buffer cap >= 1 rule."""
+    from dataworks_spark.streaming.graph import validate_buffer
+
+    for bad in (
+        {"sliding-buffer": 0},
+        {"dropping-buffer": 0},
+        {"sliding-buffer": True},
+        {"dropping-buffer": False},
+    ):
+        with pytest.raises(ValueError):
+            validate_buffer(bad)
+
+
+def test_lossy_buffer_through_streamgraph_start(spark, tmp_path):
+    """The feature's nominal streaming use: a graph node declaring a
+    sliding buffer, started through StreamGraph.start() on a streaming
+    source. r8 built the row_number shed into the streaming plan and
+    threw AnalysisException at query start; the shed now runs per
+    microbatch (source wrapped in foreachBatch, node rebuilt over each
+    batch's static frame)."""
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+    from dataworks_spark.streaming.transforms import OpChain
+
+    src_dir = str(tmp_path / "in")
+    rows = [(k, t, f"{k}-{t}") for k in ("a", "b") for t in range(1, 8)]
+    spark.createDataFrame(rows, "key string, ts int, payload string").write.parquet(src_dir)
+
+    g = StreamGraph(spark)
+    g.add_source(
+        "src",
+        lambda: spark.readStream.schema("key string, ts int, payload string").parquet(src_dir),
+    )
+    g.add_node(
+        Node(
+            "shed",
+            chain=OpChain().map(tagged=F.concat(F.col("key"), F.lit("!"))),
+            upstreams=["src"],
+            buffer=validate_buffer(
+                {"sliding-buffer": 3}, key_cols=["key"], ts_col="ts", tiebreak="payload"
+            ),
+        )
+    )
+    out_dir = str(tmp_path / "out")
+    q = g.start(
+        "shed",
+        sink_format="parquet",
+        checkpoint=str(tmp_path / "ckpt"),
+        path=out_dir,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out_dir)
+    counts = {r["key"]: r["count"] for r in got.groupBy("key").count().collect()}
+    # single batch (one parquet file) -> shed keeps newest 3 per key
+    assert counts == {"a": 3, "b": 3}
+    assert sorted(r.ts for r in got.filter(F.col("key") == "a").collect()) == [5, 6, 7]
+    assert got.filter(~F.col("tagged").endswith("!")).count() == 0  # chain ran post-shed
+
+
+def test_lossy_buffer_streaming_build_raises_clear_error(spark, tmp_path):
+    """Direct build() of a lossy-buffered node over a streaming source
+    must fail with a directed message, not a deep AnalysisException."""
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("a", 1, "p")], "key string, ts int, payload string"
+    ).write.parquet(src_dir)
+    g = StreamGraph(spark)
+    g.add_source(
+        "src",
+        lambda: spark.readStream.schema("key string, ts int, payload string").parquet(src_dir),
+    )
+    g.add_node(
+        Node(
+            "shed",
+            upstreams=["src"],
+            buffer=validate_buffer({"dropping-buffer": 2}, key_cols=["key"], ts_col="ts"),
+        )
+    )
+    with pytest.raises(ValueError, match="start_foreach_batch"):
+        g.build("shed")
+
+
+def test_lossy_buffer_start_foreach_batch_sheds(spark, tmp_path):
+    """start_foreach_batch on a lossy node: fn sees the SHED rows."""
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+
+    src_dir = str(tmp_path / "in")
+    rows = [(k, t, f"{k}-{t}") for k in ("a", "b") for t in range(1, 6)]
+    spark.createDataFrame(rows, "key string, ts int, payload string").write.parquet(src_dir)
+    g = StreamGraph(spark)
+    g.add_source(
+        "src",
+        lambda: spark.readStream.schema("key string, ts int, payload string").parquet(src_dir),
+    )
+    g.add_node(
+        Node(
+            "shed",
+            upstreams=["src"],
+            buffer=validate_buffer(
+                {"dropping-buffer": 2}, key_cols=["key"], ts_col="ts", tiebreak="payload"
+            ),
+        )
+    )
+    seen = []
+
+    def fn(df, epoch):
+        seen.extend((r.key, r.ts) for r in df.collect())
+
+    q = g.start_foreach_batch("shed", fn, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(seen) == [("a", 1), ("a", 2), ("b", 1), ("b", 2)]
+
+
+def test_swap_node_buffer_sentinel(spark):
+    """ADVICE r8: republishing a stream doc WITHOUT a buffer field must
+    REMOVE a lossy buffer (explicit None), while an omitted kwarg
+    preserves it — and quarantine follows the same sentinel rule."""
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+    from dataworks_spark.streaming.transforms import OpChain
+
+    g = StreamGraph(spark)
+    quar = F.col("ts") < 0
+    spec = validate_buffer({"sliding-buffer": 2}, key_cols=["key"], ts_col="ts")
+    g.add_node(Node("n", upstreams=["src"], quarantine=quar, buffer=spec))
+
+    g.swap_node("n", OpChain())  # omitted -> both preserved
+    assert g._nodes["n"].buffer is spec
+    assert g._nodes["n"].quarantine is quar
+
+    g.swap_node("n", OpChain(), buffer=None)  # explicit None -> removed
+    assert g._nodes["n"].buffer is None
+    assert g._nodes["n"].quarantine is quar  # still preserved
+
+    g.swap_node("n", OpChain(), quarantine=None)
+    assert g._nodes["n"].quarantine is None

@@ -247,3 +247,47 @@ def test_listener_tolerates_compacted_offset_holes():
     assert lst.poll() == 2 and [m.name for m in seen] == ["a", "b"]
     assert lst.poll() == 0  # no re-delivery of the offset-2 record
     assert [m.name for m in seen] == ["a", "b"]
+
+
+def test_poll_isolates_handler_failures(tmp_path):
+    """ADVICE r8: a handler raising (e.g. validate_buffer on a
+    malformed replayed doc) propagated through poll() and killed the
+    poll_loop daemon, silently halting ALL control processing. poll()
+    now records the failure and keeps applying subsequent messages."""
+    bus = FileControlBus(str(tmp_path / "control.log"))
+    applied = []
+
+    def handler(m):
+        if m.spec.get("boom"):
+            raise ValueError("malformed doc")
+        applied.append(m.name)
+
+    lst = ControlListener(bus, {"stream": handler})
+    bus.publish(FunctionChanged("stream", "good1", {"steps": []}))
+    bus.publish(FunctionChanged("stream", "bad", {"boom": True}))
+    bus.publish(FunctionChanged("stream", "good2", {"steps": []}))
+    n = lst.poll()
+    assert n == 3
+    assert applied == ["good1", "good2"]
+    assert len(lst.errors) == 1 and lst.errors[0][0].name == "bad"
+    # offset advanced past the poisoned message: no redelivery loop
+    assert lst.poll() == 0
+    assert len(lst.errors) == 1
+
+
+def test_create_function_still_fails_loudly(spark, tmp_path):
+    """The synchronous create path must surface activation errors even
+    though the daemon poll isolates them (engine re-raises errors for
+    the doc it just published)."""
+    import pytest
+
+    from dataworks_spark.engine import Engine
+
+    eng = Engine({"control.log": str(tmp_path / "control.log")}, spark=spark)
+    eng.listener.handlers["stream"] = lambda m: (_ for _ in ()).throw(
+        RuntimeError("activation failed")
+    )
+    with pytest.raises(RuntimeError, match="activation failed"):
+        eng.create_function(
+            "stream", {"name": "s1", "steps": [], "upstreams": ["src"]}
+        )
