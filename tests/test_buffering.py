@@ -263,3 +263,49 @@ def test_swap_node_buffer_sentinel(spark):
 
     g.swap_node("n", OpChain(), quarantine=None)
     assert g._nodes["n"].quarantine is None
+
+
+def test_lossy_shed_is_per_microbatch(spark, tmp_path):
+    """Capacity bounds each TRIGGER's admission (the channel bounds
+    memory per poll, not per topic lifetime): two single-file
+    microbatches each shed independently to capacity, so a key keeps
+    up to capacity rows PER BATCH."""
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    b1 = [("a", t, f"b1-{t}") for t in range(1, 5)]   # 4 rows for key a
+    b2 = [("a", t, f"b2-{t}") for t in range(10, 13)]  # 3 rows for key a
+    spark.createDataFrame(b1, "key string, ts int, payload string").coalesce(1).write.parquet(
+        str(src_dir / "f1")
+    )
+    spark.createDataFrame(b2, "key string, ts int, payload string").coalesce(1).write.parquet(
+        str(src_dir / "f2")
+    )
+    g = StreamGraph(spark)
+    g.add_source(
+        "src",
+        lambda: spark.readStream.schema("key string, ts int, payload string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/*/"),
+    )
+    g.add_node(
+        Node(
+            "shed",
+            upstreams=["src"],
+            buffer=validate_buffer(
+                {"sliding-buffer": 2}, key_cols=["key"], ts_col="ts", tiebreak="payload"
+            ),
+        )
+    )
+    per_batch = []
+
+    def fn(df, epoch):
+        per_batch.append(sorted(r.ts for r in df.collect()))
+
+    q = g.start_foreach_batch("shed", fn, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert len(per_batch) == 2
+    # each batch independently kept its newest 2
+    assert sorted(per_batch) == [[3, 4], [11, 12]]
