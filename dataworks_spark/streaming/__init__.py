@@ -23,6 +23,14 @@ from dataworks_spark.streaming.dedup import dedup_stream
 from dataworks_spark.streaming.rollup import ContinuousRollup
 from dataworks_spark.streaming.graph import BufferSpec, Node, StreamGraph, validate_buffer
 from dataworks_spark.streaming.kafka import create_missing_topics, topics_to_create
+from dataworks_spark.streaming.kafka_clients import (
+    ConfluentAdmin,
+    ConfluentProducer,
+    KafkaPythonAdmin,
+    KafkaPythonProducer,
+    confluent_consumer_factory,
+    kafka_python_consumer_factory,
+)
 from dataworks_spark.streaming.transforms import OpChain
 
 __all__ = [
@@ -42,4 +50,10 @@ __all__ = [
     "FunctionChanged",
     "create_missing_topics",
     "topics_to_create",
+    "ConfluentAdmin",
+    "ConfluentProducer",
+    "confluent_consumer_factory",
+    "KafkaPythonAdmin",
+    "KafkaPythonProducer",
+    "kafka_python_consumer_factory",
 ]
