@@ -246,10 +246,14 @@ class StreamGraph:
             # 'fixed' is admission-time (source caps) — no data-path op
         return node.chain(df)
 
-    def _has_lossy_buffer(self, name: str) -> bool:
+    def _has_lossy_buffer(self, name: str, _visiting: frozenset = frozenset()) -> bool:
         """True if ``name`` or any node upstream of it declares a
         sliding/dropping buffer (those need per-microbatch execution
-        on streaming inputs)."""
+        on streaming inputs). Runs before build(), so it carries its
+        own cycle guard (raising like build() rather than recursing
+        forever)."""
+        if name in _visiting:
+            raise ValueError(f"cycle through node {name}")
         with self._lock:
             node = self._nodes.get(name)
             if node is None:
@@ -257,18 +261,23 @@ class StreamGraph:
             if node.buffer is not None:
                 if validate_buffer(node.buffer).policy in ("sliding", "dropping"):
                     return True
-            return any(self._has_lossy_buffer(u) for u in (node.upstreams or []))
+            return any(
+                self._has_lossy_buffer(u, _visiting | {name})
+                for u in (node.upstreams or [])
+            )
 
-    def _subtree_sources(self, name: str) -> list[str]:
+    def _subtree_sources(self, name: str, _visiting: frozenset = frozenset()) -> list[str]:
         """Source names feeding ``name``'s subtree (dependency order
         not significant)."""
+        if name in _visiting:
+            raise ValueError(f"cycle through node {name}")
         with self._lock:
             if name in self._sources and name not in self._nodes:
                 return [name]
             node = self._nodes[name]
         out: list[str] = []
         for u in node.upstreams or []:
-            for s in self._subtree_sources(u):
+            for s in self._subtree_sources(u, _visiting | {name}):
                 if s not in out:
                     out.append(s)
         return out

@@ -691,3 +691,25 @@ def test_create_missing_topics_tolerates_create_race():
 
     with _pytest.raises(RuntimeError, match="broker down"):
         create_missing_topics(BrokenAdmin(), ["t1"])
+
+
+def test_cyclic_topology_raises_before_start(spark):
+    """_microbatch_plan walks the subtree BEFORE build()'s cycle check
+    runs; it must raise on a cycle like build() does, not recurse
+    forever (found in r9 self-review)."""
+    import pytest
+
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+
+    g = StreamGraph(spark)
+    g.add_node(Node("a", upstreams=["b"]))  # bufferless cycle: the walk must terminate
+    g.add_node(Node("b", upstreams=["a"]))
+    with pytest.raises(ValueError, match="cycle"):
+        g._has_lossy_buffer("a")
+    with pytest.raises(ValueError, match="cycle"):
+        g._subtree_sources("a")
+    # a lossy buffer ON the cycle still short-circuits True before
+    # the walk needs the guard — also fine
+    g.add_node(Node("a", upstreams=["b"],
+                    buffer=validate_buffer({"sliding-buffer": 2}, key_cols=["k"])))
+    assert g._has_lossy_buffer("a") is True
