@@ -194,3 +194,29 @@ def test_stream_with_lossy_buffer_through_lifecycle(engine, spark, sf_dir):
         {"name": "fixedbuf", "upstreams": ["ingest"], "buffer": 512, "steps": []},
     )
     assert not isinstance(fixed, Invalid)
+
+
+def test_stream_doc_republish_without_buffer_clears_it(spark, tmp_path):
+    """ADVICE r8 end-to-end: a stream doc republished WITHOUT a buffer
+    field must remove the node's lossy buffer (engine passes the parsed
+    value — None — explicitly; swap_node's sentinel only preserves on
+    OMITTED kwargs)."""
+    import os
+
+    from dataworks_spark.engine import Engine
+
+    eng = Engine({"control.log": os.path.join(str(tmp_path), "bus.log")}, spark=spark)
+    doc = {
+        "name": "proc",
+        "upstreams": ["src"],
+        "steps": [{"op": "map", "cols": {"v": "v + 1"}}],
+        "buffer": {"sliding-buffer": 3},
+        "buffer_key": ["k"],
+        "buffer_ts": "ts",
+    }
+    assert not hasattr(eng.create_function("stream", doc), "reason")
+    assert eng.graph._nodes["proc"].buffer is not None
+
+    redoc = {k: v for k, v in doc.items() if not k.startswith("buffer")}
+    assert not hasattr(eng.create_function("stream", redoc), "reason")
+    assert eng.graph._nodes["proc"].buffer is None  # cleared, not kept
