@@ -330,6 +330,12 @@ class StreamGraph:
         mb = self._microbatch_plan(name)
         if mb is not None:
             src_name, src_df = mb
+            if output_mode != "append":
+                raise ValueError(
+                    f"lossy-buffered node {name!r} runs per microbatch: each "
+                    "batch's shed output is APPENDED; complete/update modes "
+                    "don't apply (aggregate downstream of the sink instead)"
+                )
             if sink_format == "memory":
                 raise ValueError(
                     f"lossy-buffered node {name!r} runs via foreachBatch; "
