@@ -117,12 +117,17 @@ class Engine:
         # broadcast (stream.clj:21-28 publish), then activate via the
         # SAME consume path every other driver uses — one code path, no
         # local double-apply when this engine's listener replays the log
+        # snapshot BEFORE publish: errors is append-only, so only
+        # entries recorded by THIS poll can belong to this publish —
+        # matching on (type, name) alone would re-raise a stale failure
+        # forever on every retry of the same function name
+        n_errors = len(self.listener.errors)
         self.bus.publish(FunctionChanged(function_type, result["name"], result))
         self.listener.poll()
         # poll() isolates handler failures so a malformed REPLAYED doc
         # can't kill the daemon loop — but the synchronous create path
         # should still fail loudly if activating THIS doc failed
-        for m, exc in self.listener.errors:
+        for m, exc in self.listener.errors[n_errors:]:
             if m.function_type == function_type and m.name == result["name"]:
                 raise exc
         return result
@@ -149,7 +154,10 @@ class Engine:
                 ts_col=msg.spec.get("buffer_ts", "ts"),
             )
         if msg.name in self.graph._nodes:
-            self.graph.swap_node(msg.name, chain, buffer=buffer)
+            self.graph.swap_node(
+                msg.name, chain, buffer=buffer,
+                upstreams=list(msg.spec.get("upstreams", [])),
+            )
         else:
             self.graph.add_node(
                 Node(

@@ -139,7 +139,9 @@ class StreamGraph:
         with self._lock:
             self._nodes[node.name] = node
 
-    def swap_node(self, name: str, chain: OpChain, quarantine=_UNSET, buffer=_UNSET) -> int:
+    def swap_node(
+        self, name: str, chain: OpChain, quarantine=_UNSET, buffer=_UNSET, upstreams=_UNSET
+    ) -> int:
         """Hot-swap a node's logic (I1/I7). Running queries over this
         node must be restarted (see :meth:`restart`) — messages
         processed before the restart batch boundary used the old chain,
@@ -147,10 +149,13 @@ class StreamGraph:
         epoch (the control-topic sequence number analog,
         app_graph.clj:21-51).
 
-        ``quarantine``/``buffer`` omitted → the node's existing value is
-        PRESERVED; pass ``None`` explicitly to REMOVE one (the sentinel
-        distinguishes 'not specified' from 'remove' — a stream doc
-        republished without a buffer field must be able to clear it).
+        ``quarantine``/``buffer``/``upstreams`` omitted → the node's
+        existing value is PRESERVED; pass a value (``None`` for the
+        first two) explicitly to REPLACE it — a stream doc republished
+        without a buffer field must be able to clear the buffer, and a
+        doc republished with DIFFERENT upstreams must rewire the
+        topology (not silently keep reading the old sources while the
+        persisted document claims the new ones).
 
         Caveat: if the new chain changes the node's *output schema*,
         restart against a fresh sink path (or a schema-evolving sink) —
@@ -159,7 +164,8 @@ class StreamGraph:
         with self._lock:
             old = self._nodes[name]
             self._nodes[name] = Node(
-                name, chain, old.upstreams,
+                name, chain,
+                old.upstreams if upstreams is _UNSET else list(upstreams),
                 old.quarantine if quarantine is _UNSET else quarantine,
                 old.buffer if buffer is _UNSET else buffer,
             )
@@ -188,6 +194,7 @@ class StreamGraph:
         name: str,
         _visiting: frozenset = frozenset(),
         source_overrides: dict[str, DataFrame] | None = None,
+        nodes: dict[str, Node] | None = None,
     ) -> DataFrame:
         """Compose the DataFrame for a node's output: union of upstream
         outputs → quarantine split → op-chain. Pure; works on both
@@ -197,17 +204,24 @@ class StreamGraph:
         DataFrames — the per-microbatch execution hook: lossy-buffered
         streaming nodes are rebuilt per batch with the source replaced
         by that batch's static frame (see :meth:`start`).
+
+        ``nodes`` builds against a topology SNAPSHOT instead of the
+        live registry — the per-microbatch paths pass the snapshot
+        taken at start() so a concurrent swap_node cannot change a
+        running query's logic mid-stream (the hot-swap contract:
+        swaps take effect at restart(), a batch boundary).
         """
         if name in _visiting:
             raise ValueError(f"cycle through node {name}")
         if source_overrides and name in source_overrides:
             return source_overrides[name]
         with self._lock:
-            if name in self._sources and name not in self._nodes:
+            node_map = nodes if nodes is not None else self._nodes
+            if name in self._sources and name not in node_map:
                 return self._sources[name]()
-            node = self._nodes[name]
+            node = node_map[name]
         ups = [
-            self.build(u, _visiting | {name}, source_overrides)
+            self.build(u, _visiting | {name}, source_overrides, nodes)
             for u in (node.upstreams or [])
         ]
         if not ups:
@@ -349,10 +363,16 @@ class StreamGraph:
                     f"lossy-buffered node {name!r}: per-microbatch mode "
                     "needs a 'path' sink option"
                 )
+            extra = {k: str(v) for k, v in sink_options.items() if k != "path"}
+            # topology snapshot: the running query keeps THIS logic even
+            # if swap_node fires mid-stream; restart() picks up the swap
+            snapshot = dict(self._nodes)
 
             def _write_batch(batch_df: DataFrame, _epoch: int) -> None:
-                out = self.build(name, source_overrides={src_name: batch_df})
-                out.write.format(sink_format).mode("append").save(path)
+                out = self.build(
+                    name, source_overrides={src_name: batch_df}, nodes=snapshot
+                )
+                out.write.format(sink_format).options(**extra).mode("append").save(path)
 
             writer = src_df.writeStream.foreachBatch(_write_batch).queryName(
                 query_name or name
@@ -385,13 +405,22 @@ class StreamGraph:
         expressions (reference transact! is async fire-and-forget,
         transactors.clj:15-19). Lossy-buffered nodes are rebuilt per
         batch (shed applied to each batch's static frame) before ``fn``
-        sees the rows."""
+        sees the rows; the topology is snapshotted at start (swaps
+        apply at restart, not mid-query). ``dead_letter(name)`` read
+        inside ``fn`` is the CURRENT batch's quarantine split — read it
+        there, not from another thread."""
         mb = self._microbatch_plan(name)
         if mb is not None:
             src_name, src_df = mb
+            snapshot = dict(self._nodes)
 
             def _shed_then_fn(batch_df: DataFrame, epoch: int) -> None:
-                fn(self.build(name, source_overrides={src_name: batch_df}), epoch)
+                fn(
+                    self.build(
+                        name, source_overrides={src_name: batch_df}, nodes=snapshot
+                    ),
+                    epoch,
+                )
 
             writer = src_df.writeStream.foreachBatch(_shed_then_fn)
         else:

@@ -102,7 +102,16 @@ class ConfluentProducer:
         self._producer.flush(self.timeout)
         if holder.get("err") is not None:
             raise RuntimeError(f"control publish failed: {holder['err']}")
-        return holder.get("offset", -1)
+        if "offset" not in holder:
+            # flush returned without the delivery callback firing (broker
+            # unreachable/slow) — the message is NOT confirmed; returning
+            # would let the engine believe the broadcast landed while
+            # other drivers never see it
+            raise RuntimeError(
+                f"control publish to {topic!r} not delivered within "
+                f"{self.timeout}s (flush timed out before the delivery report)"
+            )
+        return holder["offset"]
 
     def flush(self) -> None:
         self._producer.flush(self.timeout)
@@ -133,9 +142,20 @@ def confluent_consumer_factory(conf: dict, poll_timeout: float = 1.0, idle_polls
                 if msg is None:
                     idle += 1
                     continue
-                if msg.error():
-                    idle += 1
-                    continue
+                err = msg.error()
+                if err is not None and err is not False:
+                    # partition EOF is the benign end-of-data signal;
+                    # everything else (authz failure, unknown topic,
+                    # broker down) must RAISE — treating it as idle
+                    # would make a hard failure look like an empty
+                    # control log and the listener would silently
+                    # apply nothing
+                    code = err.code() if callable(getattr(err, "code", None)) else None
+                    eof = getattr(getattr(ck, "KafkaError", None), "_PARTITION_EOF", -191)
+                    if code == eof:
+                        idle += 1
+                        continue
+                    raise RuntimeError(f"control read from {topic!r} failed: {err}")
                 idle = 0
                 yield Record(offset=msg.offset(), value=msg.value())
         finally:

@@ -61,6 +61,25 @@ def _num_class(dtype_name: str) -> str | None:
     return None
 
 
+_DUCK_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "INT", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT_TYPES = {"HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL"}
+
+
+def _duck_pd_class(duck_type: str) -> str | None:
+    """The pandas numeric family a DECLARED DuckDB type renders as
+    through ``.df()`` (what the driver hashes): the 128-bit ints and
+    DECIMAL become float64; native ints stay int64."""
+    t = duck_type.upper()
+    if t in _DUCK_FLOAT_TYPES or t.startswith("DECIMAL"):
+        return "float"
+    if t in _DUCK_INT_TYPES:
+        return "int"
+    return None
+
+
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     spark_cols = [c.lower() for c in spark_df.columns]
     spark_rows = [tuple(r) for r in spark_df.collect()]
@@ -74,26 +93,27 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
 
     # Driver-fidelity dtype gate: the driver converts BOTH results to
     # pandas before hashing, where DuckDB's 128-bit aggregates (SUM of
-    # int -> HUGEINT) become float64 while Spark's stay int64 — values
-    # identical, hashes different. The native fetchall() above cannot
-    # see this (HUGEINT -> Python int), so check the oracle's
-    # pandas-level dtype against the Spark schema's numeric family.
-    duck_pd_types = {
-        c.lower(): str(t)
-        for c, t in zip(duck_cols, con.execute(sql).df().dtypes.astype(str))
+    # int -> HUGEINT) and DECIMALs become float64 while Spark's ints
+    # stay int64 — values identical, hashes different. The native
+    # fetchall() above cannot see this (HUGEINT -> Python int), so
+    # classify the oracle's DECLARED types (DESCRIBE plans the query
+    # without executing it — no second oracle run) into the pandas
+    # family they will render as, and compare against Spark's schema.
+    duck_types = {
+        r[0].lower(): r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
     }
     for f in spark_df.schema.fields:
         s_cls = _num_class(f.dataType.simpleString())
-        d_cls = _num_class(duck_pd_types.get(f.name.lower(), ""))
+        d_cls = _duck_pd_class(duck_types.get(f.name.lower(), ""))
         if s_cls and d_cls and s_cls != d_cls:
             col_i = spark_cols.index(f.name.lower())
             if any(r[col_i] is None for r in spark_rows):
                 continue  # nullable upcast: pandas floats int cols with NULLs
             return False, (
                 f"pandas-dtype mismatch on '{f.name}': spark={s_cls} "
-                f"duckdb={duck_pd_types[f.name.lower()]} — the driver's "
-                "pandas hash WILL diverge (CAST the oracle, e.g. "
-                "SUM(...) -> CAST(... AS BIGINT))"
+                f"duckdb={duck_types[f.name.lower()]} (renders "
+                f"{d_cls}64 in pandas) — the driver's hash WILL diverge "
+                "(CAST the oracle, e.g. SUM(...) -> CAST(... AS BIGINT))"
             )
     # align duckdb column order to spark's
     idx = [duck_cols.index(c) for c in spark_cols]

@@ -309,3 +309,56 @@ def test_lossy_shed_is_per_microbatch(spark, tmp_path):
     assert len(per_batch) == 2
     # each batch independently kept its newest 2
     assert sorted(per_batch) == [[3, 4], [11, 12]]
+
+
+def test_microbatch_query_keeps_topology_snapshot(spark, tmp_path):
+    """Review r9: the per-microbatch path rebuilds the plan per batch —
+    from the snapshot taken at start(), NOT the live registry, so a
+    concurrent swap_node cannot change a running query's logic (or its
+    output schema) mid-stream. Swaps apply at restart(), per the
+    documented hot-swap contract. Extra sink options must also reach
+    the batch writer (compression shows up in the file names)."""
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+    from dataworks_spark.streaming.transforms import OpChain
+
+    src_dir = str(tmp_path / "in")
+    rows = [("a", t, f"a-{t}") for t in range(1, 6)]
+    spark.createDataFrame(rows, "key string, ts int, payload string").write.parquet(src_dir)
+    g = StreamGraph(spark)
+    g.add_source(
+        "src",
+        lambda: spark.readStream.schema("key string, ts int, payload string").parquet(src_dir),
+    )
+    spec = validate_buffer(
+        {"sliding-buffer": 2}, key_cols=["key"], ts_col="ts", tiebreak="payload"
+    )
+    g.add_node(Node("shed", chain=OpChain().map(v=F.lit("old")), upstreams=["src"], buffer=spec))
+
+    out_dir = str(tmp_path / "out")
+    q = g.start(
+        "shed", sink_format="parquet", checkpoint=str(tmp_path / "ck"),
+        path=out_dir, compression="gzip",
+    )
+    # swap DURING the query's lifetime: the running query must keep 'old'
+    g.swap_node("shed", OpChain().map(v=F.lit("new")))
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out_dir)
+    assert {r.v for r in got.collect()} == {"old"}
+    import glob as _glob
+
+    assert _glob.glob(out_dir + "/*.gz.parquet"), "compression option not forwarded"
+    # restart picks up the swap
+    q2 = g.start(
+        "shed", sink_format="parquet", checkpoint=str(tmp_path / "ck"),
+        path=str(tmp_path / "out2"), query_name="shed2",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    # no new input files -> out2 may be empty; the contract is the
+    # snapshot mechanics, covered by build-on-snapshot below
+    snap_before = dict(g._nodes)
+    g.swap_node("shed", OpChain().map(v=F.lit("newer")))
+    batch = spark.createDataFrame(rows, "key string, ts int, payload string")
+    out_snap = g.build("shed", source_overrides={"src": batch}, nodes=snap_before)
+    assert {r.v for r in out_snap.collect()} == {"new"}  # snapshot logic, not 'newer'

@@ -291,3 +291,31 @@ def test_create_function_still_fails_loudly(spark, tmp_path):
         eng.create_function(
             "stream", {"name": "s1", "steps": [], "upstreams": ["src"]}
         )
+
+
+def test_create_function_retry_succeeds_after_transient_failure(spark, tmp_path):
+    """Review r9: listener.errors is append-only; create_function must
+    re-raise only failures from THIS publish — a name that failed once
+    must not be poisoned forever."""
+    import pytest
+
+    from dataworks_spark.engine import Engine
+
+    eng = Engine({"control.log": str(tmp_path / "bus.log")}, spark=spark)
+    real = eng.listener.handlers["stream"]
+    calls = {"n": 0}
+
+    def flaky(m):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient activation failure")
+        real(m)
+
+    eng.listener.handlers["stream"] = flaky
+    doc = {"name": "s1", "steps": [], "upstreams": ["src"]}
+    with pytest.raises(RuntimeError, match="transient"):
+        eng.create_function("stream", doc)
+    # retry with the SAME name now succeeds (stale error not re-raised)
+    out = eng.create_function("stream", doc)
+    assert out["name"] == "s1"
+    assert "s1" in eng.graph._nodes

@@ -294,3 +294,85 @@ def test_missing_libraries_raise_directed_error(monkeypatch):
 
     with pytest.raises(RuntimeError, match="confluent-kafka is not installed"):
         ConfluentAdmin({})
+
+
+def test_confluent_send_raises_when_delivery_unconfirmed(fake_confluent, monkeypatch):
+    """Review r9: flush returning without the delivery callback firing
+    (broker unreachable) must RAISE, not report offset -1 as success —
+    a control broadcast the engine believes landed but no driver saw."""
+    from dataworks_spark.streaming.kafka_clients import ConfluentProducer
+
+    prod = ConfluentProducer({"bootstrap.servers": "b:9092"})
+    monkeypatch.setattr(prod._producer, "flush", lambda _t=None: 1)  # never delivers
+    with pytest.raises(RuntimeError, match="not delivered"):
+        prod.send("ctl", b"x")
+
+
+def test_confluent_read_raises_on_consumer_error(fake_confluent):
+    """Review r9: a hard consumer error (authz, unknown topic) must not
+    masquerade as an empty control log; partition EOF stays benign."""
+    from dataworks_spark.streaming.kafka_clients import confluent_consumer_factory
+
+    class _ErrMsg:
+        def __init__(self, code):
+            self._code = code
+
+        def error(self):
+            class E:
+                def __init__(self, c):
+                    self._c = c
+
+                def code(self):
+                    return self._c
+
+                def __str__(self):
+                    return f"KafkaError({self._c})"
+
+            return E(self._code)
+
+        def offset(self):
+            return 0
+
+        def value(self):
+            return b""
+
+    log = fake_confluent
+    factory = confluent_consumer_factory({"bootstrap.servers": "b"}, idle_polls=1)
+
+    class _Consumer:
+        def __init__(self, queue):
+            self._q = queue
+
+        def subscribe(self, topics):
+            pass
+
+        def poll(self, _t):
+            return self._q.pop(0) if self._q else None
+
+        def close(self):
+            pass
+
+    import sys
+
+    ck = sys.modules["confluent_kafka"]
+    # hard error -> raise
+    ck.Consumer = lambda conf: _Consumer([_ErrMsg(13)])
+    with pytest.raises(RuntimeError, match="failed"):
+        list(factory("ctl"))
+    # partition EOF (-191) -> benign end-of-data
+    ck.Consumer = lambda conf: _Consumer([_ErrMsg(-191)])
+    assert list(factory("ctl")) == []
+
+
+def test_stream_doc_republish_rewires_upstreams(spark, tmp_path):
+    """Review r9: a doc republished with DIFFERENT upstreams must
+    rewire the live node, not keep the old topology while the
+    persisted document claims the new one."""
+    from dataworks_spark.engine import Engine
+
+    eng = Engine({"control.log": str(tmp_path / "bus.log")}, spark=spark)
+    doc = {"name": "p", "steps": [], "upstreams": ["kafka-a"]}
+    eng.create_function("stream", doc)
+    assert eng.graph._nodes["p"].upstreams == ["kafka-a"]
+    eng.create_function("stream", {**doc, "upstreams": ["kafka-b"]})
+    assert eng.graph._nodes["p"].upstreams == ["kafka-b"]

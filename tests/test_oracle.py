@@ -27,3 +27,17 @@ def test_oracle_match(spark, con, name):
 def test_rows_only(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_dtype_gate_catches_uncast_hugeint(spark, con):
+    """The r8 q_text_stats class: identical VALUES, but DuckDB's
+    SUM(int) declares HUGEINT which pandas renders float64 against
+    Spark's int64 — compare() must fail BEFORE the value check, and
+    the CAST fix must clear it."""
+    df = spark.range(3).selectExpr("sum(id) as s")
+    ok, msg = compare(df, con, "SELECT SUM(x) AS s FROM (VALUES (0),(1),(2)) t(x)")
+    assert not ok and "dtype" in msg
+    ok2, msg2 = compare(
+        df, con, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (0),(1),(2)) t(x)"
+    )
+    assert ok2, msg2

@@ -78,7 +78,8 @@ def main() -> int:
             if s != d:
                 # nullable upcast: if either side holds NULLs pandas
                 # floats an int column; only flag when no NULLs exist
-                if {s, d} == {"int64", "float64"} and (
+                # (compare NORMALIZED families — s/d are 'int'/'float')
+                if {s, d} == {"int", "float"} and (
                     spd[c].isna().any() or dpd[c].isna().any()
                 ):
                     continue
