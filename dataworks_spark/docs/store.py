@@ -52,10 +52,21 @@ def version_log(
     (J2) makes the two differ. ``tombstone`` marks delete versions
     (J5): the doc disappears from the latest view while staying
     queryable as-of the past.
+
+    Two events for one id at the SAME timestamp chain deterministically:
+    the window breaks ts ties on a payload hash (layout-independent),
+    so the survivor is a function of the data, never of partitioning —
+    the earlier-hashed version gets a degenerate [ts, ts) interval
+    (invisible to as_of/latest, same as Crux's same-valid-time
+    supersede). Without the tiebreak a rerun of the same input could
+    flip which document wins (r9 review finding).
     """
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     out = df.withColumn("id", idc)
-    w = Window.partitionBy("id").orderBy(F.col(ts_col).asc())
+    payload_cols = [c for c in df.columns if c != ts_col]
+    w = Window.partitionBy("id").orderBy(
+        F.col(ts_col).asc(), F.xxhash64(*[F.col(c) for c in payload_cols]).asc()
+    )
     out = (
         out.withColumn("valid_from", F.col(ts_col))
         .withColumn("valid_to", F.coalesce(F.lead(ts_col).over(w), F.lit(NEVER)))
@@ -132,17 +143,32 @@ def as_of_snapshot(
     return snap
 
 
-def latest_snapshot(versions: DataFrame, include_deleted: bool = False) -> DataFrame:
+def latest_snapshot(
+    versions: DataFrame,
+    include_deleted: bool = False,
+    now: _dt.datetime | None = None,
+) -> DataFrame:
     """Latest-per-id view (E4 / ReadMe.org:34 LWW): one
     :func:`~dataworks_spark.ops.windows.latest_per_key` pass, DESC on
-    (valid_from, tx_from)."""
+    (valid_from, tx_from).
+
+    ``now`` bounds the view in valid time: versions scheduled in the
+    FUTURE (J2 put with future valid-time, demo-app-1.org:125-127) are
+    excluded until their time arrives — Crux's ``db`` without an
+    explicit valid-time is as-of *now*, not max-valid-time.
+    :meth:`DocumentStore.latest` always passes its clock; the raw
+    function leaves ``now=None`` (unbounded) for fixture-derived logs
+    whose timestamps are all in the past."""
     from dataworks_spark.ops.windows import latest_per_key
 
+    cur = versions.filter(
+        (F.col("tx_to") == F.lit(NEVER))  # current knowledge
+        & (F.col("valid_from") < F.col("valid_to"))  # non-degenerate interval
+    )
+    if now is not None:
+        cur = cur.filter(F.col("valid_from") <= F.lit(now).cast("timestamp"))
     snap = latest_per_key(
-        versions.filter(
-            (F.col("tx_to") == F.lit(NEVER))  # current knowledge
-            & (F.col("valid_from") < F.col("valid_to"))  # non-degenerate interval
-        ),
+        cur,
         key=["id"],
         order_by=[F.col("valid_from").desc(), F.col("tx_from").desc()],
     )
@@ -197,7 +223,11 @@ class DocumentStore:
         return as_of_snapshot(self.versions, valid_time, tx_time)
 
     def latest(self) -> DataFrame:
-        return latest_snapshot(self.versions)
+        """Current documents as-of NOW in valid time (J2: a
+        future-scheduled version stays invisible here until its
+        valid-time arrives — r9 review fix; only :meth:`as_of` honored
+        this before)."""
+        return latest_snapshot(self.versions, now=self._now())
 
     def entity(self, doc_id: str) -> DataFrame:
         """Point lookup (B8, db/app_db.clj:45-48)."""
@@ -244,9 +274,17 @@ class DocumentStore:
         put only for ids whose *current* version matches ``expected`` on
         the given payload columns — the reference's create-vs-update race
         detection and alert claim. Implemented as a semi-join of the put
-        set against the matching current versions (no driver round-trip)."""
+        set against the matching current versions (no driver round-trip).
+        Payload comparison is NULL-SAFE (``<=>``): the reference's match
+        compares whole documents including nil, and a schemaless store
+        legitimately holds NULL for absent/pre-widening attributes — a
+        plain equi-join would silently never match them (r9 review fix)."""
         current = self.latest().select("id", *on_payload)
-        ok_ids = current.join(expected.select("id", *on_payload), on=["id", *on_payload], how="left_semi")
+        exp = expected.select("id", *on_payload)
+        cond = current["id"] == exp["id"]
+        for c in on_payload:
+            cond = cond & current[c].eqNullSafe(exp[c])
+        ok_ids = current.join(exp, on=cond, how="left_semi")
         return self.put(docs.join(ok_ids.select("id"), on="id", how="left_semi"), valid_time)
 
     cas = match_put  # J4 compare-and-set (utils/auth.clj:139-146) — same mechanics
@@ -346,18 +384,36 @@ class DocumentStore:
         new = version_log(df, "id", ts_col).withColumn(
             "tx_from", nowl
         )
-        if set(new.columns) != set(self.versions.columns) and self.versions.isEmpty():
-            # schema-on-first-write: an empty store adopts the first
-            # batch's payload shape (the reference is schemaless —
-            # docs define their own attributes, SURVEY §1.2); a
-            # non-empty store widens at the union below instead
+        if (
+            set(new.columns) != set(self.versions.columns)
+            or _payload_type_conflicts(self.versions, new)
+        ) and self.versions.isEmpty():
+            # schema-on-first-write: a rowless store adopts the first
+            # batch's payload shape (the reference is schemaless — docs
+            # define their own attributes, SURVEY §1.2) whether the
+            # declared schema differs in column SET or a column's type;
+            # a non-empty store widens at the union below instead. The
+            # cheap schema checks run first so the isEmpty job is paid
+            # only when a difference exists (mirrors _apply_write).
             return DocumentStore(new, self._now)
-        firsts = df.groupBy("id").agg(F.min(ts_col).alias("__first_ts"))
-        marked = self.versions.join(firsts, on="id", how="left")
+        firsts = df.groupBy("id").agg(
+            F.min(ts_col).alias("__first_ts"), F.max(ts_col).alias("__last_ts")
+        )
+        marked = self.versions.join(
+            firsts.select("id", "__first_ts"), on="id", how="left"
+        )
+        # retire/correct the version COVERING the batch's first
+        # timestamp — NOT the max-valid_from open version: with a
+        # future-dated version present (J2), matching on
+        # valid_to == NEVER would "correct" the SCHEDULED version to a
+        # negative interval (destroying it) while the actually-covering
+        # version stayed open, yielding two current versions per id
+        # (r9 review fix, live-verified)
         open_cur = (
             F.col("__first_ts").isNotNull()
             & (F.col("tx_to") == F.lit(NEVER))
-            & (F.col("valid_to") == F.lit(NEVER))
+            & (F.col("valid_from") <= F.col("__first_ts"))
+            & (F.col("__first_ts") < F.col("valid_to"))
         )
         retired = marked.withColumn(
             "tx_to", F.when(open_cur, nowl).otherwise(F.col("tx_to"))
@@ -369,11 +425,28 @@ class DocumentStore:
             .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
             .drop("__first_ts")
         )
-        if _payload_type_conflicts(self.versions, new) and self.versions.isEmpty():
-            # schema-on-first-write also covers a same-named, differently-
-            # typed column against a rowless store: nothing to corrupt,
-            # the batch defines the schema
-            return DocumentStore(new, self._now)
+        # the batch's LAST version per id must hold only until the next
+        # scheduled (future-dated) version, mirroring _apply_write's
+        # next_vf rule — version_log alone would leave it open (NEVER)
+        # and overlap the scheduled version
+        next_vf = (
+            self.versions.filter(F.col("tx_to") == F.lit(NEVER))
+            .join(firsts.select("id", "__last_ts"), on="id")
+            .filter(F.col("valid_from") > F.col("__last_ts"))
+            .groupBy("id")
+            .agg(F.min("valid_from").alias("__next_vf"))
+        )
+        new = (
+            new.join(next_vf, on="id", how="left")
+            .withColumn(
+                "valid_to",
+                F.when(
+                    (F.col("valid_to") == F.lit(NEVER)) & F.col("__next_vf").isNotNull(),
+                    F.col("__next_vf"),
+                ).otherwise(F.col("valid_to")),
+            )
+            .drop("__next_vf")
+        )
         merged = _widen_union(self.versions, retired, corrected, new)
         return DocumentStore(merged, self._now)
 

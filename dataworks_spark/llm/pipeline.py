@@ -407,13 +407,11 @@ def mix_corpus(
         return _mix_exact(
             df, strata_col, tokens_col, id_col, bucket, weights, totals, targets
         )
-    full, rem_cut = None, None
-    for s in sorted(weights):
-        nf = F.lit(int(fracs[s]))
-        rc = F.lit(int((fracs[s] - int(fracs[s])) * _HASH_BUCKETS))
-        cond = F.col(strata_col) == F.lit(s)
-        full = F.when(cond, nf) if full is None else full.when(cond, nf)
-        rem_cut = F.when(cond, rc) if rem_cut is None else rem_cut.when(cond, rc)
+    full = _stratum_lit(strata_col, {s: int(fracs[s]) for s in weights})
+    rem_cut = _stratum_lit(
+        strata_col,
+        {s: int((fracs[s] - int(fracs[s])) * _HASH_BUCKETS) for s in weights},
+    )
     copies = full + (bucket < rem_cut).cast("int")
     return (
         df.filter(F.col(strata_col).isin(*weights))
@@ -574,9 +572,10 @@ def dedup_spans(
 _MIX_BINS = 1000
 
 
-def _stratum_lit(strata_col: str, mapping: dict):
+def _stratum_lit(strata_col: str, mapping: dict, default=None):
     """Chained-when literal lookup keyed by stratum (bounded |strata|
-    branches — a broadcast-join-free constant per row)."""
+    branches — a broadcast-join-free constant per row). ``default``
+    fills strata absent from the mapping (NULL otherwise)."""
     expr = None
     for s in sorted(mapping):
         cond = F.col(strata_col) == F.lit(s)
@@ -585,7 +584,9 @@ def _stratum_lit(strata_col: str, mapping: dict):
             if expr is None
             else expr.when(cond, F.lit(mapping[s]))
         )
-    return expr
+    if expr is None:
+        return F.lit(default)
+    return expr if default is None else expr.otherwise(F.lit(default))
 
 
 def _mix_exact(
@@ -726,6 +727,12 @@ def decontaminate(
     )
     candidates = train
     if bloom_fpp is not None:
+        # the Bloom tier consumes the eval-shingle relation THREE times
+        # (count for sizing, the bloom_build scan, the verify join) —
+        # materialize it once or the explode+distinct shuffle the tier
+        # exists to avoid runs three times (r9 review; same pattern as
+        # minhash_near_dup_pairs' banded checkpoint)
+        eval_shingles = eval_shingles.localCheckpoint(eager=False)
         n_items = max(eval_shingles.count(), 1)
         bloom = bloom_build(eval_shingles, F.col("__sh"), n_items, bloom_fpp)
         candidates = train.filter(
@@ -787,7 +794,29 @@ def bucket_by_score(
         agg = F.percentile(score, F.array(*[F.lit(q) for q in qs]))
     else:
         agg = F.percentile_approx(score, F.array(*[F.lit(q) for q in qs]), F.lit(10_000))
-    bounds = df.select(agg.alias("__b")).first()["__b"]
+    # NaN/NULL scores are detected in the SAME one-row aggregate (no
+    # extra job): Spark orders NaN above every value, so a single NaN
+    # would both skew the quantile boundaries and land in the top
+    # bucket; a NULL would silently bucket 0 — both corrupt a CCNet
+    # head/middle/tail split with no error (r9 review, live-verified).
+    # select_token_budget takes the same stance for the same reason.
+    row = df.select(
+        agg.alias("__b"),
+        F.sum(F.isnan(score).cast("long")).alias("__nan"),
+        F.sum(score.isNull().cast("long")).alias("__null"),
+    ).first()
+    if row["__nan"] or row["__null"]:
+        raise ValueError(
+            f"bucket_by_score: {score_col!r} has {row['__nan'] or 0} NaN and "
+            f"{row['__null'] or 0} NULL scores — filter or impute them first "
+            "(NaN skews the quantile boundaries and sorts above every score)"
+        )
+    bounds = row["__b"]
+    if bounds is None:
+        raise ValueError(
+            f"bucket_by_score: no quantile boundaries — input is empty "
+            f"(or {score_col!r} is all-NULL)"
+        )
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(score > F.lit(float(b)), 1).otherwise(0)
@@ -980,9 +1009,9 @@ def stratified_sample_by_hash(
     if not (0.0 <= float(default_fraction) <= 1.0):
         raise ValueError(f"default_fraction must be in [0, 1]: {default_fraction}")
     bucket = _hash_bucket(F.col(id_col), seed, "stratified_sample")
-    cut = F.lit(int(default_fraction * _HASH_BUCKETS))
-    for stratum, frac in fractions.items():
-        cut = F.when(
-            F.col(strata_col) == F.lit(stratum), F.lit(int(float(frac) * _HASH_BUCKETS))
-        ).otherwise(cut)
+    cut = _stratum_lit(
+        strata_col,
+        {s: int(float(f) * _HASH_BUCKETS) for s, f in fractions.items()},
+        default=int(default_fraction * _HASH_BUCKETS),
+    )
     return df.filter(bucket < cut)

@@ -7,7 +7,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from dataworks_spark.docs.store import DocumentStore, version_log
+from dataworks_spark.docs.store import DocumentStore, latest_snapshot, version_log
 from dataworks_spark.functions.timeops import NEVER
 
 
@@ -261,3 +261,83 @@ def test_widening_survives_incremental_compaction(spark, tmp_path):
     rows = {r.id: r for r in s2.latest().collect()}
     assert rows["app/1"].score == 7
     assert rows["user/9"].score is None and rows["user/9"].body == "u0"
+
+
+# ── r9 review regressions (store semantics beyond oracle coverage) ──
+
+
+def test_latest_hides_future_scheduled_version(spark):
+    """J2 through latest()/entity(): a future-dated put is invisible in
+    the latest view until its valid-time arrives (r9 review: only
+    as_of honored this; latest() leaked the scheduled version early)."""
+    s, clock = _store(spark, [("app/alert", "pending")], T0)
+    clock["now"] = T1
+    docs = spark.createDataFrame([("app/alert", "due!")], "id string, body string")
+    s2 = s.put(docs, valid_time=T2)
+    # at T1 the scheduled T2 version must NOT surface
+    assert s2.latest().select("body").collect()[0][0] == "pending"
+    assert s2.entity("app/alert").select("body").collect()[0][0] == "pending"
+    clock["now"] = T2 + dt.timedelta(days=1)
+    assert s2.latest().select("body").collect()[0][0] == "due!"
+
+
+def test_put_log_respects_future_scheduled_version(spark):
+    """r9 review (live-verified corruption): put_log on a store holding
+    a future-dated version must retire the version COVERING the batch
+    timestamp — not the scheduled one — and cap the batch's last
+    interval at the scheduled valid_from. Before the fix the scheduled
+    version was destroyed (negative interval) AND the covering version
+    stayed open, returning two rows per id."""
+    s, clock = _store(spark, [("app/x", "v0")], T0)
+    clock["now"] = T1
+    future = spark.createDataFrame([("app/x", "future")], "id string, body string")
+    s2 = s.put(future, valid_time=T2)
+
+    t15 = dt.datetime(2024, 2, 15)
+    clock["now"] = t15
+    batch = spark.createDataFrame([("app/x", "stream", t15)], "id string, body string, ts timestamp")
+    s3 = s2.put_log(batch)
+
+    # the scheduled version survives and wins after T2
+    after = s3.as_of(T2 + dt.timedelta(days=1)).collect()
+    assert [(r.id, r.body) for r in after] == [("app/x", "future")]
+    # the batch version is visible in [t15, T2) — and exactly ONE row
+    mid = s3.as_of(dt.datetime(2024, 2, 20)).collect()
+    assert [(r.id, r.body) for r in mid] == [("app/x", "stream")]
+    # v0 covers [T0, t15)
+    before = s3.as_of(dt.datetime(2024, 1, 15)).collect()
+    assert [(r.id, r.body) for r in before] == [("app/x", "v0")]
+
+
+def test_match_put_null_payload_matches(spark):
+    """r9 review: the match precondition must treat NULL = NULL on
+    payload columns (the reference's match compares whole documents
+    including nil; schemaless widening leaves NULLs everywhere)."""
+    base = spark.createDataFrame(
+        [("u/1", None)], "id string, val string"
+    ).withColumn("ts", F.lit(T0).cast("timestamp"))
+    clock = {"now": T0}
+    s = DocumentStore(version_log(base, "id", "ts"), now_fn=lambda: clock["now"])
+    clock["now"] = T1
+    new = spark.createDataFrame([("u/1", "set")], "id string, val string")
+    expected = spark.createDataFrame([("u/1", None)], "id string, val string")
+    s2 = s.match_put(new, expected, on_payload=["val"])
+    assert s2.latest().select("val").collect()[0][0] == "set"
+    # and a NON-matching expectation still skips the put
+    s3 = s.match_put(new, spark.createDataFrame([("u/1", "other")], "id string, val string"),
+                     on_payload=["val"])
+    assert s3.latest().select("val").collect()[0][0] is None
+
+
+def test_version_log_same_ts_deterministic(spark):
+    """r9 review: two events for one id at the same timestamp must pick
+    a layout-independent survivor (payload-hash tiebreak), not whatever
+    the partition order produced."""
+    rows = [("u/1", "a", T0), ("u/1", "b", T0)]
+    outs = set()
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "id string, body string, ts timestamp").repartition(parts)
+        log = version_log(df, "id", "ts")
+        survivor = latest_snapshot(log).select("body").collect()[0][0]
+        outs.add(survivor)
+    assert len(outs) == 1  # same survivor under any layout

@@ -2125,3 +2125,35 @@ def test_minhash_estimates_jaccard_accurately(docs):
     p95_err = errs[int(0.95 * len(errs))]
     assert mean_err < 0.05, f"mean |est-exact| {mean_err:.3f}"
     assert p95_err < 0.15, f"p95 |est-exact| {p95_err:.3f}"
+
+
+def test_bucket_by_score_rejects_nan_null_and_empty(spark):
+    """r9 review (live-verified): Spark sorts NaN above every double,
+    so one NaN both skews the quantile boundaries and lands in the top
+    bucket, while NULL silently buckets 0 — bucket_by_score now rejects
+    both in the same one-row aggregate that computes the boundaries,
+    and an empty input gets a descriptive error instead of a bare
+    TypeError."""
+    import pytest
+
+    from dataworks_spark.llm.pipeline import bucket_by_score
+
+    ok = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, score double")
+    out = bucket_by_score(ok, "score", 2)
+    assert {r.score_bucket for r in out.collect()} == {0, 1}
+
+    with_nan = spark.createDataFrame(
+        [(0, 0.1), (1, 0.2), (2, float("nan"))], "id long, score double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        bucket_by_score(with_nan, "score", 2)
+
+    with_null = spark.createDataFrame(
+        [(0, 0.1), (1, 0.2), (2, None)], "id long, score double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        bucket_by_score(with_null, "score", 2)
+
+    empty = spark.createDataFrame([], "id long, score double")
+    with pytest.raises(ValueError, match="empty"):
+        bucket_by_score(empty, "score", 2)
