@@ -244,6 +244,17 @@ def edit_distance_pairs(
     if qgram_filter:
         from pyspark.sql import Window
 
+        # NOTE the pair kernel below runs WITHOUT max_df, on purpose:
+        # the Gravano bound compares the TRUE multiset intersection
+        # against max(|Ga|,|Gb|) − d·q, and capping hub grams would
+        # UNDERCOUNT ``inter`` and silently reject true matches —
+        # exactness here beats the hub-token pruning the similarity
+        # kernels use. The quadratic hub term is therefore intrinsic
+        # to this prefilter: it is a net win when the gram
+        # distribution is spread (names, titles — the entity-resolution
+        # workload it exists for) and a net LOSS on prose-like corpora
+        # with stop-gram hubs; leave qgram_filter=False there
+        # (r9 review note).
         grams = df.select(
             F.col(id_col).alias("doc"),
             F.posexplode(shingle_char_hashes_all(F.col(text_col), q)).alias(
@@ -382,12 +393,34 @@ def minhash_near_dup_pairs(
     reuses exchanges only for identical subplans and the two sides
     differ by their projections. Same pattern at cluster scale: compute
     signatures once, persist, then bucket-join the stored relation
-    (measured ~25% off the query steady-state here)."""
+    (measured ~25% off the query steady-state here).
+
+    Documents too short to produce a single shingle (< ``shingle_n``
+    tokens, or NULL text) are EXCLUDED before banding: their signature
+    would be all-NULL, every such doc would hash to the identical band
+    value in every band (concat_ws skips NULLs), and k short docs — a
+    large population at corpus scale: empty lines, titles — would emit
+    an O(k²) candidate blowup in every bucket, the exact cost the LSH
+    design exists to avoid (r9 review). Shingle-less docs have no
+    Jaccard-over-shingles identity to match on; exact dedup (L1)
+    handles their duplicates."""
+    if n_hashes % bands:
+        # bands > n_hashes would make r = 0 (every band hashes the
+        # empty slice -> all docs collide in all buckets = full O(n²)
+        # self-join); a non-dividing split silently drops the tail
+        # hashes from banding. Both are misconfigurations.
+        raise ValueError(
+            f"bands must divide n_hashes: n_hashes={n_hashes}, bands={bands}"
+        )
     r = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        shingle_hashes(F.col(text_col), shingle_n).alias("hs"),
-    ).select("doc", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig"))
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+        .select("doc", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig"))
+    )
     banded = sig.select(
         "doc",
         "sig",
@@ -542,13 +575,19 @@ def near_dup_clusters(
     Each probe batch is ONE Spark job (non-eager localCheckpoints
     materialized by the convergence probe).
 
-    Convergence is a TYPE-AGNOSTIC signature: bit_xor of xxhash64(label)
-    — ids here are routinely strings ('user/<name>'), for which a plain
-    sum(label) silently nulls out (Spark casts string→double) and would
-    freeze the loop after one round; xor (unlike an ANSI-mode sum)
-    cannot overflow. Labels are monotone non-increasing per node, so a
-    changed labeling cannot xor-compensate back to the same signature
-    except through a 2⁻⁶⁴-scale hash collision.
+    Convergence is a TYPE-AGNOSTIC signature: bit_xor of
+    xxhash64(src, label) — ids here are routinely strings
+    ('user/<name>'), for which a plain sum(label) silently nulls out
+    (Spark casts string→double) and would freeze the loop after one
+    round; xor (unlike an ANSI-mode sum) cannot overflow. The hash is
+    over the (node, label) PAIR, not the label alone: hashing only the
+    label lets even-multiplicity transitions cancel — two nodes making
+    the identical v→w move contribute h(v)⊕h(v)=0 before and
+    h(w)⊕h(w)=0 after, so a still-propagating symmetric subgraph (a
+    mirrored ladder, routine in near-dup graphs) reads as converged
+    and the loop returns SPLIT components (r9 review). Keyed per node,
+    every changed row changes its own hash and a false signature match
+    requires a genuine 2⁻⁶⁴-scale xor-sum collision of the delta.
 
     ``rounds_per_probe`` batches that many prop+jump rounds into each
     materialized job: rounds past convergence are no-ops, so
@@ -582,7 +621,9 @@ def near_dup_clusters(
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )
-    sig = F.bit_xor(F.xxhash64(F.col("label").cast("string")))
+    sig = F.bit_xor(
+        F.xxhash64(F.col("src").cast("string"), F.col("label").cast("string"))
+    )
     labels = (
         sym.select("src")
         .dropDuplicates()

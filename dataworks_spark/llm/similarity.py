@@ -22,13 +22,19 @@ def brute_force_cosine_topk(
     df: DataFrame, vec_col: str, query_vec: list[float], k: int = 10, id_cols: list[str] | None = None
 ) -> DataFrame:
     """Exact top-k by cosine: per-partition heap via orderBy+limit
-    (TakeOrderedAndProject — only k rows per partition move)."""
+    (TakeOrderedAndProject — only k rows per partition move). The
+    ordering is made TOTAL by tiebreaking on the id columns — or, when
+    none are given, on every projected column — so equal-scoring
+    vectors straddling rank k resolve by data, not partition order
+    (the determinism rule knn_join/ivf_build_centroids already follow;
+    r9 review)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         *(id_cols or df.columns),
         cosine_similarity(F.col(vec_col), q).alias("cos_sim"),
     )
-    order = [F.col("cos_sim").desc(), *(F.col(c) for c in (id_cols or []))]
+    tiebreak = id_cols if id_cols else df.columns
+    order = [F.col("cos_sim").desc(), *(F.col(c) for c in tiebreak)]
     return scored.orderBy(*order).limit(k)
 
 
@@ -41,18 +47,39 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Signature = int whose bit i is sign(v·plane_i) — JVM-side dot
-    via zip_with/aggregate against literal plane arrays."""
+    (functions.arrays.dot) against literal plane arrays."""
+    from dataworks_spark.functions.arrays import dot as _dot
+
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         # one py4j literal per plane (per-value lits cost dim round-trips)
         p = F.lit([float(x) for x in plane]).cast("array<double>")
-        dot = F.aggregate(
-            F.zip_with(vec, p, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        d = _dot(vec, p)
+        bucket = bucket + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
     return bucket
+
+
+def _probe_buckets(planes: np.ndarray, query_vec, n_probe: int) -> list[int]:
+    """Combinatorial multi-probe order (Lv et al., VLDB'07), shared by
+    :meth:`LshIndex.topk` and :func:`knn_join_lsh` (r9 review: the two
+    had begun drifting as separate copies): every bucket is the query
+    signature with some bit set flipped; ascending total flipped
+    |margin| (flipping two near-zero hyperplanes beats one confident
+    bit), ties by bucket id. Enumerated driver-side over all 2^planes
+    masks — n_planes is a partition-key-cardinality knob, not a
+    dimension, so the space is small by construction and
+    n_probe = 2^planes degrades gracefully to exact search."""
+    margins = planes @ np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qsig = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
+    n_planes = len(planes)
+    costs = sorted(
+        (
+            sum(abs(margins[i]) for i in range(n_planes) if mask & (1 << i)),
+            qsig ^ mask,
+        )
+        for mask in range(1 << n_planes)
+    )
+    return [b for _, b in costs[: max(n_probe, 1)]]
 
 
 def lsh_cosine_topk(
@@ -190,21 +217,15 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
     unit-normalized driver-side and the row-norm factor is dropped:
     dividing every score by the same positive ‖vec‖ cannot change the
     argmax, so per-centroid work is a single dot."""
+    from dataworks_spark.functions.arrays import dot as _dot
+
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     scores = F.array(
         *[
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    # ONE py4j literal per centroid (F.array of per-value
-                    # lits costs dim round-trips per centroid — plan
-                    # construction alone ran seconds at c=78, dim=64)
-                    F.lit([float(v) for v in cent]).cast("array<double>"),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            # ONE py4j literal per centroid (F.array of per-value lits
+            # costs dim round-trips per centroid — plan construction
+            # alone ran seconds at c=78, dim=64)
+            _dot(vec, F.lit([float(v) for v in cent]).cast("array<double>"))
             for cent in cn
         ]
     )
@@ -294,20 +315,9 @@ class LshIndex:
         bucket is the query signature with some bit SET flipped, and
         the probe order is ascending total flipped-margin |q·plane| —
         flipping two near-zero hyperplanes is more promising than one
-        confident bit. The enumeration is over all 2^planes buckets
-        driver-side (n_planes is small by construction: it is a
-        partition-key cardinality knob, not a dimension), so n_probe
-        ranges up to the full bucket count — n_probe = 2^planes
-        degrades gracefully to exact search."""
-        margins = self.planes @ np.asarray(query_vec, dtype=np.float64)
-        qsig = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
-        n_planes = len(self.planes)
-        costs = []  # (sum of |margin| over flipped bits, bucket)
-        for mask in range(1 << n_planes):
-            cost = sum(abs(margins[i]) for i in range(n_planes) if mask & (1 << i))
-            costs.append((cost, qsig ^ mask))
-        costs.sort()
-        probes = [b for _, b in costs[: max(n_probe, 1)]]
+        confident bit (see :func:`_probe_buckets` for the shared
+        enumeration)."""
+        probes = _probe_buckets(self.planes, query_vec, n_probe)
         cands = self.df.filter(F.col("lsh_bucket").isin(probes))
         return brute_force_cosine_topk(
             cands.drop("lsh_bucket"), self.vec_col, query_vec, k, id_cols
@@ -476,22 +486,13 @@ def knn_join_lsh(
     buckets at the source — and the candidates re-rank through the
     same two-window exact kernel as the brute-force join."""
     spark = index.df.sparkSession
-    n_planes = len(index.planes)
     qrows = queries.select(query_id, query_vec_col).collect()
     pairs = []
     for r in qrows:
-        margins = index.planes @ np.asarray(
-            [float(x) for x in r[query_vec_col]], dtype=np.float64
-        )
-        qsig = int(sum((1 << i) for i, m in enumerate(margins) if m > 0))
-        costs = sorted(
-            (
-                sum(abs(margins[i]) for i in range(n_planes) if mask & (1 << i)),
-                qsig ^ mask,
-            )
-            for mask in range(1 << n_planes)
-        )
-        pairs += [(r[query_id], b) for _, b in costs[: max(n_probe, 1)]]
+        pairs += [
+            (r[query_id], b)
+            for b in _probe_buckets(index.planes, r[query_vec_col], n_probe)
+        ]
     qid_type = queries.schema[query_id].dataType
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -545,11 +546,35 @@ def cosine_pairs_above(
     else:
         if n_planes <= 0:
             raise ValueError("bucketed path needs n_planes > 0; pass exact=True for O(n²)")
-        dim = len(df.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, n_planes, seed)
-        left = left.withColumn("b", lsh_bucket(F.col("v_a"), planes))
-        right = right.withColumn("b", lsh_bucket(F.col("v_b"), planes))
-        pairs = left.join(right, "b").filter(F.col("id_a") < F.col("id_b"))
+        probe = (
+            df.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull()).first()
+        )
+        if probe is None:
+            # no usable vectors (empty frame or all-NULL column): the
+            # pair set is empty — fall through to the exact kernel's
+            # empty cross join instead of crashing on len(None)
+            # (r9 review)
+            pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+        else:
+            dim = len(probe[0])
+            planes = _hyperplanes(dim, n_planes, seed)
+            # one shared bucketed relation, checkpoint-materialized:
+            # the two join sides differ by projection, so without it
+            # each side recomputes every row's n_planes interpreted
+            # dot products (the kernel's dominant cost) — the same
+            # pattern minhash_near_dup_pairs documents and fixes
+            bucketed = df.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__v"),
+                lsh_bucket(F.col(vec_col), planes).alias("b"),
+            ).localCheckpoint(eager=False)
+            left = bucketed.select(
+                F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "b"
+            )
+            right = bucketed.select(
+                F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "b"
+            )
+            pairs = left.join(right, "b").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos_sim") >= threshold)
@@ -598,11 +623,18 @@ def semantic_dedup_pairs(
         df, vec_col, n_centroids=n_clusters, sample=sample, seed=seed
     )
     unit = unit_vector(F.col(vec_col))
+    # checkpoint-materialize the assigned relation: the self-join's two
+    # sides differ by projection, so without it ivf_assign (the
+    # interpreted per-centroid dot argmax — the dominant cost above)
+    # and the normalization run once PER SIDE (r9 review; the pattern
+    # minhash_near_dup_pairs documents, measured ~25% there).
+    # NOTE for bench: any query whose returned frame holds this
+    # checkpoint must sit in bench._REBUILD_EACH_PASS.
     assigned = df.select(
         F.col(id_col),
         unit.alias("__nv"),
         ivf_assign(F.col(vec_col), cents).alias("__c"),
-    )
+    ).localCheckpoint(eager=False)
     left = assigned.select(
         "__c", F.col(id_col).alias("id_a"), F.col("__nv").alias("v_a")
     )

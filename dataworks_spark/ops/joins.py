@@ -132,7 +132,18 @@ def bucketized_interval_join(
     replicate long intervals (bounded by ``max_buckets_per_interval``,
     enforced at execution — a cap breach raises rather than silently
     exploding), longer buckets put unrelated rows in one bucket.
-    Half-open semantics: a point with ``ts == end`` does not match."""
+    Half-open semantics: a point with ``ts == end`` does not match.
+
+    Intervals must be BOUNDED. A NULL start/end (the open-ended
+    'current' row of a version log) follows SQL comparison semantics:
+    ``ts < NULL`` is never true, so the row matches NOTHING — every
+    point after the last closed version silently joins to no interval
+    (r9 review). An in-plan assert cannot catch this (Catalyst rightly
+    prunes rows that cannot satisfy the null-intolerant join
+    condition), so the contract is stated here instead: close open
+    intervals with a far-future sentinel (functions.timeops.NEVER)
+    before calling, or use :func:`asof_join`, which supports open
+    validity natively."""
     bstep = F.expr(f"interval {bucket}")
     p = points.withColumn("__b", F.window(F.col(point_ts), bucket)["start"])
     istart = F.window(F.col(start_col), bucket)["start"]
@@ -148,6 +159,12 @@ def bucketized_interval_join(
             ),
         )
         seq = F.when(guard.isNull(), seq)
+    # NULL start/end rows are unreachable for any in-plan guard: the
+    # join condition is null-intolerant, so Catalyst infers
+    # isnotnull(start/end) and prunes such rows below any assert
+    # (verified against the physical plan). SQL semantics — a NULL
+    # bound matches nothing — are therefore the behavior, documented
+    # loudly above.
     iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__b", F.explode(seq)
     )

@@ -2157,3 +2157,80 @@ def test_bucket_by_score_rejects_nan_null_and_empty(spark):
     empty = spark.createDataFrame([], "id long, score double")
     with pytest.raises(ValueError, match="empty"):
         bucket_by_score(empty, "score", 2)
+
+
+def test_cc_signature_detects_even_multiplicity_changes(spark):
+    """r9 review: the convergence signature must hash (node, label)
+    pairs — hashing the label alone lets two nodes making the identical
+    v->w transition cancel (h(v)^h(v)=0 before, h(w)^h(w)=0 after), so
+    a still-propagating symmetric subgraph read as converged and
+    near_dup_clusters returned split components."""
+    sig_fixed = F.bit_xor(
+        F.xxhash64(F.col("src").cast("string"), F.col("label").cast("string"))
+    )
+    sig_old = F.bit_xor(F.xxhash64(F.col("label").cast("string")))
+    before = spark.createDataFrame([("x", "v"), ("y", "v"), ("z", "q")], "src string, label string")
+    after = spark.createDataFrame([("x", "w"), ("y", "w"), ("z", "q")], "src string, label string")
+    # the old signature cannot see this change; the fixed one must
+    assert before.agg(sig_old).first()[0] == after.agg(sig_old).first()[0]
+    assert before.agg(sig_fixed).first()[0] != after.agg(sig_fixed).first()[0]
+
+
+def test_near_dup_clusters_symmetric_ladder(spark):
+    """End-to-end on the review's adversarial shape: a chain with
+    mirrored pairs hanging off each link — every mirrored pair makes
+    identical transitions each round. One component in, one cluster
+    id out."""
+    from dataworks_spark.llm.dedup import near_dup_clusters
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(6)]
+    ladder = [(f"c{i}", f"x{i}") for i in range(6)] + [(f"c{i}", f"y{i}") for i in range(6)]
+    pairs = spark.createDataFrame(chain + ladder, "doc_a string, doc_b string")
+    out = near_dup_clusters(pairs, rounds_per_probe=1)
+    assert out.select("cluster").distinct().count() == 1
+    assert out.count() == 19  # c0..c6 (7) + x0..x5 (6) + y0..y5 (6)
+
+
+def test_minhash_validates_bands_and_excludes_shingleless_docs(spark):
+    """r9 review: bands must divide n_hashes (bands > n_hashes made
+    r=0 -> every doc collided in every bucket = full O(n^2) self-join);
+    docs too short to shingle must not band at all (their all-NULL
+    signatures all hashed identically)."""
+    import pytest
+
+    from dataworks_spark.llm.dedup import minhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "c d"), (2, "x y z w v u t s r q"), (3, "x y z w v u t s r q")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="divide"):
+        minhash_near_dup_pairs(df, "doc_id", "text", n_hashes=8, bands=16)
+    # docs 0/1 have < 3 tokens -> no shingles -> excluded; 2/3 identical
+    out = minhash_near_dup_pairs(df, "doc_id", "text", n_hashes=16, bands=4, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert got == {(2, 3)}
+
+
+def test_brute_force_topk_deterministic_under_ties(spark):
+    """r9 review: tied cosine scores straddling rank k must resolve by
+    data, not partition layout."""
+    from dataworks_spark.llm.similarity import brute_force_cosine_topk
+
+    rows = [(i, [1.0, 0.0]) for i in range(6)] + [(9, [0.0, 1.0])]
+    outs = []
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, "vid long, vec array<double>").repartition(parts)
+        top = brute_force_cosine_topk(df, "vec", [1.0, 0.0], k=3)
+        outs.append(sorted(r.vid for r in top.collect()))
+    assert outs[0] == outs[1] == [0, 1, 2]
+
+
+def test_cosine_pairs_above_bucketed_empty_input(spark):
+    """r9 review: the bucketed path crashed (len(None)) on an empty
+    frame; it must return the empty pair set like the exact path."""
+    from dataworks_spark.llm.similarity import cosine_pairs_above
+
+    empty = spark.createDataFrame([], "vid long, vec array<double>")
+    out = cosine_pairs_above(empty, "vid", "vec", threshold=0.5, exact=False, n_planes=4)
+    assert out.count() == 0

@@ -117,3 +117,29 @@ def test_bucketized_interval_join_edges(spark):
     ivk = iv.withColumn("user_id", F.lit(1))
     outk = bucketized_interval_join(ptsk, ivk, "ts", bucket="1 hour", extra_keys=("user_id",))
     assert sorted((r.event_id, r.window_id) for r in outk.collect()) == [(1, 10)]
+
+
+def test_bucketized_interval_join_null_end_is_sql_semantics(spark):
+    """r9 review follow-through: an open-ended interval (NULL end — a
+    version log's 'current' row) matches NOTHING, per SQL comparison
+    semantics (ts < NULL is never true). An in-plan assert is
+    unreachable — Catalyst prunes rows that cannot satisfy the
+    null-intolerant join — so the behavior is pinned here and the
+    docstring directs callers to a NEVER sentinel or asof_join. The
+    sentinel-closed twin of the same interval DOES match."""
+    import datetime as dt
+
+    from dataworks_spark.functions.timeops import NEVER
+    from dataworks_spark.ops.joins import bucketized_interval_join
+
+    t = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(t,)], "ts timestamp")
+    open_iv = spark.createDataFrame(
+        [(t - dt.timedelta(hours=1), None)], "start timestamp, end timestamp"
+    )
+    assert bucketized_interval_join(pts, open_iv, "ts").count() == 0
+    closed = spark.createDataFrame(
+        [(t - dt.timedelta(hours=1), t + dt.timedelta(hours=1))],
+        "start timestamp, end timestamp",
+    )
+    assert bucketized_interval_join(pts, closed, "ts").count() == 1
