@@ -134,7 +134,18 @@ class DatalogDB:
         bound = self._eval_clauses(where, args, rule_map, rule_env)
 
         for var, value in args.items():
-            if _vcol(var) in bound.columns and not isinstance(value, DataFrame):
+            if isinstance(value, DataFrame):
+                continue
+            if _is_var(var) and _vcol(var) not in bound.columns:
+                # a ?-arg that binds nothing is a typo'd :in binding —
+                # silently skipping it would return the full unfiltered
+                # result (Crux errors on undeclared :in; r9 review).
+                # Non-? keys stay legal as named predicate constants.
+                raise ValueError(
+                    f"arg {var!r} binds no variable of the query "
+                    f"(bound: {sorted(bound.columns)})"
+                )
+            if _vcol(var) in bound.columns:
                 bound = bound.filter(F.col(_vcol(var)) == F.lit(value))
 
         return bound.select(*[_vcol(v) for v in find]).dropDuplicates()
@@ -226,17 +237,43 @@ class DatalogDB:
         ns, field = attr.split("/", 1)
         df, id_col = self.table(ns)
 
-        cols = [F.col(id_col).alias(_vcol(evar))]
-        flt = None
+        cols, flt = [], None
+
+        def _and(c):
+            nonlocal flt
+            flt = c if flt is None else (flt & c)
+
+        if _is_var(evar):
+            cols.append(F.col(id_col).alias(_vcol(evar)))
+        else:
+            # constant ENTITY — Crux's point lookup [(const attr ?v)]:
+            # filter on the id, never mangle the constant into a column
+            # name (r9 review: a constant here was treated as a
+            # variable, returning EVERY entity under a stripped alias)
+            _and(F.col(id_col) == F.lit(evar))
         if value is None:
             # existence pattern [e :ns/field] — attribute must be present
-            flt = F.col(field).isNotNull()
+            _and(F.col(field).isNotNull())
         elif _is_var(value):
-            cols.append(F.col(field).alias(_vcol(value)))
+            if _is_var(evar) and _vcol(value) == _vcol(evar):
+                # repeated variable in one triple = unification filter
+                # (?x attr ?x), not two same-named output columns
+                # (r9 review: the duplicate alias broke downstream joins
+                # with AMBIGUOUS_REFERENCE)
+                _and(F.col(field) == F.col(id_col))
+            else:
+                cols.append(F.col(field).alias(_vcol(value)))
         else:
             # constant-bound pattern (C3, collector.clj:74-78)
-            flt = F.col(field) == F.lit(value)
-        proj = df.filter(flt).select(*cols) if flt is not None else df.select(*cols)
+            _and(F.col(field) == F.lit(value))
+        proj = df.filter(flt) if flt is not None else df
+        if cols:
+            proj = proj.select(*cols)
+        else:
+            # all-constant triple = existence assertion: a 0-column,
+            # ≤1-row gate (crossJoin with it keeps or empties the
+            # bindings without duplication)
+            proj = proj.limit(1).select()
 
         if bound is None:
             return proj
@@ -253,12 +290,20 @@ class DatalogDB:
         value = rest[0] if rest else None
         ns, field = attr.split("/", 1)
         df, id_col = self.table(ns)
+        if not _is_var(evar):
+            raise ValueError(
+                "negation patterns need a variable entity term "
+                f"(got constant {evar!r}); bind it positively first"
+            )
         cols = [F.col(id_col).alias(_vcol(evar))]
         proj = df
         if value is None:
             proj = proj.filter(F.col(field).isNotNull())
         elif _is_var(value):
-            cols.append(F.col(field).alias(_vcol(value)))
+            if _vcol(value) == _vcol(evar):
+                proj = proj.filter(F.col(field) == F.col(id_col))
+            else:
+                cols.append(F.col(field).alias(_vcol(value)))
         else:
             proj = proj.filter(F.col(field) == F.lit(args.get(value, value)))
         proj = proj.select(*cols)
@@ -299,13 +344,23 @@ class DatalogDB:
         head_cols = rel.columns
         if len(terms) != len(head_cols):
             raise ValueError(f"rule {name} has {len(head_cols)} head vars, called with {len(terms)}")
-        cols, flt = [], None
+        cols, flt, seen = [], None, {}
         for hc, term in zip(head_cols, terms):
             if _is_var(term):
-                cols.append(F.col(hc).alias(_vcol(term)))
+                v = _vcol(term)
+                if v in seen:
+                    # repeated variable across call positions =
+                    # unification filter, e.g. (reach ?a ?a) keeps the
+                    # diagonal (r9 review: two same-named aliases broke
+                    # with AMBIGUOUS_REFERENCE instead)
+                    cond = F.col(hc) == F.col(seen[v])
+                else:
+                    seen[v] = hc
+                    cols.append(F.col(hc).alias(v))
+                    continue
             else:
                 cond = F.col(hc) == F.lit(term)
-                flt = cond if flt is None else (flt & cond)
+            flt = cond if flt is None else (flt & cond)
         proj = (rel.filter(flt) if flt is not None else rel).select(*cols)
         # rel is distinct by construction; a full-width variable-only
         # projection (rename) stays distinct — only constant-filtered
@@ -334,6 +389,54 @@ class DatalogDB:
         a revisited tuple never re-enters the delta."""
         if rule.name in rule_env:
             return rule_env[rule.name]
+        # Mutual-recursion guard (r9 review): the engine supports
+        # SELF-recursion (semi-naive / doubling below); a rule whose
+        # body calls another rule that is still being materialized
+        # (A↔B) would either recurse forever or silently cache B
+        # against a PARTIAL mid-fixpoint snapshot of A — both worse
+        # than a clear error. In-flight names ride rule_env under a
+        # reserved key; or-branch-nested calls are walked too.
+        inflight: set = rule_env.setdefault("__in_flight__", set())  # type: ignore[assignment]
+        if rule.name in inflight:
+            # re-entry through a nested (e.g. or-branch) self-call that
+            # the top-level recursion classifier cannot route through
+            # the semi-naive delta — would recurse forever otherwise
+            raise ValueError(
+                f"rule {rule.name!r} calls itself from a nested clause "
+                "(or-branch); self-recursion must be a top-level body clause"
+            )
+
+        def _called_names(clauses) -> set:
+            out = set()
+            for c in clauses:
+                h = c[0]
+                if isinstance(h, str) and h in ("or", "and"):
+                    for br in c[1:]:
+                        out |= _called_names([br] if not (
+                            isinstance(br[0], str) and br[0] == "and"
+                        ) else list(br[1:]))
+                elif isinstance(h, str):
+                    out.add(h)
+            return out
+
+        for body in rule.bodies:
+            crossed = _called_names(body) & inflight
+            crossed.discard(rule.name)
+            if crossed:
+                raise ValueError(
+                    f"mutual recursion between rules {rule.name!r} and "
+                    f"{sorted(crossed)} is not supported (self-recursion is); "
+                    "restructure as one rule with multiple bodies"
+                )
+        inflight.add(rule.name)
+        try:
+            return self._eval_rule_inner(rule, rule_map, rule_env)
+        finally:
+            inflight.discard(rule.name)
+
+    def _eval_rule_inner(
+        self, rule: "Rule", rule_map: dict[str, "Rule"], rule_env: dict[str, DataFrame]
+    ) -> DataFrame:
         if rule.edge_attr is not None:
             ns, field = rule.edge_attr.split("/", 1)
             df, id_col = self.table(ns)
@@ -399,7 +502,12 @@ class DatalogDB:
         # (same split as ops.recursive._doubling's seed vs rounds).
         tagged = rel.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
         prev = tagged.count()
-        with adaptive_rounds(self.spark) as rt:
+        # session from the relation, not self.spark: DatalogDB() is
+        # constructible session-free (every other path derives sessions
+        # from the registered DataFrames) and this was the one spot
+        # that dereferenced the optional attribute (r9 review:
+        # AttributeError only on general recursive rules)
+        with adaptive_rounds(self.spark or rel.sparkSession) as rt:
             return self._fixpoint(
                 rule, rule_map, rule_env, rec_bodies, head_vars, tagged, prev, rt
             )

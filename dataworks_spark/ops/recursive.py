@@ -65,6 +65,15 @@ def transitive_closure(
     initial dedup shuffle is skipped."""
     if method == "doubling":
         return _doubling(edges, src, dst, max_iterations, strict, depth_bound, assume_distinct)
+    if method != "semi_naive":
+        # a typo ('Doubling', 'doublng') must not silently run the
+        # per-depth-barrier path and drop depth_bound (r9 review)
+        raise ValueError(f"unknown method {method!r}: 'doubling' or 'semi_naive'")
+    if depth_bound is not None:
+        raise ValueError(
+            "depth_bound is a doubling-path optimization; semi_naive ignores "
+            "it — pass method='doubling' (or drop the bound)"
+        )
     return _semi_naive(edges, src, dst, max_iterations, strict, assume_distinct)
 
 
@@ -299,7 +308,15 @@ def _doubling(
                 closure = rt.lift(
                     _square(_square(closure).dropDuplicates()).dropDuplicates()
                 ).localCheckpoint(eager=False)
-                prev = closure.count()
+                cur = closure.count()
+                if cur == prev:
+                    # the graph closed sooner than the proven bound —
+                    # honor the documented early exit instead of paying
+                    # the remaining squaring barriers on a converged
+                    # relation (r9 review: prev was recomputed but
+                    # never compared on this path)
+                    return _lift(closure, spark)
+                prev = cur
                 rounds -= 2
         out = closure
         for _ in range(rounds):

@@ -42,7 +42,14 @@ _USER_SCHEMA = (
     "valid_to timestamp, tx_from timestamp, tx_to timestamp, deleted boolean"
 )
 
-_PBKDF2_ITERS = 100_000
+# 600k per current OWASP password-storage guidance for
+# PBKDF2-HMAC-SHA256 (r9 review; 100k was ~6x under the recommended
+# work factor for the bcrypt-replacement role this plays). New hashes
+# embed their iteration count (pbkdf2$<iters>$<salt>$<digest>) so the
+# cost can be raised again without breaking stored credentials; the
+# legacy 3-field format verifies at its original 100k.
+_PBKDF2_ITERS = 600_000
+_PBKDF2_LEGACY_ITERS = 100_000
 
 
 def hash_password(password: str, salt: bytes | None = None) -> str:
@@ -50,16 +57,24 @@ def hash_password(password: str, salt: bytes | None = None) -> str:
     reference's bcrypt hasher, auth.clj:62)."""
     salt = salt or os.urandom(16)
     digest = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, _PBKDF2_ITERS)
-    return f"pbkdf2${salt.hex()}${digest.hex()}"
+    return f"pbkdf2${_PBKDF2_ITERS}${salt.hex()}${digest.hex()}"
 
 
 def verify_password(password: str, stored: str) -> bool:
-    try:
-        _, salt_hex, digest_hex = stored.split("$")
-    except ValueError:
+    parts = stored.split("$")
+    if len(parts) == 4:  # pbkdf2$<iters>$<salt>$<digest>
+        _, iters_s, salt_hex, digest_hex = parts
+        try:
+            iters = int(iters_s)
+        except ValueError:
+            return False
+    elif len(parts) == 3:  # legacy format, fixed original cost
+        _, salt_hex, digest_hex = parts
+        iters = _PBKDF2_LEGACY_ITERS
+    else:
         return False
     digest = hashlib.pbkdf2_hmac(
-        "sha256", password.encode(), bytes.fromhex(salt_hex), _PBKDF2_ITERS
+        "sha256", password.encode(), bytes.fromhex(salt_hex), iters
     )
     return hmac.compare_digest(digest.hex(), digest_hex)
 
@@ -75,7 +90,13 @@ def _unb64(s: str) -> bytes:
 def create_token(claims: dict, secret: str, ttl_s: int = 3600, now: _dt.datetime | None = None) -> str:
     """Signed compact token over JSON claims + expiry (create-token,
     auth.clj:11-19; HS256-shaped: payload.signature)."""
-    now = now or _dt.datetime.utcnow()
+    # timezone-AWARE UTC: .timestamp() on a naive datetime is
+    # interpreted as LOCAL time, skewing exp by the host's UTC offset —
+    # tokens minted on a non-UTC host would be rejected (or over-valid)
+    # by a UTC verifier sharing the secret (r9 review)
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=_dt.timezone.utc)
     payload = dict(claims, exp=int((now + _dt.timedelta(seconds=ttl_s)).timestamp()))
     body = _b64(json.dumps(payload, sort_keys=True).encode())
     sig = _b64(hmac.new(secret.encode(), body.encode(), hashlib.sha256).digest())
@@ -85,7 +106,9 @@ def create_token(claims: dict, secret: str, ttl_s: int = 3600, now: _dt.datetime
 def verify_token(token: str, secret: str, now: _dt.datetime | None = None) -> dict | None:
     """Signature + expiry check (token-verify, auth.clj:20-27); returns
     the claims or None."""
-    now = now or _dt.datetime.utcnow()
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=_dt.timezone.utc)  # treat naive input as UTC
     try:
         body, sig = token.split(".")
     except ValueError:

@@ -50,3 +50,45 @@ def test_user_registry_lifecycle(spark):
     # token from another secret is rejected
     other = create_token({"user": "ada", "roles": ["admin"]}, "other", now=T0)
     assert not reg.authorize(other, ("admin",))
+
+
+def test_token_expiry_is_true_epoch_utc():
+    """r9 review: naive utcnow().timestamp() is interpreted as LOCAL
+    time — exp skewed by the host's UTC offset, breaking cross-host
+    verification. The claim must be a true epoch."""
+    import datetime as dt
+    import time
+
+    from dataworks_spark.registry.auth import create_token, verify_token
+
+    tok = create_token({"sub": "u"}, "s", ttl_s=3600)
+    claims = verify_token(tok, "s")
+    assert claims is not None
+    # true epoch: within a minute of time.time() + ttl, regardless of TZ
+    assert abs(claims["exp"] - (time.time() + 3600)) < 60
+    # a verifier passing naive utc 'now' agrees with an aware one
+    aware = dt.datetime.now(dt.timezone.utc)
+    naive_utc = aware.replace(tzinfo=None)
+    assert verify_token(tok, "s", now=aware) is not None
+    assert verify_token(tok, "s", now=naive_utc) is not None
+
+
+def test_password_hash_embeds_iterations_with_legacy_fallback():
+    import hashlib
+
+    from dataworks_spark.registry.auth import (
+        _PBKDF2_LEGACY_ITERS,
+        hash_password,
+        verify_password,
+    )
+
+    h = hash_password("pw")
+    assert h.split("$")[1] == "600000"  # cost embedded -> raisable later
+    assert verify_password("pw", h) and not verify_password("no", h)
+    # legacy 3-field hashes verify at their original cost
+    salt = b"0123456789abcdef"
+    legacy_digest = hashlib.pbkdf2_hmac(
+        "sha256", b"pw", salt, _PBKDF2_LEGACY_ITERS
+    ).hex()
+    legacy = f"pbkdf2${salt.hex()}${legacy_digest}"
+    assert verify_password("pw", legacy)

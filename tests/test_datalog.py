@@ -266,3 +266,102 @@ def test_transitive_recognizer_shape_gate():
     lin = [[("r", "?a", "?m"), ("?m", "e/d", "?b")]]
     r3 = Rule("r", head=("?a", "?b"), bodies=[[("?a", "e/d", "?b")], lin[0]])
     assert not DatalogDB._is_transitive_rule(r3, lin)
+
+
+# ── r9 fourth-review regressions ─────────────────────────────────────
+
+
+def _mini_db(spark):
+    from dataworks_spark.docs.datalog import DatalogDB
+
+    db = DatalogDB()
+    df = spark.createDataFrame(
+        [("alert-1", "h1", "alert-1"), ("alert-2", "h2", "x")],
+        "id string, handler string, self_ref string",
+    )
+    db.register("alert", df, "id")
+    return db
+
+
+def test_constant_entity_term_filters_id(spark):
+    """r9 review: a constant in the entity position was treated as a
+    variable (first char stripped, no id filter) — the natural Crux
+    point lookup returned EVERY entity."""
+    db = _mini_db(spark)
+    got = db.q(find=["?h"], where=[("alert-1", "alert/handler", "?h")]).collect()
+    assert [r.h for r in got] == ["h1"]
+    # all-constant triple = existence gate
+    assert db.q(
+        find=["?h"],
+        where=[("?e", "alert/handler", "?h"), ("alert-1", "alert/handler", "h1")],
+    ).count() == 2
+    assert db.q(
+        find=["?h"],
+        where=[("?e", "alert/handler", "?h"), ("alert-1", "alert/handler", "nope")],
+    ).count() == 0
+
+
+def test_repeated_variable_unifies(spark):
+    """r9 review: (?x attr ?x) produced two same-named columns
+    (AMBIGUOUS_REFERENCE downstream) instead of an equality filter."""
+    db = _mini_db(spark)
+    got = db.q(find=["?x"], where=[("?x", "alert/self_ref", "?x")]).collect()
+    assert [r.x for r in got] == ["alert-1"]
+
+
+def test_unbound_qmark_arg_raises(spark):
+    """r9 review: a typo'd ?arg silently returned the full unfiltered
+    result; Crux errors on undeclared :in bindings."""
+    import pytest
+
+    db = _mini_db(spark)
+    with pytest.raises(ValueError, match="binds no variable"):
+        db.q(
+            find=["?h"],
+            where=[("?e", "alert/handler", "?h")],
+            args={"?typo": "h1"},
+        )
+
+
+def test_mutual_recursion_raises_clearly(spark):
+    """r9 review: A<->B either recursed Python forever or silently
+    cached B against a partial mid-fixpoint snapshot of A; both are a
+    clear error now (self-recursion stays supported)."""
+    import pytest
+
+    from dataworks_spark.docs.datalog import DatalogDB, Rule
+
+    db = DatalogDB()
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "id string, next string")
+    db.register("edge", edges, "id")
+    rule_a = Rule(
+        name="ra",
+        head=("?x", "?y"),
+        bodies=[
+            [("?x", "edge/next", "?y")],
+            [("rb", "?x", "?m"), ("ra", "?m", "?y")],
+        ],
+    )
+    rule_b = Rule(
+        name="rb",
+        head=("?x", "?y"),
+        bodies=[[("ra", "?x", "?y")]],
+    )
+    with pytest.raises(ValueError, match="mutual recursion"):
+        db.q(
+            find=["?x", "?y"],
+            where=[("ra", "?x", "?y")],
+            rules=[rule_a, rule_b],
+        ).collect()
+
+
+def test_transitive_closure_validates_method_and_bound(spark):
+    import pytest
+
+    from dataworks_spark.ops.recursive import transitive_closure
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="unknown method"):
+        transitive_closure(edges, method="Doubling")
+    with pytest.raises(ValueError, match="doubling-path"):
+        transitive_closure(edges, method="semi_naive", depth_bound=8)
