@@ -36,6 +36,28 @@ from pyspark.sql import functions as F
 from dataworks_spark.functions.timeops import NEVER
 
 
+def _contains_map(dt) -> bool:
+    """True if the type is, or nests, a MapType — the types xxhash64
+    rejects by default (map hashing is order-sensitive, so Spark makes
+    callers opt in explicitly)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _hash_safe(col: Column, dt) -> Column:
+    """A column usable inside xxhash64 regardless of payload type:
+    map-carrying columns serialize through to_json first (deterministic
+    for a given physical value — all the tiebreak needs)."""
+    return F.to_json(col) if _contains_map(dt) else col
+
+
 def version_log(
     df: DataFrame,
     id_col: Column | str,
@@ -64,8 +86,15 @@ def version_log(
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     out = df.withColumn("id", idc)
     payload_cols = [c for c in df.columns if c != ts_col]
+    # xxhash64 rejects MapType (and any type containing one) by
+    # default; a schemaless doc batch may legitimately carry map-typed
+    # payload — hash those columns via to_json so the tiebreak never
+    # narrows the accepted payload shapes (r9 ADVICE)
     w = Window.partitionBy("id").orderBy(
-        F.col(ts_col).asc(), F.xxhash64(*[F.col(c) for c in payload_cols]).asc()
+        F.col(ts_col).asc(),
+        F.xxhash64(
+            *[_hash_safe(F.col(c), df.schema[c].dataType) for c in payload_cols]
+        ).asc(),
     )
     out = (
         out.withColumn("valid_from", F.col(ts_col))
@@ -372,13 +401,17 @@ class DocumentStore:
         own timestamp (the streaming-ingest write shape, §3.2). ``df``
         carries ``id`` + payload + ``ts_col``.
 
-        Set-based, no per-timestamp loop: intervals are computed within
-        the batch by one window pass; each id's previously-open version
-        is retired (tx_to = now) and re-asserted closed at the batch's
-        first timestamp for that id. Precondition: batch timestamps are
-        ≥ the id's current open valid_from (monotonic log append — the
-        Kafka-ingest case); out-of-order corrections go through
-        :meth:`put` row-transactions instead."""
+        Set-based, no per-timestamp loop, and semantically EQUIVALENT to
+        applying :meth:`put` once per event in timestamp order at this
+        one transaction time: intervals are computed within the batch by
+        one window pass; every tx-current version whose interval
+        contains a batch timestamp — the covering version AND any
+        future-scheduled (J2) version the batch straddles — is retired
+        (tx_to = now) and re-asserted closed at the earliest such
+        timestamp; every batch version is capped at the next known
+        version's valid_from (within batch or scheduled), so no two
+        current versions ever overlap (r9 ADVICE fix; previously a
+        batch straddling a scheduled version corrupted both)."""
         now = self._now()
         nowl = F.lit(now).cast("timestamp")
         new = version_log(df, "id", ts_col).withColumn(
@@ -396,56 +429,78 @@ class DocumentStore:
             # cheap schema checks run first so the isEmpty job is paid
             # only when a difference exists (mirrors _apply_write).
             return DocumentStore(new, self._now)
-        firsts = df.groupBy("id").agg(
-            F.min(ts_col).alias("__first_ts"), F.max(ts_col).alias("__last_ts")
+        # Set-based equivalent of applying put() SEQUENTIALLY per batch
+        # event (all at this one tx time). The previous formulation only
+        # corrected the version covering the batch's FIRST timestamp and
+        # only capped the batch's LAST version at the next scheduled
+        # valid_from beyond __last_ts — so a batch straddling a
+        # future-scheduled version (scheduled T2, batch ts T1<T2 and
+        # T3>T2) left the T1 version overlapping [T2,T3) AND the
+        # scheduled version open alongside T3's: two current versions
+        # per id (r9 ADVICE medium). The general rules, applied to
+        # EVERY version / EVERY batch row:
+        #
+        # 1. every tx-current version whose validity interval contains
+        #    a batch timestamp is retired (tx_to = now) and re-asserted
+        #    with validity shortened to end at the EARLIEST such
+        #    timestamp — covering version and straddled scheduled
+        #    versions alike, one uniform predicate;
+        # 2. every batch version holds until min(next batch event for
+        #    the id [version_log's window], first tx-current valid_from
+        #    strictly after its own) — so no batch interval ever crosses
+        #    a scheduled version's start.
+        #
+        # Both are id-keyed joins of the version log against the batch —
+        # per-id fan-out is versions-per-id × batch-rows-per-id, and at
+        # 100 TB the id-partitioned layout co-locates them.
+        cur = self.versions.filter(F.col("tx_to") == F.lit(NEVER))
+        bts = df.select("id", F.col(ts_col).alias("__bts"))
+        corr_ts = (
+            cur.select("id", "valid_from", "valid_to")
+            .join(bts, on="id")
+            .filter(
+                (F.col("valid_from") <= F.col("__bts"))
+                & (F.col("__bts") < F.col("valid_to"))
+            )
+            .groupBy("id", "valid_from", "valid_to")
+            .agg(F.min("__bts").alias("__c_ts"))
         )
+        # (id, valid_from, valid_to) keys tx-current rows uniquely (two
+        # identical current intervals would already be corruption);
+        # retired ancestors sharing the key stay untouched via the
+        # tx_to == NEVER guard below
         marked = self.versions.join(
-            firsts.select("id", "__first_ts"), on="id", how="left"
+            corr_ts, on=["id", "valid_from", "valid_to"], how="left"
         )
-        # retire/correct the version COVERING the batch's first
-        # timestamp — NOT the max-valid_from open version: with a
-        # future-dated version present (J2), matching on
-        # valid_to == NEVER would "correct" the SCHEDULED version to a
-        # negative interval (destroying it) while the actually-covering
-        # version stayed open, yielding two current versions per id
-        # (r9 review fix, live-verified)
-        open_cur = (
-            F.col("__first_ts").isNotNull()
-            & (F.col("tx_to") == F.lit(NEVER))
-            & (F.col("valid_from") <= F.col("__first_ts"))
-            & (F.col("__first_ts") < F.col("valid_to"))
-        )
+        hit = F.col("__c_ts").isNotNull() & (F.col("tx_to") == F.lit(NEVER))
         retired = marked.withColumn(
-            "tx_to", F.when(open_cur, nowl).otherwise(F.col("tx_to"))
-        ).drop("__first_ts")
+            "tx_to", F.when(hit, nowl).otherwise(F.col("tx_to"))
+        ).drop("__c_ts")
         corrected = (
-            marked.filter(open_cur)
-            .withColumn("valid_to", F.col("__first_ts"))
+            marked.filter(hit)
+            .withColumn("valid_to", F.col("__c_ts"))
             .withColumn("tx_from", nowl)
             .withColumn("tx_to", F.lit(NEVER).cast("timestamp"))
-            .drop("__first_ts")
+            .drop("__c_ts")
         )
-        # the batch's LAST version per id must hold only until the next
-        # scheduled (future-dated) version, mirroring _apply_write's
-        # next_vf rule — version_log alone would leave it open (NEVER)
-        # and overlap the scheduled version
-        next_vf = (
-            self.versions.filter(F.col("tx_to") == F.lit(NEVER))
-            .join(firsts.select("id", "__last_ts"), on="id")
-            .filter(F.col("valid_from") > F.col("__last_ts"))
-            .groupBy("id")
-            .agg(F.min("valid_from").alias("__next_vf"))
+        caps = (
+            new.select("id", "valid_from")
+            .join(
+                cur.select("id", F.col("valid_from").alias("__s_vf")), on="id"
+            )
+            .filter(F.col("__s_vf") > F.col("valid_from"))
+            .groupBy("id", "valid_from")
+            .agg(F.min("__s_vf").alias("__cap"))
         )
         new = (
-            new.join(next_vf, on="id", how="left")
+            new.join(caps, on=["id", "valid_from"], how="left")
             .withColumn(
                 "valid_to",
                 F.when(
-                    (F.col("valid_to") == F.lit(NEVER)) & F.col("__next_vf").isNotNull(),
-                    F.col("__next_vf"),
+                    F.col("__cap") < F.col("valid_to"), F.col("__cap")
                 ).otherwise(F.col("valid_to")),
             )
-            .drop("__next_vf")
+            .drop("__cap")
         )
         merged = _widen_union(self.versions, retired, corrected, new)
         return DocumentStore(merged, self._now)

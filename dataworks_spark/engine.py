@@ -80,10 +80,12 @@ class Engine:
 
     # -- §3.1 create!/update! ------------------------------------------
     def create_function(self, function_type: str, doc: dict) -> dict | Invalid:
-        """The stored-function deployment pipeline: validate → persist
-        (app-db) → activate locally → propagate (control topic). Returns
+        """The stored-function deployment pipeline: validate → activate
+        locally → persist (app-db) → propagate (control topic). Returns
         the accepted doc or the first validation failure (the `->?`
-        short-circuit, §3.1 step 3)."""
+        short-circuit, §3.1 step 3). Activation runs FIRST so a doc
+        that validates but fails to activate raises before anything is
+        persisted or broadcast — no other driver ever sees it."""
         checks = {
             "stream": (
                 missing_field("name", "steps", "upstreams"),
@@ -106,6 +108,23 @@ class Engine:
         if isinstance(result, Invalid):
             return result
 
+        # validate → ACTIVATE → persist → broadcast (r9 ADVICE fix: the
+        # previous persist-publish-then-activate order left a doc in the
+        # app-db and on the bus when local activation failed — other
+        # drivers activated it while this one raised and, with its
+        # listener offset already advanced, permanently skipped it).
+        # Catch up on the log first so the trial activation sees the
+        # same local state a replaying driver would.
+        self.listener.poll()
+        msg = FunctionChanged(function_type, result["name"], result)
+        handler = self.listener.handlers.get(function_type)
+        if handler is not None:
+            # trial activation through the SAME handler the consume
+            # path uses; a failure raises HERE, before any global side
+            # effect — no app-db row, no bus message, nothing any other
+            # driver could have seen
+            handler(msg)
+
         # persist the function document (added-to-db?, db/app_db.clj:95-113)
         # as JSON — machine-parseable on reload, same encoding the bus uses
         fn_doc = self.spark.createDataFrame(
@@ -114,22 +133,14 @@ class Engine:
         )
         self.app_db = self.app_db.put(fn_doc)
 
-        # broadcast (stream.clj:21-28 publish), then activate via the
-        # SAME consume path every other driver uses — one code path, no
-        # local double-apply when this engine's listener replays the log
-        # snapshot BEFORE publish: errors is append-only, so only
-        # entries recorded by THIS poll can belong to this publish —
-        # matching on (type, name) alone would re-raise a stale failure
-        # forever on every retry of the same function name
-        n_errors = len(self.listener.errors)
-        self.bus.publish(FunctionChanged(function_type, result["name"], result))
+        # broadcast (stream.clj:21-28 publish). Our own listener will
+        # re-apply the message on its next poll — handlers are
+        # replay-idempotent BY CONTRACT (a restarted listener replays
+        # the whole log from offset 0), so the double-apply is the same
+        # re-application every restart already performs; a failure
+        # there is recorded in listener.errors like any replay failure.
+        self.bus.publish(msg)
         self.listener.poll()
-        # poll() isolates handler failures so a malformed REPLAYED doc
-        # can't kill the daemon loop — but the synchronous create path
-        # should still fail loudly if activating THIS doc failed
-        for m, exc in self.listener.errors[n_errors:]:
-            if m.function_type == function_type and m.name == result["name"]:
-                raise exc
         return result
 
     def _on_collector_change(self, msg: FunctionChanged) -> None:

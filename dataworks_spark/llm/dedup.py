@@ -404,6 +404,14 @@ def minhash_near_dup_pairs(
     design exists to avoid (r9 review). Shingle-less docs have no
     Jaccard-over-shingles identity to match on; exact dedup (L1)
     handles their duplicates."""
+    if not 1 <= bands <= n_hashes:
+        # bands=0 would ZeroDivisionError out of the modulo below, and
+        # a negative divisor of n_hashes (e.g. 128 / -16) would pass it
+        # while producing r < 0 — nonsense band slices (r9 ADVICE)
+        raise ValueError(
+            f"bands must satisfy 1 <= bands <= n_hashes: "
+            f"n_hashes={n_hashes}, bands={bands}"
+        )
     if n_hashes % bands:
         # bands > n_hashes would make r = 0 (every band hashes the
         # empty slice -> all docs collide in all buckets = full O(n²)

@@ -551,10 +551,14 @@ def cosine_pairs_above(
         )
         if probe is None:
             # no usable vectors (empty frame or all-NULL column): the
-            # pair set is empty — fall through to the exact kernel's
-            # empty cross join instead of crashing on len(None)
-            # (r9 review)
-            pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+            # pair set is empty BY CONSTRUCTION — return a zero-row
+            # frame of the pair schema directly. Crossing the full
+            # frames here would be O(n²) for a non-empty all-NULL-vector
+            # table (every pair built, then filtered by NULL cosine),
+            # violating this function's own no-accidental-cartesian
+            # contract (r9 ADVICE; the previous fix only covered the
+            # empty-frame case)
+            pairs = left.limit(0).crossJoin(right.limit(0))
         else:
             dim = len(probe[0])
             planes = _hyperplanes(dim, n_planes, seed)

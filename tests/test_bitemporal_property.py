@@ -20,9 +20,13 @@ from dataworks_spark.docs.store import DocumentStore, version_log
 BASE = dt.datetime(2024, 1, 1)
 IDS = ["a", "b", "c"]
 
-# an op: (kind, id, body, valid_offset_days or None)
+# an op: (kind, id, body, valid_offset_days or None). put_log2 appends
+# a TWO-ROW log batch at (tx, tx + offset days) — the second row is
+# effectively a future-scheduled version written through the log path,
+# so random interleavings exercise the straddle semantics (r9 ADVICE):
+# put_log must equal sequential put() per event.
 op_st = st.tuples(
-    st.sampled_from(["put", "put_future", "delete"]),
+    st.sampled_from(["put", "put_future", "delete", "put_log2"]),
     st.sampled_from(IDS),
     st.integers(min_value=0, max_value=99),
     st.integers(min_value=1, max_value=30),
@@ -42,6 +46,12 @@ class BruteForce:
             self.journal.append((tx, tx, doc_id, body, False))
         elif kind == "put_future":
             self.journal.append((tx, tx + dt.timedelta(days=vt_off), doc_id, body, False))
+        elif kind == "put_log2":
+            # a log batch = one journal entry per row, same tx
+            self.journal.append((tx, tx, doc_id, body, False))
+            self.journal.append(
+                (tx, tx + dt.timedelta(days=vt_off), doc_id, body + 100, False)
+            )
         else:
             self.journal.append((tx, tx, doc_id, None, True))
 
@@ -86,6 +96,15 @@ def _build_store(spark, ops):
         elif kind == "put_future":
             docs = spark.createDataFrame([(doc_id, body)], "id string, body int")
             store = store.put(docs, valid_time=tx + dt.timedelta(days=vt_off))
+        elif kind == "put_log2":
+            batch = spark.createDataFrame(
+                [
+                    (doc_id, body, tx),
+                    (doc_id, body + 100, tx + dt.timedelta(days=vt_off)),
+                ],
+                "id string, body int, ts timestamp",
+            )
+            store = store.put_log(batch)
         else:
             ids = spark.createDataFrame([(doc_id,)], "id string")
             store = store.delete(ids)

@@ -291,6 +291,12 @@ def test_create_function_still_fails_loudly(spark, tmp_path):
         eng.create_function(
             "stream", {"name": "s1", "steps": [], "upstreams": ["src"]}
         )
+    # r9 ADVICE: activation now runs BEFORE persist/broadcast, so the
+    # failed doc must leave NO global state — no app-db row (other
+    # drivers re-read functions from it on boot) and no bus message
+    # (other drivers would activate a doc this driver rejected)
+    assert eng.app_db.latest().filter("id = 'stream/s1'").count() == 0
+    assert eng.bus.read_from(0) == []
 
 
 def test_create_function_retry_succeeds_after_transient_failure(spark, tmp_path):

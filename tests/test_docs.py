@@ -309,6 +309,88 @@ def test_put_log_respects_future_scheduled_version(spark):
     assert [(r.id, r.body) for r in before] == [("app/x", "v0")]
 
 
+def test_put_log_straddling_scheduled_version(spark):
+    """r9 ADVICE (medium): a put_log batch whose timestamps STRADDLE a
+    future-scheduled version (batch T1 < scheduled T2 < batch T3) must
+    behave exactly like sequential puts — T1's version capped at T2,
+    the scheduled version corrected to end at T3, T3's version open.
+    Before the fix the T1 version overlapped [T2, T3) and the scheduled
+    version stayed open alongside T3's: two current versions per id."""
+    s, clock = _store(spark, [("app/x", "v0")], T0)
+    clock["now"] = T1
+    future = spark.createDataFrame([("app/x", "future")], "id string, body string")
+    s2 = s.put(future, valid_time=T2)
+
+    t1 = dt.datetime(2024, 2, 15)   # before scheduled T2 (Mar 1)
+    t3 = dt.datetime(2024, 3, 15)   # after scheduled T2
+    clock["now"] = dt.datetime(2024, 3, 20)
+    batch = spark.createDataFrame(
+        [("app/x", "s1", t1), ("app/x", "s3", t3)],
+        "id string, body string, ts timestamp",
+    )
+    s3 = s2.put_log(batch)
+
+    # exactly one visible version at every probe — sequential-put timeline:
+    # v0 [T0,t1) | s1 [t1,T2) | future [T2,t3) | s3 [t3,NEVER)
+    for probe, want in [
+        (dt.datetime(2024, 1, 15), "v0"),
+        (dt.datetime(2024, 2, 20), "s1"),
+        (dt.datetime(2024, 3, 5), "future"),
+        (dt.datetime(2024, 3, 25), "s3"),
+    ]:
+        got = s3.as_of(probe).collect()
+        assert [(r.id, r.body) for r in got] == [("app/x", want)], probe
+    # latest view holds exactly one row too
+    assert [(r.id, r.body) for r in s3.latest().collect()] == [("app/x", "s3")]
+
+
+def test_put_log_batch_past_two_scheduled_versions(spark):
+    """Straddle generalization: TWO scheduled versions, batch timestamps
+    landing around and between them — every tx-current interval a batch
+    ts falls inside is corrected, every batch interval capped at the
+    next known valid_from."""
+    s, clock = _store(spark, [("app/x", "v0")], T0)
+    clock["now"] = T1
+    s2 = s.put(
+        spark.createDataFrame([("app/x", "f2")], "id string, body string"),
+        valid_time=T2,
+    ).put(
+        spark.createDataFrame([("app/x", "f3")], "id string, body string"),
+        valid_time=T3,
+    )
+    tb1 = dt.datetime(2024, 3, 10)  # inside [T2, T3)
+    tb2 = dt.datetime(2024, 4, 10)  # inside [T3, NEVER)
+    clock["now"] = dt.datetime(2024, 4, 20)
+    batch = spark.createDataFrame(
+        [("app/x", "b1", tb1), ("app/x", "b2", tb2)],
+        "id string, body string, ts timestamp",
+    )
+    s3 = s2.put_log(batch)
+    # timeline: v0 | f2 [T2,tb1) | b1 [tb1,T3) | f3 [T3,tb2) | b2 [tb2,∞)
+    for probe, want in [
+        (dt.datetime(2024, 3, 5), "f2"),
+        (dt.datetime(2024, 3, 20), "b1"),
+        (dt.datetime(2024, 4, 5), "f3"),
+        (dt.datetime(2024, 4, 15), "b2"),
+    ]:
+        got = s3.as_of(probe).collect()
+        assert [(r.id, r.body) for r in got] == [("app/x", want)], probe
+
+
+def test_version_log_map_payload(spark):
+    """r9 ADVICE: the same-ts tiebreak hashes payload columns; xxhash64
+    rejects MapType by default, so a schemaless doc batch carrying a map
+    column must hash via to_json instead of failing AnalysisException."""
+    df = spark.createDataFrame(
+        [("u/1", {"k": "v"}, T0), ("u/1", {"k": "w"}, T1)],
+        "id string, attrs map<string,string>, ts timestamp",
+    )
+    log = version_log(df, "id", "ts")
+    rows = sorted(log.collect(), key=lambda r: r.valid_from)
+    assert rows[0].valid_to == T1 and rows[1].valid_to == NEVER
+    assert rows[1].attrs == {"k": "w"}
+
+
 def test_match_put_null_payload_matches(spark):
     """r9 review: the match precondition must treat NULL = NULL on
     payload columns (the reference's match compares whole documents

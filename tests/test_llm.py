@@ -2204,8 +2204,16 @@ def test_minhash_validates_bands_and_excludes_shingleless_docs(spark):
         [(0, "a b"), (1, "c d"), (2, "x y z w v u t s r q"), (3, "x y z w v u t s r q")],
         "doc_id long, text string",
     )
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="bands"):
         minhash_near_dup_pairs(df, "doc_id", "text", n_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_near_dup_pairs(df, "doc_id", "text", n_hashes=8, bands=3)
+    # r9 ADVICE: bands=0 raised a bare ZeroDivisionError; a negative
+    # divisor (128 % -16 == 0) passed the check and produced r < 0
+    with pytest.raises(ValueError, match="bands"):
+        minhash_near_dup_pairs(df, "doc_id", "text", n_hashes=8, bands=0)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_near_dup_pairs(df, "doc_id", "text", n_hashes=128, bands=-16)
     # docs 0/1 have < 3 tokens -> no shingles -> excluded; 2/3 identical
     out = minhash_near_dup_pairs(df, "doc_id", "text", n_hashes=16, bands=4, threshold=0.5)
     got = {(r.doc_a, r.doc_b) for r in out.collect()}
@@ -2234,3 +2242,20 @@ def test_cosine_pairs_above_bucketed_empty_input(spark):
     empty = spark.createDataFrame([], "vid long, vec array<double>")
     out = cosine_pairs_above(empty, "vid", "vec", threshold=0.5, exact=False, n_planes=4)
     assert out.count() == 0
+
+
+def test_cosine_pairs_above_all_null_vectors_no_cartesian(spark):
+    """r9 ADVICE: a NON-empty frame whose vector column is all-NULL fell
+    through to a FULL crossJoin (O(n²) pairs built, then filtered by
+    NULL cosine) — the pair set is empty by construction and the plan
+    must not contain a full cartesian product."""
+    from dataworks_spark.llm.similarity import cosine_pairs_above
+
+    rows = [(i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    out = cosine_pairs_above(df, "vid", "vec", threshold=0.5, exact=False, n_planes=4)
+    assert out.count() == 0
+    # PropagateEmptyRelation collapses limit(0) × limit(0) to an empty
+    # relation — the executed plan must carry NO join at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "Join" not in plan, plan
