@@ -421,12 +421,20 @@ def minhash_near_dup_pairs(
             f"bands must divide n_hashes: n_hashes={n_hashes}, bands={bands}"
         )
     r = n_hashes // bands
+    # the shingle-less exclusion filters on RAW TOKEN COUNT, not on
+    # size(hs): Catalyst pushes a filter below the shingle projection by
+    # duplicating the referenced expression into the predicate, so
+    # `size(hs) > 0` evaluated the entire shingle→hash pipeline TWICE
+    # per row (measured +30% on the minhash kernel at sf0.1, r10 A/B).
+    # `size(split(text)) >= shingle_n` is the exact same predicate —
+    # word_ngram_hashes yields empty iff tokens < n, NULL text drops
+    # under both — and duplicating one split is cheap.
     sig = (
-        df.select(
+        df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
+        .select(
             F.col(id_col).alias("doc"),
             shingle_hashes(F.col(text_col), shingle_n).alias("hs"),
         )
-        .filter(F.size("hs") > 0)
         .select("doc", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig"))
     )
     banded = sig.select(

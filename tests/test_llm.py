@@ -2100,6 +2100,137 @@ def test_ivf_assignment_is_not_collapsed(spark, emb):
     assert len(hist) >= 6, f"expected ≥6 of 8 clusters populated, got {len(hist)}"
 
 
+def test_ivf_assign_arrow_equals_literal_kernel(spark):
+    """r10 (VERDICT #1): the Arrow matmul kernel must agree with the
+    literal JVM kernel ROW-FOR-ROW — same argmax, same first-max tie
+    order, same cluster-0 sentinel for NULL / wrong-dim / NaN-poisoned
+    vectors. max_literal forces each path over identical data."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import ivf_assign
+
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(8, 12))
+    rows = [(i, [float(x) for x in rng.normal(size=12)]) for i in range(200)]
+    rows.append((900, None))                      # NULL vector
+    rows.append((901, [1.0, 2.0]))                # wrong dimension
+    rows.append((902, [float("nan")] * 12))       # NaN-poisoned scores
+    # exact tie: two identical centroids -> first index must win
+    cents[5] = cents[2]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    both = df.select(
+        "vec_id",
+        ivf_assign(F.col("embedding"), cents, max_literal=256).alias("lit_c"),
+        ivf_assign(F.col("embedding"), cents, max_literal=0).alias("arrow_c"),
+    ).collect()
+    mism = [(r.vec_id, r.lit_c, r.arrow_c) for r in both if r.lit_c != r.arrow_c]
+    assert not mism, f"kernel disagreement: {mism[:10]}"
+    sentinel = {r.vec_id: r.arrow_c for r in both if r.vec_id >= 900}
+    assert sentinel == {900: 0, 901: 0, 902: 0}
+
+
+def test_ivf_assign_large_c_invariance_and_planted_recall(spark):
+    """r10 (VERDICT #6): the large-c Arrow path — not just the literal
+    kernel — carries the rows-only anchors. c=300 crosses the default
+    IVF_LITERAL_MAX=256, so semantic_dedup_pairs and the assignment
+    itself run the matmul kernel: partition-invariant and ≥0.95 recall
+    on planted near-dup groups."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import (
+        IVF_LITERAL_MAX,
+        ivf_assign,
+        ivf_build_centroids,
+        semantic_dedup_pairs,
+    )
+
+    # groups ≫ clusters (≈4.3 groups per cluster, the SemDeDup regime):
+    # with clusters ≈ groups, k-means legitimately seeds two centroids
+    # inside one tight group and splits it — a quantizer property, not
+    # a kernel property (first attempt at 320 groups / 300 clusters
+    # measured 0.89 recall for exactly that reason)
+    rng = np.random.default_rng(17)
+    n_groups = 1280
+    base = rng.normal(size=(n_groups, 16))
+    rows = []
+    vid = 0
+    for g in range(n_groups):
+        for _ in range(3):
+            v = base[g] + rng.normal(scale=0.005, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_clusters = 300
+    assert n_clusters > IVF_LITERAL_MAX
+
+    # partition invariance through the Arrow kernel
+    cents = ivf_build_centroids(df, "embedding", n_centroids=n_clusters, seed=5)
+    a = {
+        r.vec_id: r.c
+        for r in df.repartition(1)
+        .select("vec_id", ivf_assign(F.col("embedding"), cents).alias("c"))
+        .collect()
+    }
+    b = {
+        r.vec_id: r.c
+        for r in df.repartition(7)
+        .select("vec_id", ivf_assign(F.col("embedding"), cents).alias("c"))
+        .collect()
+    }
+    assert a == b
+
+    # ground truth from construction (verified in numpy — an O(n²)
+    # Spark exact join over 3840 rows would dominate the test): every
+    # in-group pair has cos ≈ 0.9999 ≫ 0.95; random 16-dim cross-group
+    # cosines never reach 0.95
+    X = np.array([v for _, v in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for g in range(0, n_groups, 97):  # spot-verify the construction
+        i = 3 * g
+        assert Xn[i] @ Xn[i + 1] >= 0.99 and Xn[i] @ Xn[i + 2] >= 0.99
+    exact = {
+        (3 * g + a, 3 * g + b)
+        for g in range(n_groups)
+        for a in range(3)
+        for b in range(a + 1, 3)
+    }
+    sem = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", 0.95, n_clusters=n_clusters
+        ).collect()
+    }
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.95, f"planted-dup recall {recall} over {len(exact)} pairs"
+
+
+def test_ivf_sample_scales_with_cluster_count(spark):
+    """r10 (VERDICT #2): the quantizer sample is coupled to the cluster
+    count (max(sample, 32·c)), so n_clusters beyond the old fixed 2048
+    sample still trains that many DISTINCT, non-degenerate centroids."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import ivf_build_centroids
+
+    n_c = 2100  # > the old 2048-row sample cap
+    dim = 4
+    df = spark.range(70000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.abs(F.xxhash64(F.col("id"), F.lit(k))) % 997 / 997.0 + 0.001)
+                for k in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    cents = ivf_build_centroids(
+        df, "embedding", n_centroids=n_c, iterations=2, seed=42
+    )
+    assert cents.shape == (n_c, dim)
+    assert len(np.unique(np.round(cents, 9), axis=0)) == n_c
+    assert (np.linalg.norm(cents, axis=1) > 0).all()
+
+
 def test_minhash_estimates_jaccard_accurately(docs):
     """Quality gate on the ESTIMATOR, not just candidate recall: with
     64 hashes the est_jaccard of true near-dup pairs must track exact
