@@ -69,6 +69,37 @@ def _vcol(x: str) -> str:
     return x[1:]
 
 
+def _called_names(clauses) -> set:
+    """Every clause-head name appearing in a clause list, walking
+    through or/and branches (shared by the nested-self-call guard and
+    the rule-call-graph builder)."""
+    out = set()
+    for c in clauses:
+        h = c[0]
+        if isinstance(h, str) and h in ("or", "and"):
+            for br in c[1:]:
+                out |= _called_names(
+                    [br]
+                    if not (isinstance(br[0], str) and br[0] == "and")
+                    else list(br[1:])
+                )
+        elif isinstance(h, str):
+            out.add(h)
+    return out
+
+
+def _nested_rule_calls(clauses, names: set) -> set:
+    """Names from ``names`` called INSIDE or/and branches of the clause
+    list (not as top-level clauses) — positions the semi-naive delta
+    rewriting cannot reach."""
+    out = set()
+    for c in clauses:
+        h = c[0]
+        if isinstance(h, str) and h in ("or", "and"):
+            out |= _called_names([c]) & names
+    return out
+
+
 @dataclass
 class Rule:
     """A Datalog rule (Crux rule surface, db/app_db.clj:115-126).
@@ -389,13 +420,18 @@ class DatalogDB:
         a revisited tuple never re-enters the delta."""
         if rule.name in rule_env:
             return rule_env[rule.name]
-        # Mutual-recursion guard (r9 review): the engine supports
-        # SELF-recursion (semi-naive / doubling below); a rule whose
-        # body calls another rule that is still being materialized
-        # (A↔B) would either recurse forever or silently cache B
-        # against a PARTIAL mid-fixpoint snapshot of A — both worse
-        # than a clear error. In-flight names ride rule_env under a
-        # reserved key; or-branch-nested calls are walked too.
+        # Mutual recursion (r10, VERDICT #5): rules whose static call
+        # graph forms a >1-member strongly connected component are
+        # evaluated as ONE joint semi-naive fixpoint — iterate every
+        # member per round until no member's relation grows — because
+        # materializing one member in isolation would either recurse
+        # forever or cache a partner against a partial mid-fixpoint
+        # snapshot (the corruption class the r9 guard raised on).
+        scc = self._rule_scc(rule.name, rule_map)
+        if len(scc) > 1:
+            self._eval_mutual_scc(scc, rule_map, rule_env)
+            return rule_env[rule.name]
+
         inflight: set = rule_env.setdefault("__in_flight__", set())  # type: ignore[assignment]
         if rule.name in inflight:
             # re-entry through a nested (e.g. or-branch) self-call that
@@ -405,34 +441,218 @@ class DatalogDB:
                 f"rule {rule.name!r} calls itself from a nested clause "
                 "(or-branch); self-recursion must be a top-level body clause"
             )
-
-        def _called_names(clauses) -> set:
-            out = set()
-            for c in clauses:
-                h = c[0]
-                if isinstance(h, str) and h in ("or", "and"):
-                    for br in c[1:]:
-                        out |= _called_names([br] if not (
-                            isinstance(br[0], str) and br[0] == "and"
-                        ) else list(br[1:]))
-                elif isinstance(h, str):
-                    out.add(h)
-            return out
-
-        for body in rule.bodies:
-            crossed = _called_names(body) & inflight
-            crossed.discard(rule.name)
-            if crossed:
-                raise ValueError(
-                    f"mutual recursion between rules {rule.name!r} and "
-                    f"{sorted(crossed)} is not supported (self-recursion is); "
-                    "restructure as one rule with multiple bodies"
-                )
         inflight.add(rule.name)
         try:
             return self._eval_rule_inner(rule, rule_map, rule_env)
         finally:
             inflight.discard(rule.name)
+
+    @staticmethod
+    def _rule_scc(name: str, rule_map: dict[str, "Rule"]) -> set:
+        """The strongly connected component of ``name`` in the static
+        rule-call graph (edges R→S where a body of R calls S). Rule
+        sets are tiny (hand-written query surfaces), so plain two-way
+        reachability beats carrying a Tarjan implementation."""
+        edges = {
+            n: set().union(*(_called_names(b) for b in r.bodies)) & set(rule_map)
+            if r.bodies
+            else set()
+            for n, r in rule_map.items()
+        }
+
+        def reach(start: str) -> set:
+            seen: set = set()
+            stack = [start]
+            while stack:
+                n = stack.pop()
+                for m in edges.get(n, ()):  # successors, not start itself
+                    if m not in seen:
+                        seen.add(m)
+                        stack.append(m)
+            return seen
+
+        fwd = reach(name)
+        return {name} | {n for n in fwd if name in reach(n)}
+
+    def _eval_mutual_scc(
+        self, scc: set, rule_map: dict[str, "Rule"], rule_env: dict[str, DataFrame]
+    ) -> None:
+        """Joint semi-naive fixpoint over a mutually recursive rule
+        group (r10, VERDICT #5; the reference's rule surface is Crux
+        Datalog — app_db.clj:121-126 — which evaluates these).
+
+        Standard stratum-internal evaluation: every member keeps a
+        relation and a per-round DELTA; each round re-derives every
+        SCC-calling body once per SCC-call position with that position
+        bound to the callee's delta and the others to the full
+        relations (the nonlinear semi-naive expansion — work tracks
+        Σ|delta|·|rel|, not |rel|², the shape that survives at cluster
+        scale), anti-joins out known tuples, and the round's new tuples
+        become the next deltas for ALL members simultaneously
+        (synchronous rounds — asynchronous per-member updates would
+        make the result order-dependent). Convergence = no member grew.
+
+        Members with no SCC-free body activate LATE: their relation
+        first exists when a round derives it from the partners' seeds
+        (even/odd-path is the canonical case — `odd` has no base body),
+        and that first relation is their first delta. Bodies whose
+        callees have no relation yet cannot fire and are skipped until
+        activation. Non-SCC rule calls inside bodies materialize
+        normally — the SCC is maximal, so anything they reach is a
+        strictly lower stratum (a call chain leading back in would put
+        the intermediary inside the SCC by definition).
+        """
+        members = [rule_map[n] for n in sorted(scc)]
+        heads: dict[str, list[str]] = {}
+        for r in members:
+            if r.edge_attr is not None:
+                # unreachable via the static graph (shorthand rules call
+                # nothing) — guard against future Rule surface growth
+                raise ValueError(
+                    f"shorthand rule {r.name!r} cannot be mutually recursive"
+                )
+            nested = set()
+            for body in r.bodies:
+                nested |= _nested_rule_calls(body, scc)
+            if nested:
+                raise ValueError(
+                    f"rule {r.name!r} calls {sorted(nested)} from a nested "
+                    "clause (or-branch); recursive calls must be top-level "
+                    "body clauses"
+                )
+            heads[r.name] = [_vcol(v) for v in r.head]
+
+        rels: dict[str, DataFrame] = {}
+        deltas: dict[str, DataFrame] = {}
+        counts: dict[str, int] = {}
+        for r in members:
+            base: DataFrame | None = None
+            for body in r.bodies:
+                if _called_names(body) & scc:
+                    continue
+                b = self._eval_clauses(list(body), {}, rule_map, rule_env).select(
+                    *heads[r.name]
+                )
+                base = b if base is None else base.unionByName(b)
+            if base is not None:
+                rel = base.dropDuplicates().localCheckpoint(eager=False)
+                rels[r.name] = rel
+                deltas[r.name] = rel
+                counts[r.name] = rel.count()
+        if not rels:
+            raise ValueError(
+                f"mutually recursive rules {sorted(scc)} need at least one "
+                "body that calls no member of the group (a seed)"
+            )
+
+        some_rel = next(iter(rels.values()))
+        with adaptive_rounds(self.spark or some_rel.sparkSession) as rt:
+            for _ in range(1, MAX_FIXPOINT_ROUNDS + 1):
+                rt(sum(counts.values()) * 2)
+                # expose this round's relations + deltas to the clause
+                # compiler under the member names / delta sentinels (a
+                # member may have a relation but no delta this round —
+                # pop its stale sentinel rather than index into deltas)
+                for n in rels:
+                    rule_env[n] = rels[n]
+                for r in members:
+                    if r.name in deltas:
+                        rule_env[f"{r.name}@delta"] = deltas[r.name]
+                    else:
+                        rule_env.pop(f"{r.name}@delta", None)
+                new_deltas: dict[str, DataFrame] = {}
+                grew = False
+                for r in members:
+                    grown: DataFrame | None = None
+                    for body in r.bodies:
+                        positions = [
+                            i
+                            for i, c in enumerate(body)
+                            if isinstance(c[0], str) and c[0] in scc
+                        ]
+                        if not positions:
+                            continue  # seed body — contributed once
+                        if any(body[i][0] not in rels for i in positions):
+                            continue  # a callee not yet activated
+                        for pos in positions:
+                            callee = body[pos][0]
+                            if callee not in deltas:
+                                continue  # no delta this round
+                            variant = list(body)
+                            variant[pos] = (f"{callee}@delta", *body[pos][1:])
+                            g = self._eval_clauses(
+                                variant, {}, rule_map, rule_env
+                            ).select(*heads[r.name])
+                            grown = g if grown is None else grown.unionByName(g)
+                    if grown is None:
+                        continue
+                    if r.name in rels:
+                        new = grown.dropDuplicates().join(
+                            rels[r.name], on=heads[r.name], how="left_anti"
+                        )
+                    else:
+                        new = grown.dropDuplicates()
+                    new = rt.lift(new).localCheckpoint(eager=False)
+                    n_new = new.count()
+                    if n_new == 0:
+                        continue
+                    grew = True
+                    new_deltas[r.name] = new
+                    if r.name in rels:
+                        rels[r.name] = (
+                            rt.lift(rels[r.name].unionByName(new))
+                            .localCheckpoint(eager=False)
+                        )
+                        counts[r.name] += n_new
+                    else:
+                        rels[r.name] = new  # late activation
+                        counts[r.name] = n_new
+                deltas = new_deltas
+                if not grew:
+                    break
+            else:
+                raise RuntimeError(
+                    f"mutually recursive rules {sorted(scc)} did not reach "
+                    f"fixpoint in {MAX_FIXPOINT_ROUNDS} rounds; raise "
+                    "dataworks_spark.docs.datalog.MAX_FIXPOINT_ROUNDS or "
+                    "bound the rules"
+                )
+
+        # final relations into the memo env
+        for n in rels:
+            rule_env[n] = _lift(rels[n], self.spark)
+        # a member that never activated derives the EMPTY relation —
+        # the fixpoint converged, so re-evaluating any of its bodies
+        # against the FINAL partner relations is empty by construction;
+        # that evaluation (limit 0 for plan cheapness) supplies the
+        # correctly-typed zero-row frame downstream calls bind against.
+        pending = [r for r in members if r.name not in rule_env]
+        progress = True
+        while pending and progress:
+            progress = False
+            for r in list(pending):
+                for body in r.bodies:
+                    called = _called_names(body) & scc
+                    if all(c in rule_env for c in called):
+                        empty = (
+                            self._eval_clauses(list(body), {}, rule_map, rule_env)
+                            .select(*heads[r.name])
+                            .limit(0)
+                        )
+                        rule_env[r.name] = empty
+                        pending.remove(r)
+                        progress = True
+                        break
+        if pending:
+            # only reachable when seedless members call ONLY each other
+            # (their sub-cycle can never derive or even type a row)
+            raise ValueError(
+                f"rules {sorted(r.name for r in pending)} have no seed "
+                "body and call only each other — their relations are "
+                "untypeably empty; give one a non-recursive body"
+            )
+        for n in scc:
+            rule_env.pop(f"{n}@delta", None)
 
     def _eval_rule_inner(
         self, rule: "Rule", rule_map: dict[str, "Rule"], rule_env: dict[str, DataFrame]
