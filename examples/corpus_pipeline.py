@@ -8,6 +8,8 @@ the way a data team would run it nightly at 100 TB:
         repetition filters, model-based quality scoring, per-doc
         accounting)
       → decontaminate (drop docs sharing 5-grams with an eval set)
+      → semantic dedup (SemDeDup tier: embedding-space clusters bound
+        the pair space; one deterministic keeper per component)
       → mix_corpus (domain token-share targets)
       → hash_split (layout-stable train/val/test)
       → select_token_budget (keep best-quality docs under budget)
@@ -92,9 +94,31 @@ def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
     residual = contamination_report(clean, eval_set, ngram_n=5)
     max_contamination = residual.agg(F.max("contamination")).first()[0] or 0.0
 
+    # 3b. semantic tier (SemDeDup, llm/similarity.py): the exact/ngram
+    # tiers inside prepare_corpus catch literal twins; this one catches
+    # MEANING-level duplicates via the embedding column. k-means
+    # clusters bound the pair space (Σ|cluster|², never O(n²)); the
+    # survivor rule (min id per connected component) is the same one
+    # every other near-dup family uses. The fixture embeddings are
+    # synthetic (max cos ≈ 0.5), so the demo threshold sits where it
+    # actually fires — a real corpus runs ~0.95+.
+    from dataworks_spark.llm.similarity import semantic_dedup_keepers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = clean.select("doc_id").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    components = semantic_dedup_keepers(
+        vecs, "doc_id", "embedding", threshold=0.45, n_clusters=8
+    )
+    sem_losers = components.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    sem_clean = clean.join(sem_losers, "doc_id", "left_anti")
+
     # 4. domain mixing: equal token shares from the first four sources
     mixed = mix_corpus(
-        clean,
+        sem_clean,
         "source",
         {s: 1.0 for s in ("src0", "src1", "src2", "src3")},
     )
@@ -130,12 +154,28 @@ def main(workdir: str, spark=None, sf_dir: str = "/root/testdata/sf0.001"):
         files_per_partition=2,
     )
 
+    # 8. the nightly INGEST gate (llm/incremental.py): the next batch
+    # enters the durable corpus through dedup-on-ingest — only new
+    # content hashes append, so a redelivered batch (at-least-once
+    # upstream) is a no-op by VALUE, no epoch ledger needed
+    from dataworks_spark.llm.incremental import IncrementalCorpus
+
+    ingest = IncrementalCorpus(
+        spark, os.path.join(workdir, "ingest"), text_col="text", id_col="doc_id"
+    )
+    batch = budgeted.select("doc_id", "text")
+    n_ingested = ingest.ingest(batch)
+    n_redelivered = ingest.ingest(batch)  # same batch again → 0 appended
+
     summary = corpus_stats(budgeted).first()
     stats = {
         "n_raw": docs.count(),
         "n_prepared": prepared.count(),
         "n_clean": clean.count(),
+        "n_semantic": sem_clean.count(),
         "n_mixed": mixed.count(),
+        "n_ingested": n_ingested,
+        "n_redelivered": n_redelivered,
         "n_train_budgeted": budgeted.count(),
         "n_chunks": chunks.count(),
         "n_packs": packed.select("pack_lane", "pack_seq").dropDuplicates().count(),

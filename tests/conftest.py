@@ -20,3 +20,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka: real-broker integration tests; run only when "
+        "KAFKA_BOOTSTRAP points at a reachable broker",
+    )

@@ -17,8 +17,17 @@ def test_corpus_pipeline_demo(spark, tmp_path, sf_dir):
 
     out = main(workdir=str(tmp_path), spark=spark, sf_dir=sf_dir)
     # monotone funnel: each stage can only keep or drop
-    assert out["n_raw"] >= out["n_prepared"] >= out["n_clean"] >= out["n_mixed"]
+    assert (
+        out["n_raw"]
+        >= out["n_prepared"]
+        >= out["n_clean"]
+        >= out["n_semantic"]
+        >= out["n_mixed"]
+    )
     assert out["n_mixed"] > 0, "mixing must keep something"
+    # ingest gate: the first batch appends, an identical redelivery is
+    # a no-op by value (dedup-on-ingest)
+    assert out["n_ingested"] > 0 and out["n_redelivered"] == 0
     assert out["n_train_budgeted"] > 0 and out["n_packs"] > 0
     # decontaminate dropped every doc sharing a 5-gram with the eval
     # set, so the residual audit must read zero
