@@ -560,7 +560,17 @@ class DatalogDB:
                         rule_env[f"{r.name}@delta"] = deltas[r.name]
                     else:
                         rule_env.pop(f"{r.name}@delta", None)
+                # relation updates are DEFERRED to the end of the round
+                # (synchronous semantics): every member derives against
+                # the round-START rels/deltas, which are exactly what
+                # rule_env exposes. Updating rels mid-loop desynced the
+                # two — a later member's body would pass the `in rels`
+                # guard, miss rule_env, fall through _apply_rule_call →
+                # _eval_rule → _eval_mutual_scc and recurse unboundedly
+                # (r10 review, verified live on a seedless member read
+                # at a full position of a two-call body).
                 new_deltas: dict[str, DataFrame] = {}
+                next_rels = dict(rels)
                 grew = False
                 for r in members:
                     grown: DataFrame | None = None
@@ -599,14 +609,15 @@ class DatalogDB:
                     grew = True
                     new_deltas[r.name] = new
                     if r.name in rels:
-                        rels[r.name] = (
+                        next_rels[r.name] = (
                             rt.lift(rels[r.name].unionByName(new))
                             .localCheckpoint(eager=False)
                         )
                         counts[r.name] += n_new
                     else:
-                        rels[r.name] = new  # late activation
+                        next_rels[r.name] = new  # late activation
                         counts[r.name] = n_new
+                rels = next_rels
                 deltas = new_deltas
                 if not grew:
                     break

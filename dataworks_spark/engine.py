@@ -118,6 +118,7 @@ class Engine:
         self.listener.poll()
         msg = FunctionChanged(function_type, result["name"], result)
         handler = self.listener.handlers.get(function_type)
+        snapshot = self._activation_snapshot(function_type, result["name"])
         if handler is not None:
             # trial activation through the SAME handler the consume
             # path uses; a failure raises HERE, before any global side
@@ -126,22 +127,60 @@ class Engine:
             handler(msg)
 
         # persist the function document (added-to-db?, db/app_db.clj:95-113)
-        # as JSON — machine-parseable on reload, same encoding the bus uses
-        fn_doc = self.spark.createDataFrame(
-            [(f"{function_type}/{result['name']}", json.dumps(result, sort_keys=True))],
-            "id string, payload string",
-        )
-        self.app_db = self.app_db.put(fn_doc)
-
-        # broadcast (stream.clj:21-28 publish). Our own listener will
-        # re-apply the message on its next poll — handlers are
-        # replay-idempotent BY CONTRACT (a restarted listener replays
-        # the whole log from offset 0), so the double-apply is the same
-        # re-application every restart already performs; a failure
-        # there is recorded in listener.errors like any replay failure.
-        self.bus.publish(msg)
+        # as JSON — machine-parseable on reload, same encoding the bus
+        # uses. If persist or broadcast FAILS, the trial activation is
+        # ROLLED BACK to the pre-call snapshot before re-raising (r10
+        # review): without that, this driver would silently keep running
+        # a definition no other driver and no durable store ever saw —
+        # fleet divergence with nothing recording the mismatch.
+        prior_db = self.app_db
+        try:
+            fn_doc = self.spark.createDataFrame(
+                [(f"{function_type}/{result['name']}", json.dumps(result, sort_keys=True))],
+                "id string, payload string",
+            )
+            self.app_db = self.app_db.put(fn_doc)
+            # broadcast (stream.clj:21-28 publish). Our own listener
+            # will re-apply the message on its next poll — handlers are
+            # replay-idempotent BY CONTRACT (a restarted listener
+            # replays the whole log from offset 0), so the double-apply
+            # is the same re-application every restart already
+            # performs; a failure there is recorded in listener.errors
+            # like any replay failure.
+            self.bus.publish(msg)
+        except Exception:
+            self.app_db = prior_db
+            self._activation_restore(snapshot)
+            raise
         self.listener.poll()
         return result
+
+    def _activation_snapshot(self, function_type: str, name: str):
+        """The exact pre-activation local-state entry a failed
+        create_function must restore: the live Node object (buffer and
+        dead-letter state included), the Transformer record, or the
+        collector route — present or absent. Returns
+        (container_dict, name, prior_entry_or_None); direct entry
+        restore is deliberate — replaying a prior SPEC through the
+        handler would rebuild the object but lose its runtime state."""
+        container = {
+            "stream": self.graph._nodes,
+            "transformer": self.transformers._fns,
+            "collector": self._collector._routes if self._collector is not None else None,
+        }.get(function_type)
+        if container is None:
+            return None
+        return (container, name, container.get(name))
+
+    @staticmethod
+    def _activation_restore(snapshot) -> None:
+        if snapshot is None:
+            return
+        container, name, prior = snapshot
+        if prior is None:
+            container.pop(name, None)
+        else:
+            container[name] = prior
 
     def _on_collector_change(self, msg: FunctionChanged) -> None:
         """Hot-mount the collector's ingest route (the atomic-routes

@@ -12,9 +12,17 @@ Two tiers:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd  # module-level: pandas_udf resolves the stringified
-# type hints (PEP 563 via `from __future__ import annotations`) in THIS
-# module's globals — a function-local alias breaks the signature check
+
+try:
+    # module-level so pandas_udf can resolve the stringified type hints
+    # (PEP 563 via `from __future__ import annotations`) in THIS
+    # module's globals — a function-local alias breaks the signature
+    # check. Import-GUARDED (r10 review): only the large-c Arrow kernel
+    # needs pandas; the literal kernel, LSH, and brute-force paths must
+    # keep working on a pandas-less pyspark install as they did in r9.
+    import pandas as pd
+except ImportError:  # pragma: no cover — the test image ships pandas
+    pd = None  # type: ignore[assignment]
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -286,6 +294,12 @@ def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
     array_max); rows that are NULL, wrong-dimensioned, or whose scores
     go NaN (a NaN element poisons every score) land in cluster 0 — the
     literal kernel's greatest(·,1) sentinel."""
+    if pd is None:
+        raise RuntimeError(
+            "the large-c IVF assignment kernel needs pandas (Arrow batch "
+            "transfer); install pandas or pass max_literal >= n_centroids "
+            "to stay on the literal JVM kernel"
+        )
     from pyspark.sql.functions import pandas_udf
 
     dim = int(cn.shape[1])

@@ -325,3 +325,40 @@ def test_create_function_retry_succeeds_after_transient_failure(spark, tmp_path)
     out = eng.create_function("stream", doc)
     assert out["name"] == "s1"
     assert "s1" in eng.graph._nodes
+
+
+def test_create_function_rolls_back_on_publish_failure(spark, tmp_path):
+    """r10 review: if persist/broadcast fails AFTER the trial
+    activation, the local graph must roll back to the exact pre-call
+    state — otherwise this driver silently runs a definition no other
+    driver and no durable store ever received (fleet divergence)."""
+    import json
+
+    import pytest
+
+    from dataworks_spark.engine import Engine
+
+    eng = Engine({"control.log": str(tmp_path / "bus.log")}, spark=spark)
+    doc1 = {"name": "s1", "steps": [], "upstreams": ["a"]}
+    assert not hasattr(eng.create_function("stream", doc1), "reason")
+    node_v1 = eng.graph._nodes["s1"]
+
+    def boom(msg):
+        raise RuntimeError("broker down")
+
+    eng.bus.publish = boom
+    with pytest.raises(RuntimeError, match="broker down"):
+        eng.create_function("stream", {**doc1, "upstreams": ["b"]})
+    # the exact v1 Node object (runtime state included) is back
+    assert eng.graph._nodes["s1"] is node_v1
+    assert eng.graph._nodes["s1"].upstreams == ["a"]
+    # app-db still holds v1's payload
+    payload = json.loads(
+        eng.app_db.latest().filter("id = 'stream/s1'").select("payload").first()[0]
+    )
+    assert payload["upstreams"] == ["a"]
+    # a brand-new name that fails to publish leaves no node behind
+    with pytest.raises(RuntimeError, match="broker down"):
+        eng.create_function("stream", {"name": "s2", "steps": [], "upstreams": ["a"]})
+    assert "s2" not in eng.graph._nodes
+    assert eng.app_db.latest().filter("id = 'stream/s2'").count() == 0

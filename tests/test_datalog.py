@@ -444,6 +444,48 @@ def test_mutual_recursion_empty_seed_member(spark):
     assert out.count() == 0 and out.columns == ["x", "y"]
 
 
+def test_mutual_recursion_seedless_member_in_two_call_body(spark):
+    """r10 review (verified live pre-fix): a seedless member (ra)
+    consumed at a FULL position of a partner's two-recursive-call body
+    drove _eval_mutual_scc into unbounded self-re-entry — mid-round rel
+    updates desynced `rels` from `rule_env`, so _apply_rule_call fell
+    through to _eval_rule and restarted the SCC fixpoint on identical
+    state. Relations now update synchronously at round end.
+
+    Fixpoint by hand on chain a→b→c→d: ra = rb∘edge, rb = edge ∪ ra∘rb
+    → ra = {(a,c),(b,d)}, rb = edge ∪ {(a,d)}."""
+    from dataworks_spark.docs.datalog import DatalogDB, Rule
+
+    db = DatalogDB()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "id string, next string"
+    )
+    db.register("edge", edges, "id")
+    ra = Rule(
+        name="ra",
+        head=("?x", "?y"),
+        bodies=[[("rb", "?x", "?m"), ("?m", "edge/next", "?y")]],
+    )
+    rb = Rule(
+        name="rb",
+        head=("?x", "?y"),
+        bodies=[
+            [("?x", "edge/next", "?y")],
+            [("ra", "?x", "?m"), ("rb", "?m", "?y")],
+        ],
+    )
+    got_rb = {
+        (r.x, r.y)
+        for r in db.q(find=["?x", "?y"], where=[("rb", "?x", "?y")], rules=[ra, rb]).collect()
+    }
+    assert got_rb == {("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")}
+    got_ra = {
+        (r.x, r.y)
+        for r in db.q(find=["?x", "?y"], where=[("ra", "?x", "?y")], rules=[ra, rb]).collect()
+    }
+    assert got_ra == {("a", "c"), ("b", "d")}
+
+
 def test_mutual_recursion_nested_call_raises(spark):
     """Recursive calls inside or-branches cannot be delta-rewritten;
     the compiler must say so instead of silently under-deriving."""

@@ -2128,6 +2128,18 @@ def test_ivf_assign_arrow_equals_literal_kernel(spark):
     sentinel = {r.vec_id: r.arrow_c for r in both if r.vec_id >= 900}
     assert sentinel == {900: 0, 901: 0, 902: 0}
 
+    # array<float> (the embeddings fixture's physical type): Arrow
+    # hands the kernel float32 numpy cells — must agree with the
+    # literal kernel there too
+    fdf = spark.createDataFrame(
+        rows[:50], "vec_id long, embedding array<double>"
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    fboth = fdf.select(
+        ivf_assign(F.col("embedding"), cents, max_literal=256).alias("lit_c"),
+        ivf_assign(F.col("embedding"), cents, max_literal=0).alias("arrow_c"),
+    ).collect()
+    assert all(r.lit_c == r.arrow_c for r in fboth)
+
 
 def test_ivf_assign_large_c_invariance_and_planted_recall(spark):
     """r10 (VERDICT #6): the large-c Arrow path — not just the literal
