@@ -151,15 +151,24 @@ def ivf_build_centroids(
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)  # rows never change
     for _ in range(iterations):
-        # cosine assignment
-        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        # cosine assignment (BLAS matmul), then the Lloyd update via
+        # sort-and-slice: group member rows by sorting the assignment
+        # (stable → within-cluster rows stay in ascending original
+        # order, so each slice's pairwise np.mean is BITWISE IDENTICAL
+        # to the former per-cluster boolean-mask form — centroids, and
+        # therefore every downstream cluster/pair set, are unchanged).
+        # The mask form was O(c·sample) per iteration, quadratic-ish
+        # once sample couples to 32·c (r10); this is O(sample·(log
+        # sample + dim)).
         cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
         assign = np.argmax(xn @ cn.T, axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                cents[c] = members.mean(axis=0)
+        order = np.argsort(assign, kind="stable")
+        uniq, starts = np.unique(assign[order], return_index=True)
+        bounds = np.append(starts[1:], len(order))
+        for c, s, e in zip(uniq, starts, bounds):
+            cents[c] = x[order[s:e]].mean(axis=0)
     return cents
 
 
