@@ -340,6 +340,27 @@ class DocumentStore:
         vt = valid_time or now
         vtl = F.lit(vt).cast("timestamp")
         nowl = F.lit(now).cast("timestamp")
+        # two rows for one id in a single put would create two identical
+        # current intervals whose latest-view winner depended on
+        # partition order — the nondeterminism class version_log's
+        # same-ts tiebreak closed in r9. Keep ONE row per id by the
+        # mirrored deterministic rule (max payload hash wins, matching
+        # version_log where the hash-ascending LAST event keeps the
+        # open interval). map payloads hash via to_json (_hash_safe).
+        payload_cols = [c for c in docs.columns if c != "id"]
+        if payload_cols:
+            w = Window.partitionBy("id").orderBy(
+                F.xxhash64(
+                    *[_hash_safe(F.col(c), docs.schema[c].dataType) for c in payload_cols]
+                ).desc()
+            )
+            docs = (
+                docs.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            docs = docs.dropDuplicates(["id"])
         ids = docs.select("id").distinct()
 
         marked = self.versions.join(

@@ -423,3 +423,23 @@ def test_version_log_same_ts_deterministic(spark):
         survivor = latest_snapshot(log).select("body").collect()[0][0]
         outs.add(survivor)
     assert len(outs) == 1  # same survivor under any layout
+
+
+def test_put_same_id_twice_in_one_batch_deterministic(spark):
+    """r10 review: two rows for one id in a single put() created two
+    identical current intervals whose latest-view winner depended on
+    partition order. The survivor is now a function of the data (max
+    payload hash — version_log's mirrored tiebreak), layout-invariant,
+    and exactly ONE current version exists."""
+    outs = set()
+    for parts in (1, 7):
+        s, clock = _store(spark, [("u/1", "v0")], T0)
+        clock["now"] = T1
+        docs = spark.createDataFrame(
+            [("u/1", "a"), ("u/1", "b")], "id string, body string"
+        ).repartition(parts)
+        s2 = s.put(docs)
+        latest = s2.latest().collect()
+        assert len(latest) == 1
+        outs.add(latest[0].body)
+    assert len(outs) == 1, f"survivor depended on layout: {outs}"
