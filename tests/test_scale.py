@@ -189,3 +189,30 @@ def test_ivf_index_save_load_round_trip(spark, sf_dir, tmp_path):
     probed = loaded.df.filter(F.col("__ivf").isin([0, 1]))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__ivf" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_assign_large_c_is_arrow_vectorized(spark, sf_dir):
+    """r10: above IVF_LITERAL_MAX the assignment must plan as an
+    Arrow-batched pandas UDF (ArrowEvalPython — one numpy matmul per
+    batch), never a row-at-a-time BatchEvalPython, and the small-c
+    literal kernel must stay pure-JVM (no Python node at all)."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import IVF_LITERAL_MAX, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(3)
+    big = rng.normal(size=(IVF_LITERAL_MAX + 1, 64))
+    plan = (
+        emb.select(ivf_assign(F.col("embedding"), big).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan
+
+    small = rng.normal(size=(8, 64))
+    jvm_plan = (
+        emb.select(ivf_assign(F.col("embedding"), small).alias("c"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in jvm_plan  # pure JVM expression
