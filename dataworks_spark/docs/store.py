@@ -58,6 +58,16 @@ def _hash_safe(col: Column, dt) -> Column:
     return F.to_json(col) if _contains_map(dt) else col
 
 
+def _payload_hash(df: DataFrame, payload_cols: list[str]) -> Column:
+    """THE deterministic payload tiebreak — shared by version_log's
+    same-ts ordering and _apply_write's same-id-in-one-put dedup, which
+    are documented to mirror each other (max hash wins in both); one
+    definition so the two rules cannot drift (r10 review)."""
+    return F.xxhash64(
+        *[_hash_safe(F.col(c), df.schema[c].dataType) for c in payload_cols]
+    )
+
+
 def version_log(
     df: DataFrame,
     id_col: Column | str,
@@ -91,10 +101,7 @@ def version_log(
     # payload — hash those columns via to_json so the tiebreak never
     # narrows the accepted payload shapes (r9 ADVICE)
     w = Window.partitionBy("id").orderBy(
-        F.col(ts_col).asc(),
-        F.xxhash64(
-            *[_hash_safe(F.col(c), df.schema[c].dataType) for c in payload_cols]
-        ).asc(),
+        F.col(ts_col).asc(), _payload_hash(df, payload_cols).asc()
     )
     out = (
         out.withColumn("valid_from", F.col(ts_col))
@@ -350,9 +357,7 @@ class DocumentStore:
         payload_cols = [c for c in docs.columns if c != "id"]
         if payload_cols:
             w = Window.partitionBy("id").orderBy(
-                F.xxhash64(
-                    *[_hash_safe(F.col(c), docs.schema[c].dataType) for c in payload_cols]
-                ).desc()
+                _payload_hash(docs, payload_cols).desc()
             )
             docs = (
                 docs.withColumn("__rn", F.row_number().over(w))

@@ -156,31 +156,28 @@ class Engine:
         return result
 
     def _activation_snapshot(self, function_type: str, name: str):
-        """The exact pre-activation local-state entry a failed
-        create_function must restore: the live Node object (buffer and
-        dead-letter state included), the Transformer record, or the
-        collector route — present or absent. Returns
-        (container_dict, name, prior_entry_or_None); direct entry
+        """The exact pre-activation local state a failed create_function
+        must restore, captured BY THE OWNING REGISTRY under its own lock
+        (r10 review: a hardcoded dict-entry restore bypassed the
+        collector's route lock and missed the graph's swap epoch; each
+        registry knows its own activation footprint). Direct entry
         restore is deliberate — replaying a prior SPEC through the
         handler would rebuild the object but lose its runtime state."""
-        container = {
-            "stream": self.graph._nodes,
-            "transformer": self.transformers._fns,
-            "collector": self._collector._routes if self._collector is not None else None,
+        target = {
+            "stream": self.graph,
+            "transformer": self.transformers,
+            "collector": self._collector,
         }.get(function_type)
-        if container is None:
+        if target is None:
             return None
-        return (container, name, container.get(name))
+        return (target, name, target.activation_snapshot(name))
 
     @staticmethod
     def _activation_restore(snapshot) -> None:
         if snapshot is None:
             return
-        container, name, prior = snapshot
-        if prior is None:
-            container.pop(name, None)
-        else:
-            container[name] = prior
+        target, name, snap = snapshot
+        target.activation_restore(name, snap)
 
     def _on_collector_change(self, msg: FunctionChanged) -> None:
         """Hot-mount the collector's ingest route (the atomic-routes

@@ -306,8 +306,11 @@ def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
     if pd is None:
         raise RuntimeError(
             "the large-c IVF assignment kernel needs pandas (Arrow batch "
-            "transfer); install pandas or pass max_literal >= n_centroids "
-            "to stay on the literal JVM kernel"
+            "transfer); install pandas, or keep the cluster count at or "
+            "below IVF_LITERAL_MAX "
+            f"({IVF_LITERAL_MAX}: n_clusters/n_centroids on the calling "
+            "API, max_literal on ivf_assign) to stay on the literal JVM "
+            "kernel"
         )
     from pyspark.sql.functions import pandas_udf
 

@@ -76,6 +76,20 @@ class TransformerRegistry:
             self._fns[name] = t  # hot-swap: latest wins (ReadMe.org:64)
             return t
 
+    def activation_snapshot(self, name: str):
+        """The Transformer record a failed trial activation must restore
+        (engine.create_function rollback) — version included, so a
+        rolled-back re-register does not leave a phantom version bump."""
+        with self._lock:
+            return self._fns.get(name)
+
+    def activation_restore(self, name: str, snap) -> None:
+        with self._lock:
+            if snap is None:
+                self._fns.pop(name, None)
+            else:
+                self._fns[name] = snap
+
     # -- lookup / application (transformers.clj:16-24 transform) --------
     def get(self, name: str) -> Transformer:
         with self._lock:

@@ -84,6 +84,20 @@ class CollectorServer:
         with self._lock:
             self._routes.pop(name, None)
 
+    def activation_snapshot(self, name: str):
+        """The route entry a failed trial activation must restore
+        (engine.create_function rollback), captured under the same lock
+        the HTTP handler thread reads routes through."""
+        with self._lock:
+            return self._routes.get(name)
+
+    def activation_restore(self, name: str, snap) -> None:
+        with self._lock:
+            if snap is None:
+                self._routes.pop(name, None)
+            else:
+                self._routes[name] = snap
+
     def _append(self, sub: str, doc: dict) -> str:
         with self._lock:
             self._seq += 1

@@ -172,6 +172,23 @@ class StreamGraph:
             self._epoch += 1
             return self._epoch
 
+    def activation_snapshot(self, name: str):
+        """Everything a failed stored-function trial activation must
+        undo for this node (engine.create_function rollback): the live
+        Node entry — or its absence — plus the swap epoch (swap_node
+        bumps it). Captured under the graph lock."""
+        with self._lock:
+            return (self._nodes.get(name), self._epoch)
+
+    def activation_restore(self, name: str, snap) -> None:
+        node, epoch = snap
+        with self._lock:
+            if node is None:
+                self._nodes.pop(name, None)
+            else:
+                self._nodes[name] = node
+            self._epoch = epoch
+
     def downstream_subgraph(self, name: str) -> set[str]:
         """Nodes reachable from ``name`` (reference query-graph walk,
         utils/stream.clj:26-43) — the set whose queries a swap must

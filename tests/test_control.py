@@ -347,11 +347,15 @@ def test_create_function_rolls_back_on_publish_failure(spark, tmp_path):
         raise RuntimeError("broker down")
 
     eng.bus.publish = boom
+    epoch_before = eng.graph._epoch
     with pytest.raises(RuntimeError, match="broker down"):
         eng.create_function("stream", {**doc1, "upstreams": ["b"]})
-    # the exact v1 Node object (runtime state included) is back
+    # the exact v1 Node object (runtime state included) is back, and
+    # the swap epoch rolled back too (r10 review: a surviving epoch
+    # bump made the 'exact pre-call state' contract false)
     assert eng.graph._nodes["s1"] is node_v1
     assert eng.graph._nodes["s1"].upstreams == ["a"]
+    assert eng.graph._epoch == epoch_before
     # app-db still holds v1's payload
     payload = json.loads(
         eng.app_db.latest().filter("id = 'stream/s1'").select("payload").first()[0]
