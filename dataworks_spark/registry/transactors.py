@@ -20,11 +20,19 @@ from concurrent.futures import Future, ThreadPoolExecutor
 
 
 class TransactorRegistry:
+    #: audit-log cap — the log records WHAT fired (name, arg summary),
+    #: never the row payloads, and is bounded so a long-lived streaming
+    #: query cannot leak driver memory through it (r10 review: the
+    #: previous unbounded list pinned every collected row batch forever)
+    LOG_MAX = 10_000
+
     def __init__(self, max_workers: int = 4):
         self._fns: dict[str, Callable] = {}
         self._lock = threading.RLock()
         self._pool = ThreadPoolExecutor(max_workers=max_workers, thread_name_prefix="transactor")
-        self.log: list[tuple[str, tuple]] = []  # fired effects (for tests/audit)
+        from collections import deque
+
+        self.log: deque = deque(maxlen=self.LOG_MAX)  # fired effects (tests/audit)
 
     def register(self, name: str, fn: Callable) -> None:
         with self._lock:
@@ -35,18 +43,36 @@ class TransactorRegistry:
         (transactors.clj:18-19: `(go (apply f args))`)."""
         with self._lock:
             fn = self._fns[name]
-            self.log.append((name, args))
+            # the audit entry summarizes bulk args (row batches) to a
+            # count — pinning every delivered row in the log is the
+            # driver leak the LOG_MAX cap exists to prevent
+            logged = tuple(
+                f"<{len(a)} rows>" if isinstance(a, (list, tuple)) and len(a) > 100 else a
+                for a in args
+            )
+            self.log.append((name, logged))
         return self._pool.submit(fn, *args)
 
-    def foreach_batch_sink(self, name: str, collect_limit: int = 10_000):
+    def foreach_batch_sink(self, name: str, chunk_rows: int = 10_000):
         """Adapter: a foreachBatch fn that feeds each micro-batch's rows
         to the named transactor (K4 — the streaming attachment point).
-        The limit guards against accidentally shipping a huge batch to
-        a driver-side side effect."""
+
+        EVERY row is delivered: the batch streams to the driver through
+        ``toLocalIterator`` (one partition in memory at a time) and the
+        transactor fires once per ``chunk_rows`` chunk. The previous
+        ``limit(N).collect()`` silently DROPPED every row beyond N —
+        an arbitrary, unordered N at that — while the epoch still
+        committed, losing those effects permanently (r10 review).
+        Driver memory stays bounded by the chunk, not the batch."""
 
         def sink(batch_df, epoch_id: int) -> None:
-            rows = batch_df.limit(collect_limit).collect()
-            if rows:
-                self.transact(name, rows, epoch_id)
+            chunk: list = []
+            for row in batch_df.toLocalIterator():
+                chunk.append(row)
+                if len(chunk) >= chunk_rows:
+                    self.transact(name, chunk, epoch_id)
+                    chunk = []
+            if chunk:
+                self.transact(name, chunk, epoch_id)
 
         return sink

@@ -95,13 +95,43 @@ def valid_name(field: str = "name") -> Check:
 
 def parseable_steps(field: str = "steps") -> Check:
     """The `parseable?` analog for declarative op-specs: every step is
-    a known op with well-formed args (replaces the reference's
-    read-string of quoted Clojure, utils/common.clj:206)."""
-    known = {"map", "select", "filter", "flatmap", "rename", "drop", "udf", "then"}
+    a known op WITH the args OpChain.from_spec will read (replaces the
+    reference's read-string of quoted Clojure, utils/common.clj:206).
+    r10 review: op-name-only checking let {'op': 'filter'} (no expr)
+    through validation and crash as a KeyError inside the control-plane
+    activation handler instead of returning Invalid here. 'then' is
+    fluent-only (it carries a callable, which no JSON spec can) and is
+    rejected like any unknown op."""
+
+    def _well_formed(s: dict) -> bool:
+        op = s.get("op")
+        if op == "map":
+            return isinstance(s.get("cols"), dict) and all(
+                isinstance(k, str) and isinstance(v, str) for k, v in s["cols"].items()
+            )
+        if op == "filter":
+            return isinstance(s.get("expr"), str) and bool(s["expr"].strip())
+        if op in ("select", "drop"):
+            return isinstance(s.get("cols"), list) and all(
+                isinstance(c, str) for c in s["cols"]
+            )
+        if op == "flatmap":
+            return isinstance(s.get("col"), str) and isinstance(s.get("alias"), str)
+        if op == "rename":
+            return isinstance(s.get("mapping"), dict) and all(
+                isinstance(k, str) and isinstance(v, str) for k, v in s["mapping"].items()
+            )
+        if op == "udf":
+            return (
+                isinstance(s.get("name"), str)
+                and isinstance(s.get("out"), str)
+                and isinstance(s.get("in"), list)
+            )
+        return False
 
     def check(doc):
         steps = doc.get(field, [])
-        bad = [s for s in steps if not (isinstance(s, dict) and s.get("op") in known)]
+        bad = [s for s in steps if not (isinstance(s, dict) and _well_formed(s))]
         if bad:
             return Invalid("unparseable-step", {"steps": bad})
         return doc

@@ -88,7 +88,21 @@ def validate_buffer(
         # lossy buffer would pass validation and then silently drop
         # every row; bools sneak through isinstance(cap, int)
         if policy is not None and isinstance(cap, int) and not isinstance(cap, bool) and cap >= 1:
-            return BufferSpec(policy, cap, tuple(key_cols or ()), ts_col, tiebreak)
+            # a bare string key is ONE column, not its characters —
+            # tuple('user_id') silently became per-character key_cols
+            # ('u','s',...), passing validation and crashing the shed's
+            # Window.partitionBy at stream start (r10 review); any
+            # other non-iterable raises the same ValueError the rest of
+            # this validator speaks
+            if isinstance(key_cols, str):
+                key_cols = [key_cols]
+            try:
+                keys = tuple(key_cols or ())
+            except TypeError:
+                raise ValueError(f"invalid buffer_key: {key_cols!r}") from None
+            if not all(isinstance(k, str) and k for k in keys):
+                raise ValueError(f"invalid buffer_key: {key_cols!r}")
+            return BufferSpec(policy, cap, keys, ts_col, tiebreak)
     raise ValueError(f"invalid buffer: {buffer!r}")
 
 

@@ -21,15 +21,15 @@ partition discipline:
   incremental ≡ full recompute, tested).
 
 At-least-once caveat: a REDELIVERED batch would double-count sums.
-Compose with the dedup gates (`streaming/dedup.dedup_stream` in the
-horizon, `llm/incremental` by value) or an epoch ledger upstream when
-the source is not exactly-once; `foreachBatch` from a checkpointed
-query is exactly-once per epoch already.
+`update()` keeps an applied-epoch ledger (``<path>/_epochs/``) so a
+foreachBatch epoch replayed after a crash-before-offset-commit is
+skipped — foreachBatch is at-least-once, NOT exactly-once (r10 fix; an
+epoch replay previously re-merged and double-counted). For non-epoch
+sources compose with the dedup gates (`streaming/dedup.dedup_stream`
+in the horizon, `llm/incremental` by value).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,9 +110,22 @@ class ContinuousRollup:
         ]
         return parts.groupBy("bucket_date", "bucket_start", *self.keys).agg(*exprs)
 
+    def _fs(self):
+        """(hadoop_fs, table_path, jvm) for the table's scheme — the
+        rollup path is s3a://, hdfs://, … at scale; os.path would read
+        every non-local table as absent and update() would silently
+        OVERWRITE stored partials instead of merging (r10 review)."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p, jvm
+
     def _exists(self) -> bool:
-        return os.path.exists(self.path) and any(
-            not n.startswith((".", "_")) for n in os.listdir(self.path)
+        fs, p, _ = self._fs()
+        if not fs.exists(p):
+            return False
+        return any(
+            not st.getPath().getName().startswith((".", "_"))
+            for st in fs.listStatus(p)
         )
 
     def read(self, estimated: bool = True) -> DataFrame | None:
@@ -136,7 +149,27 @@ class ContinuousRollup:
         span), merged with the batch's partials, and the touched date
         partitions are rewritten atomically-per-partition with dynamic
         overwrite. Mergeability makes the result independent of how
-        rows were split across updates."""
+        rows were split across updates.
+
+        ``epoch_id`` (foreachBatch passes it) drives an APPLIED-EPOCH
+        ledger under ``<path>/_epochs/`` (underscore-prefixed: invisible
+        to the parquet reader): foreachBatch is AT-LEAST-ONCE — a crash
+        between this write and Spark's offset-log commit replays the
+        epoch, and re-merging already-merged partials double-counts
+        (r10 review; the module previously claimed exactly-once). A
+        replayed epoch whose marker exists is skipped. Residual window:
+        a crash between the table write and the marker write re-merges
+        that one epoch — closing it needs a transactional table format
+        (Delta/Iceberg MERGE), which this image lacks. One writer per
+        rollup path (epoch ids are per-query)."""
+        fs = marker = None
+        if epoch_id is not None:
+            fs, _, jvm = self._fs()
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/_epochs/{epoch_id}"
+            )
+            if fs.exists(marker):
+                return  # replayed epoch — already merged
         delta = self._partials(batch)
         stored = self.read(estimated=False)
         if stored is not None:
@@ -152,6 +185,8 @@ class ContinuousRollup:
             .partitionBy("bucket_date")
             .parquet(self.path)
         )
+        if marker is not None:
+            fs.mkdirs(marker)
 
     def for_each_batch(self):
         def _sink(df: DataFrame, epoch_id: int) -> None:

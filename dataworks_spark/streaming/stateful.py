@@ -50,9 +50,20 @@ def latest_state(
         for pdf in pdfs:
             for ts, v in zip(pdf[tc], pdf[vc]):
                 micros = int(ts.value // 1000)  # pandas ns → micros
-                if best_ts is None or micros > best_ts:
+                w = v.item() if hasattr(v, "item") else v
+                # same-ts ties resolve by VALUE (max string form), not
+                # batch iteration order — shuffle arrival order differs
+                # across task retries, and an exactly-once sink must see
+                # the same winner every time (r10 review; the same
+                # nondeterminism class the store's version_log closed
+                # with its payload-hash tiebreak)
+                if (
+                    best_ts is None
+                    or micros > best_ts
+                    or (micros == best_ts and str(w) > str(best_v))
+                ):
                     best_ts = micros
-                    best_v = v.item() if hasattr(v, "item") else v
+                    best_v = w
         state.update((best_ts, best_v))
         yield _pd.DataFrame(
             {kc: [key[0]], tc: [_pd.Timestamp(best_ts * 1000)], vc: [best_v]}

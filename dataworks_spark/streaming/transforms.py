@@ -84,7 +84,11 @@ class OpChain:
             elif op == "select":
                 chain = chain.select(*s["cols"])
             elif op == "flatmap":
-                chain = chain.flatmap(F.expr(s["col"]), s["alias"])
+                # pass the STRING through — _apply resolves it, so the
+                # spec path and the fluent string path produce the same
+                # schema (r10 review: F.expr here kept the source column
+                # while the fluent form dropped it)
+                chain = chain.flatmap(s["col"], s["alias"])
             elif op == "rename":
                 chain = chain.rename(s["mapping"])
             elif op == "drop":
@@ -136,9 +140,17 @@ class OpChain:
     def __call__(self, df: DataFrame) -> DataFrame:
         for step in self.steps:
             df = self._apply(df, step)
-            if self.nil_drop and step.op in {"map", "udf"}:
-                # implicit (filter some?) on the derived columns (B3)
-                subset = list(step.kwargs) if step.op == "map" else [step.args[2]]
+            if self.nil_drop and step.op in {"map", "udf", "flatmap"}:
+                # implicit (filter some?) on the derived columns (B3) —
+                # including flatmap's alias: exploding array('a', NULL)
+                # yields a nil element row the reference's composed
+                # (filter some?) would drop (r10 review; stream.clj:47)
+                if step.op == "map":
+                    subset = list(step.kwargs)
+                elif step.op == "udf":
+                    subset = [step.args[2]]
+                else:
+                    subset = [step.args[1]]
                 if subset:
                     df = df.dropna(how="any", subset=subset)
         return df
@@ -153,8 +165,21 @@ class OpChain:
             return df.filter(step.args[0])
         if step.op == "flatmap":
             col, alias = step.args
-            others = [c for c in df.columns if c != (col if isinstance(col, str) else None)]
-            return df.select(*others, F.explode(col if not isinstance(col, str) else F.col(col)).alias(alias))
+            # one schema rule for BOTH construction paths (r10 review —
+            # the spec path kept the source column while the fluent
+            # string path dropped it): a string naming an existing
+            # column is that column (and is dropped, replaced by the
+            # exploded alias); any other string is a SQL expression;
+            # a pre-existing column named like the alias is dropped
+            # (the alias wins — never duplicate output names)
+            if isinstance(col, str):
+                named = col in df.columns
+                src = F.col(col) if named else F.expr(col)
+                drop = {col} if named else set()
+            else:
+                src, drop = col, set()
+            others = [c for c in df.columns if c != alias and c not in drop]
+            return df.select(*others, F.explode(src).alias(alias))
         if step.op == "rename":
             return df.withColumnsRenamed(step.args[0])
         if step.op == "drop":

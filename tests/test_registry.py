@@ -54,7 +54,7 @@ def test_transactor_fire_and_forget():
     fut = reg.transact("notify", "hello", 42)
     fut.result(timeout=5)
     assert fired == [("hello", 42)]
-    assert reg.log == [("notify", ("hello", 42))]
+    assert list(reg.log) == [("notify", ("hello", 42))]
 
 
 def test_transactor_foreach_batch_streaming(spark, sf_dir, tmp_path):
@@ -194,3 +194,95 @@ def test_quality_model_as_stored_function(spark):
     )
     out = chain(df)
     assert out.count() == 2 and "score" in out.columns
+
+
+def test_foreach_batch_sink_delivers_every_row(spark):
+    """r10 review: limit(N).collect() silently DROPPED every row beyond
+    N while the epoch committed — those effects were lost permanently.
+    The sink now streams the whole batch in bounded chunks."""
+    import time as _time
+
+    reg = TransactorRegistry()
+    got: list = []
+    reg.register("collect", lambda rows, epoch: got.extend(rows))
+    sink = reg.foreach_batch_sink("collect", chunk_rows=10)
+    sink(spark.range(25), epoch_id=0)
+    for _ in range(100):  # chunks fire async on the pool
+        if len(got) == 25:
+            break
+        _time.sleep(0.05)
+    assert sorted(r.id for r in got) == list(range(25))
+
+
+def test_transactor_log_bounded_and_summarized():
+    """r10 review: the audit log pinned every delivered row batch for
+    the process lifetime (driver leak). Bulk args are summarized to a
+    count; the log itself is a bounded deque."""
+    reg = TransactorRegistry()
+    reg.register("noop", lambda *a: None)
+    reg.transact("noop", list(range(500))).result(timeout=5)
+    assert list(reg.log) == [("noop", ("<500 rows>",))]
+    assert reg.log.maxlen == TransactorRegistry.LOG_MAX
+
+
+def test_alert_scheduler_clock_drives_claim(spark):
+    """r10 review: the claim precondition evaluated latest() at the
+    STORE's clock; with the scheduler running on a simulated/future
+    clock (exactly the future-dated-alert feature), due alerts were
+    visible to due_alerts but never claimable — tick() silently 0."""
+    t0 = dt.datetime(2024, 1, 1)
+    t_due = dt.datetime(2024, 6, 1)
+    rows = [("alert/f", "alert", "notify", "p", False, t_due)]
+    df = spark.createDataFrame(
+        rows,
+        "id string, doc_type string, handler string, params string, "
+        "claimed boolean, ts timestamp",
+    )
+    store = DocumentStore(version_log(df, "id", "ts"), now_fn=lambda: t0)
+    trans = TransactorRegistry()
+    fired: list = []
+    trans.register("notify", lambda p: fired.append(p))
+    sched = AlertScheduler(store, trans, now_fn=lambda: t_due)
+    assert sched.tick() == 1
+    import time as _time
+
+    for _ in range(50):
+        if fired:
+            break
+        _time.sleep(0.05)
+    assert fired == ["p"]
+
+
+def test_validation_buffer_key_and_step_args():
+    """r10 review: a bare-string buffer_key became per-character key
+    columns; an int buffer_key raised TypeError out of the no-exception
+    check chain; op-name-only step checking let arg-less steps through
+    to crash at activation; 'then' (fluent-only, carries a callable)
+    validated but was unbuildable from any spec."""
+    import pytest
+
+    from dataworks_spark.registry.validation import Invalid, parseable_steps
+    from dataworks_spark.registry.validation import validate_buffer as vdoc
+    from dataworks_spark.streaming.graph import validate_buffer as vb
+
+    assert vb({"sliding-buffer": 5}, key_cols="user_id").key_cols == ("user_id",)
+    with pytest.raises(ValueError, match="buffer_key"):
+        vb({"sliding-buffer": 5}, key_cols=123)
+    # through the doc-check chain: Invalid, never an exception
+    bad = vdoc()({"buffer": {"sliding-buffer": 5}, "buffer_key": 123})
+    assert isinstance(bad, Invalid)
+
+    chk = parseable_steps()
+    assert isinstance(chk({"steps": [{"op": "filter"}]}), Invalid)
+    assert isinstance(chk({"steps": [{"op": "udf", "name": "f"}]}), Invalid)
+    assert isinstance(chk({"steps": [{"op": "then"}]}), Invalid)
+    ok = chk(
+        {
+            "steps": [
+                {"op": "filter", "expr": "x > 0"},
+                {"op": "flatmap", "col": "tags", "alias": "t"},
+                {"op": "udf", "name": "f", "out": "o", "in": ["x"]},
+            ]
+        }
+    )
+    assert not isinstance(ok, Invalid)

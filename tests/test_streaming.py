@@ -713,3 +713,55 @@ def test_cyclic_topology_raises_before_start(spark):
     g.add_node(Node("a", upstreams=["b"],
                     buffer=validate_buffer({"sliding-buffer": 2}, key_cols=["k"])))
     assert g._has_lossy_buffer("a") is True
+
+
+def test_opchain_flatmap_spec_fluent_parity_and_nil_drop(spark):
+    """r10 review: the spec path (F.expr) kept the flatmap source
+    column while the fluent string path dropped it — same logical spec,
+    different schema; and flatmap (the step that CREATES nulls) skipped
+    the B3 implicit nil-drop. One rule now: a string naming an existing
+    column is dropped and replaced by the alias, null elements vanish,
+    and an alias colliding with an existing column wins without
+    duplicate names."""
+    df = spark.createDataFrame(
+        [("d1", ["a", None, "b"])], "doc string, tags array<string>"
+    )
+    fluent = OpChain().flatmap("tags", "tag")(df)
+    spec = OpChain.from_spec(
+        {"steps": [{"op": "flatmap", "col": "tags", "alias": "tag"}]}
+    )(df)
+    assert fluent.columns == spec.columns == ["doc", "tag"]
+    assert (
+        sorted(r.tag for r in fluent.collect())
+        == sorted(r.tag for r in spec.collect())
+        == ["a", "b"]  # NULL element dropped (B3, stream.clj:47)
+    )
+    collide = OpChain.from_spec(
+        {"steps": [{"op": "flatmap", "col": "tags", "alias": "doc"}]}
+    )(df)
+    assert collide.columns == ["doc"]  # alias wins; no duplicates
+
+
+def test_rollup_epoch_replay_is_skipped(spark, tmp_path):
+    """r10 review: foreachBatch is at-least-once — a replayed epoch
+    (crash between the table write and the offset commit) must NOT
+    re-merge already-merged partials. The applied-epoch ledger skips
+    it; a NEW epoch still merges."""
+    import datetime as dt
+
+    from dataworks_spark.streaming.rollup import ContinuousRollup
+
+    t0 = dt.datetime(2024, 3, 1, 0, 10, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    b1 = spark.createDataFrame([(1, t0, 1, 10.0), (2, t0, 2, 2.0)], schema)
+    b2 = spark.createDataFrame([(3, t0, 1, 5.0)], schema)
+    roll = ContinuousRollup(
+        spark, str(tmp_path / "roll_epoch"), ts_col="ts", bucket="1 hour",
+        keys=("user_id",),
+        aggs={"n": ("count", None), "sum_v": ("sum", "value")},
+    )
+    roll.update(b1, epoch_id=0)
+    roll.update(b1, epoch_id=0)  # replay — must be a no-op
+    roll.update(b2, epoch_id=1)
+    got = {r.user_id: (r.n, r.sum_v) for r in roll.read().collect()}
+    assert got == {1: (2, 15.0), 2: (1, 2.0)}
