@@ -77,10 +77,18 @@ class DocStoreSink:
 
     def _recover(self, path: str) -> None:
         spark = self.ref.store.versions.sparkSession
-        try:
-            durable = DocumentStore.load(spark, path)
-        except Exception:  # noqa: BLE001 — no durable data yet: bootstrap run
-            return
+        # ONLY path-absent counts as bootstrap. A durable dataset that
+        # exists but fails to load (transient FS error, corrupt footer)
+        # must raise: swallowing it left the empty in-memory store live
+        # and the next compact_incremental dynamic-overwrote durable
+        # partitions with delta-only content — the exact silent data
+        # loss this recovery exists to prevent (r10 review).
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return  # bootstrap run — nothing durable yet
+        durable = DocumentStore.load(spark, path)
         from dataworks_spark.functions.timeops import NEVER
 
         never = F.lit(NEVER).cast("timestamp")
@@ -115,7 +123,14 @@ class DocStoreSink:
         if epoch_id in self._applied_epochs or batch_df.isEmpty():
             return
         idc = F.col(self._id_col) if isinstance(self._id_col, str) else self._id_col
-        drop = [self._id_col] if isinstance(self._id_col, str) else []
+        # drop the source column only when it is NOT already named "id"
+        # (r10 review: id_col="id" dropped the just-normalized column —
+        # every batch then failed with UNRESOLVED_COLUMN in put_log)
+        drop = (
+            [self._id_col]
+            if isinstance(self._id_col, str) and self._id_col != "id"
+            else []
+        )
         rows = batch_df.withColumn("id", idc).drop(*drop).localCheckpoint()
 
         def _apply(s: DocumentStore) -> DocumentStore:

@@ -66,6 +66,9 @@ def _build_parser():
                 i = j
         return out
 
+    #: sentinel for the EDN discard macro #_ — never a real value
+    _DISCARD = object()
+
     def parse_at(tokens, pos):
         if pos >= len(tokens):
             raise ValueError("unexpected end of input")
@@ -73,23 +76,49 @@ def _build_parser():
         if t in ("[", "("):
             close = "]" if t == "[" else ")"
             out, pos = [], pos + 1
-            while tokens[pos] != close:
+            while pos < len(tokens) and tokens[pos] != close:
                 v, pos = parse_at(tokens, pos)
-                out.append(v)
+                if v is not _DISCARD:
+                    out.append(v)
+            if pos >= len(tokens):
+                # IndexError violated the parser's documented ValueError
+                # contract on truncated payloads (r10 review)
+                raise ValueError(f"unterminated collection (missing {close!r})")
             return out, pos + 1
         if t == "#{":
             out, pos = [], pos + 1
-            while tokens[pos] != "}":
+            while pos < len(tokens) and tokens[pos] != "}":
                 v, pos = parse_at(tokens, pos)
-                out.append(v)
+                if v is not _DISCARD:
+                    out.append(v)
+            if pos >= len(tokens):
+                raise ValueError("unterminated collection (missing '}')")
             return sorted(out, key=repr), pos + 1
         if t == "{":
-            out, pos = {}, pos + 1
-            while tokens[pos] != "}":
-                k, pos = parse_at(tokens, pos)
+            # forms are read ONE at a time (not k/v pairs) so a discard
+            # can drop any form — {:a 1 #_ :b #_ 2} → {:a 1}
+            forms, pos = [], pos + 1
+            while pos < len(tokens) and tokens[pos] != "}":
                 v, pos = parse_at(tokens, pos)
+                if v is not _DISCARD:
+                    forms.append(v)
+            if pos >= len(tokens):
+                raise ValueError("unterminated collection (missing '}')")
+            if len(forms) % 2:
+                raise ValueError("map literal with odd number of forms")
+            out = {}
+            for k, v in zip(forms[::2], forms[1::2]):
                 out[k if isinstance(k, (str, int, float, bool)) else repr(k)] = v
             return out, pos + 1
+        if t == "#_":
+            # EDN discard macro: the next form is read and DROPPED
+            # (r10 review: the generic tagged-literal branch kept the
+            # discarded form as a phantom element)
+            _v, pos = parse_at(tokens, pos + 1)
+            return _DISCARD, pos
+        if t.startswith("#_"):
+            # '#_2' — the discarded form is glued to the marker token
+            return _DISCARD, pos + 1
         if t.startswith("#"):  # tagged literal
             v, pos = parse_at(tokens, pos + 1)
             return convert_tagged(t[1:], v), pos
@@ -134,7 +163,10 @@ def _build_parser():
 
     def parse(s):
         tokens = tokenize(s)
-        value, pos = parse_at(tokens, 0)
+        pos = 0
+        value = _DISCARD
+        while value is _DISCARD:  # leading top-level discards: #_ 1 2 → 2
+            value, pos = parse_at(tokens, pos)
         if pos != len(tokens):
             raise ValueError(f"trailing tokens at {pos}")
         return value

@@ -61,7 +61,7 @@ def deterministic_uuid(namespace: str, name: Column) -> Column:
         )
     )
     h = F.concat(F.substring(h, 1, 16), variant, F.substring(h, 18, 15))
-    return F.concat_ws(
+    out = F.concat_ws(
         "-",
         F.substring(h, 1, 8),
         F.substring(h, 9, 4),
@@ -69,3 +69,8 @@ def deterministic_uuid(namespace: str, name: Column) -> Column:
         F.substring(h, 17, 4),
         F.substring(h, 21, 12),
     )
+    # NULL name must propagate NULL, not collapse onto "": every
+    # substring of the NULL digest is NULL, and concat_ws SKIPS null
+    # args — all NULL-name rows silently shared the one non-UUID id ""
+    # and aliased in any join/dedup keyed on it (r10 review)
+    return F.when(name.isNull(), F.lit(None).cast("string")).otherwise(out)

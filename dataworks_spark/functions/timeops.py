@@ -36,10 +36,13 @@ _UNITS = {
 def consume_time(value) -> Column:
     """Turn any reference-accepted time literal into a TimestampType
     Column (utils/time.clj:11-86 case analysis)."""
-    if value == ":never" or value is None:
-        return F.lit(NEVER).cast("timestamp")
+    # Column FIRST: `value == ':never'` on a Column builds a comparison
+    # Column, and `or` would force bool(Column) → PySparkValueError —
+    # the documented Column branch was unreachable (r10 review)
     if isinstance(value, Column):
         return value.cast("timestamp")
+    if value is None or value == ":never":
+        return F.lit(NEVER).cast("timestamp")
     if isinstance(value, _dt.datetime):
         return F.lit(value).cast("timestamp")
     if isinstance(value, _dt.date):

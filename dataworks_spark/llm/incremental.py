@@ -19,8 +19,14 @@ the standard accelerations — a compacted hash-only side table bucketed
 by hash, or a bloom filter pushed into the anti-join — are caches of
 this same derivation and can be rebuilt from the corpus at any time.
 ``hash_cache_path`` implements the first: an optional hash-only
-parquet mirror appended per batch and REBUILT from the corpus on any
-doubt, so it can lag or die without correctness loss.
+parquet mirror appended per batch. The mirror re-introduces a bounded
+dual-write window (corpus appended, mirror append not yet landed), so
+ingest brackets it with a sync marker: a crash inside the window
+leaves the marker, a marked mirror is BYPASSED (reads fall back to the
+always-correct corpus derivation) and the next ingest rebuilds it from
+the corpus — "rebuilt on any doubt" is enforced, not aspirational
+(r10 review: a stale mirror silently re-admitted redelivered
+duplicates).
 """
 
 from __future__ import annotations
@@ -140,11 +146,29 @@ class IncrementalCorpus:
     def read(self) -> DataFrame | None:
         return self.spark.read.parquet(self.path) if self._exists(self.path) else None
 
+    def _sync_marker(self, cache_path: str) -> str:
+        return os.path.join(cache_path, "_pending_sync")
+
+    def _cache_usable(self, cache_path: str | None) -> bool:
+        """A mirror is served only when no ingest died between the
+        corpus append and the mirror append: ingest leaves a sync
+        marker across that window (r10 review — a crash there left the
+        mirror missing the batch's hashes, and a redelivered batch
+        sailed past the stale mirror straight into the corpus as
+        duplicates, exactly the dual-write window the module docstring
+        claims cannot exist). A marked mirror is bypassed (the corpus
+        derivation is always correct) until :meth:`ingest` heals it."""
+        return (
+            bool(cache_path)
+            and self._exists(cache_path)
+            and not os.path.exists(self._sync_marker(cache_path))
+        )
+
     def existing_hashes(self) -> DataFrame | None:
         """The corpus's content-hash set: served from the hash-cache
-        mirror when configured and present, else derived from the
-        corpus scan (always correct; the mirror is just cheaper)."""
-        if self.hash_cache_path and self._exists(self.hash_cache_path):
+        mirror when configured, present and IN-SYNC, else derived from
+        the corpus scan (always correct; the mirror is just cheaper)."""
+        if self._cache_usable(self.hash_cache_path):
             return self.spark.read.parquet(self.hash_cache_path).dropDuplicates()
         cur = self.read()
         if cur is None:
@@ -155,9 +179,10 @@ class IncrementalCorpus:
 
     def existing_fps(self) -> DataFrame | None:
         """The corpus's winnowing-fingerprint set: the mirror when
-        present, else derived from a corpus scan (correct but a full
-        text pass — the mirror is the production path at scale)."""
-        if self.fp_cache_path and self._exists(self.fp_cache_path):
+        present and in-sync, else derived from a corpus scan (correct
+        but a full text pass — the mirror is the production path at
+        scale)."""
+        if self._cache_usable(self.fp_cache_path):
             return self.spark.read.parquet(self.fp_cache_path).dropDuplicates()
         cur = self.read()
         if cur is None:
@@ -168,7 +193,26 @@ class IncrementalCorpus:
             ).dropDuplicates()
         )
 
+    def _heal_caches(self) -> None:
+        """Rebuild mirrors whose sync marker survived a crash — the
+        mirror permanently lacks the crashed batch's entries, so only a
+        full recompute from the corpus (the source of truth) makes it
+        trustworthy again. Marker removal comes AFTER the rebuild."""
+        stale = [
+            p
+            for p in (self.hash_cache_path, self.fp_cache_path)
+            if p and os.path.exists(self._sync_marker(p))
+        ]
+        if stale:
+            self.rebuild_hash_cache()  # overwrites BOTH mirrors
+            for p in stale:
+                try:
+                    os.remove(self._sync_marker(p))
+                except FileNotFoundError:
+                    pass  # the overwrite wiped the directory
+
     def ingest(self, batch: DataFrame, epoch_id: int | None = None) -> int:
+        self._heal_caches()
         fresh = novel_rows(batch, self.existing_hashes(), self.text_col, self.id_col)
         if self.min_shared_fps is not None:
             fresh = non_overlapping_rows(
@@ -182,6 +226,17 @@ class IncrementalCorpus:
         #                      not re-read the corpus it is appending to
         n = fresh.count()
         if n:
+            # sync markers BEFORE the corpus append: a crash anywhere in
+            # the corpus-append → mirror-append window leaves them in
+            # place, and the mirrors are bypassed/rebuilt instead of
+            # trusted stale
+            markers = []
+            for p in (self.hash_cache_path, self.fp_cache_path):
+                if p:
+                    os.makedirs(p, exist_ok=True)
+                    m = self._sync_marker(p)
+                    open(m, "w").close()
+                    markers.append(m)
             fresh.write.mode("append").parquet(self.path)
             if self.hash_cache_path:
                 fresh.select(
@@ -195,6 +250,8 @@ class IncrementalCorpus:
                 fresh.select(
                     F.explode(winnow_fingerprints(F.col(self.text_col))).alias("fp")
                 ).dropDuplicates().write.mode("append").parquet(self.fp_cache_path)
+            for m in markers:
+                os.remove(m)
         return n
 
     def rebuild_hash_cache(self) -> None:

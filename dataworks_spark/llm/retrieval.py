@@ -36,6 +36,20 @@ def _term_tf(toks: Column, term: str) -> Column:
     return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
 
+def _norm_terms(terms: list[str], what: str) -> list[str]:
+    """Lowercase terms to match the tokenizer — tokens are lowercased
+    (module doc: lowercase whitespace split), so a mixed-case term
+    could NEVER match and silently scored/selected nothing (r10
+    review). Duplicates are checked AFTER lowering ('Spark'/'spark'
+    would double-count just like an exact duplicate)."""
+    if not terms:
+        raise ValueError(f"{what} must be non-empty")
+    low = [t.lower() for t in terms]
+    if len(set(low)) != len(low):
+        raise ValueError(f"duplicate {what} (case-insensitive): {terms}")
+    return low
+
+
 def _feat_struct(text_col: str, terms: list[str]) -> Column:
     """``struct(dl, tf0..tfN)`` for a document, with the tokenization
     evaluated ONCE: the single-element ``transform`` is a let-binding
@@ -66,6 +80,7 @@ def corpus_term_stats(
 
     This is the ingest-time half of BM25 at scale: one
     map-side-combined aggregation over the scan, one row out."""
+    query_terms = _norm_terms(query_terms, "query_terms")
     feat = df.select(_feat_struct(text_col, query_terms).alias("__s"))
     return feat.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -95,10 +110,7 @@ def bm25_score(
     idf uses the +1 smoothing form ``ln(1 + (N - df + .5)/(df + .5))``
     (Lucene's variant of the Robertson idf — never negative for terms
     in more than half the corpus)."""
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
-    if len(set(query_terms)) != len(query_terms):
-        raise ValueError(f"duplicate query terms would double-count: {query_terms}")
+    query_terms = _norm_terms(query_terms, "query_terms")
     feat = df.select(
         F.col(id_col), _feat_struct(text_col, query_terms).alias("__s")
     ).select(
@@ -198,8 +210,7 @@ def tfidf_vectors(
     vector is a fixed-width array built inside the scan projection:
     no explode, no per-term shuffle, composable with the L3 similarity
     tier (cosine_similarity over the returned array)."""
-    if not vocab_terms:
-        raise ValueError("vocab_terms must be non-empty")
+    vocab_terms = _norm_terms(vocab_terms, "vocab_terms")
     feat = df.select(
         F.col(id_col), _feat_struct(text_col, vocab_terms).alias("__s")
     ).select(

@@ -19,8 +19,13 @@ STOPWORDS = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization."""
-    return F.split(text, r"\s+")
+    """Whitespace tokenization. Empty-string tokens are FILTERED:
+    Java's split keeps a leading "" for leading whitespace (and
+    trailing ones under limit -1), which inflated every downstream
+    count, entered vocabularies as a phantom term, and broke
+    document_fingerprint's reorder-invariance ("a b" vs "a b ") — r10
+    review. The oracle SQL twins carry the matching list_filter."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
 def bpe_ish_tokens(text: Column) -> Column:
@@ -51,11 +56,18 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 def language_scores(text: Column) -> Column:
     """Language-ID heuristic: per-language stopword-hit score as a map;
-    argmax is the guess. Deterministic, shippable as a single projection."""
-    return F.map_from_arrays(
-        F.array(*[F.lit(lang) for lang in STOPWORDS]),
-        F.array(*[stopword_ratio(text, lang) for lang in STOPWORDS]),
-    )
+    argmax is the guess. Deterministic, shippable as a single
+    projection. The tokenization is LET-BOUND (single-element transform)
+    so all languages score one token array — per-language
+    stopword_ratio(text) calls re-ran the split per language, the exact
+    cost stopword_ratio_tokens exists to avoid (r10 review)."""
+    return F.transform(
+        F.array(tokens(F.lower(text))),
+        lambda tk: F.map_from_arrays(
+            F.array(*[F.lit(lang) for lang in STOPWORDS]),
+            F.array(*[stopword_ratio_tokens(tk, lang) for lang in STOPWORDS]),
+        ),
+    ).getItem(0)
 
 
 def quality_features(text: Column) -> dict[str, Column]:

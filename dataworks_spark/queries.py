@@ -2120,21 +2120,30 @@ ORACLE_SQL: dict[str, str] = {
         WITH f AS (
           SELECT lang, n_chars, source,
                  len(string_split(text, ' ')) AS n_toks,
+                 -- tokens() filters empty strings (r10): the filtered
+                 -- \\s+ split backs every tokens()-derived feature
+                 len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '')) AS n_ftoks,
                  len(regexp_extract_all(text,
                      '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS n_bpe,
-                 (LENGTH(text) - (len(string_split(text, ' ')) - 1))
-                   / greatest(len(string_split(text, ' ')), 1) AS tok_len,
+                 (LENGTH(text) - (len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '')) - 1))
+                   / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '')), 1) AS tok_len,
                  (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                    / greatest(LENGTH(text), 1) AS punct_ratio,
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(['the','a','of','and','to','in','is'], t)))
-                   / greatest(len(string_split(lower(text), ' ')), 1) AS sw_ratio,
+                   / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '')), 1) AS sw_ratio,
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(['der','die','das','und','zu','ist'], t)))
-                   / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
+                   / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '')), 1) AS s_de,
                  len(list_filter(string_split(lower(text), ' '),
                      t -> list_contains(['el','la','de','que','y','es'], t)))
-                   / greatest(len(string_split(lower(text), ' ')), 1) AS s_es,
+                   / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '')), 1) AS s_es,
                  len(list_transform(generate_series(1,
                        greatest(len(string_split(text, ' ')) - 2, 0)),
                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
@@ -2159,7 +2168,7 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(AVG(tok_len), 6) AS avg_token_len,
                ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
                ROUND(AVG(sw_ratio), 6) AS avg_stopword_ratio,
-               ROUND(AVG(least(n_toks / 100.0, 1.0) * 0.4
+               ROUND(AVG(least(n_ftoks / 100.0, 1.0) * 0.4
                      + (1 - punct_ratio) * 0.3
                      + least(sw_ratio * 5.0, 1.0) * 0.3), 6) AS avg_quality,
                ROUND(AVG((n_grams - n_distinct_grams)
@@ -2359,7 +2368,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q_corpus_stats": """
         WITH lens AS (
-          SELECT CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS dl
+          SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '')) AS BIGINT) AS dl
           FROM documents
         ), doc_stats AS (
           SELECT COUNT(*) AS n_docs,
@@ -2369,15 +2379,17 @@ ORACLE_SQL: dict[str, str] = {
           FROM lens
         ), vocab AS (
           SELECT COUNT(DISTINCT tok) AS vocab_size
-          FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok
+          FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                       t -> t <> '')) AS tok
                 FROM documents)
         ), fp AS (
           SELECT COUNT(*) AS n_distinct_fp,
                  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
                  MAX(n) AS max_fp_docs
           FROM (
-            SELECT md5(array_to_string(list_sort(list_distinct(
-                       string_split(text, ' '))), ' ')) AS f2, COUNT(*) AS n
+            SELECT md5(array_to_string(list_sort(list_distinct(list_filter(
+                       regexp_split_to_array(text, '\\s+'), t -> t <> ''))), ' ')) AS f2,
+                   COUNT(*) AS n
             FROM documents GROUP BY 1)
         )
         SELECT n_docs, n_tokens, vocab_size,
@@ -2392,7 +2404,8 @@ ORACLE_SQL: dict[str, str] = {
         WITH tf AS (
           SELECT doc_id, tok, COUNT(*) AS tf
           FROM (SELECT doc_id,
-                       unnest(regexp_split_to_array(text, '\\s+')) AS tok
+                       unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS tok
                 FROM documents)
           GROUP BY doc_id, tok
         ), cnt AS (

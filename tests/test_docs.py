@@ -443,3 +443,21 @@ def test_put_same_id_twice_in_one_batch_deterministic(spark):
         assert len(latest) == 1
         outs.add(latest[0].body)
     assert len(outs) == 1, f"survivor depended on layout: {outs}"
+
+
+def test_doc_store_sink_id_col_already_named_id(spark, tmp_path):
+    """r10 review: id_col="id" dropped the just-normalized column
+    (withColumn('id', ...).drop('id')) and every batch failed with
+    UNRESOLVED_COLUMN in put_log."""
+    from dataworks_spark.docs.sink import DocStoreSink
+
+    empty = spark.createDataFrame(
+        [], "id string, v double, valid_from timestamp, valid_to timestamp, "
+        "tx_from timestamp, tx_to timestamp, deleted boolean"
+    )
+    sink = DocStoreSink(DocumentStore(empty), id_col="id", ts_col="ts")
+    batch = spark.createDataFrame(
+        [("u/1", 1.0, T0), ("u/2", 2.0, T0)], "id string, v double, ts timestamp"
+    )
+    sink.foreach_batch(batch, epoch_id=0)
+    assert {r.id: r.v for r in sink.store.latest().collect()} == {"u/1": 1.0, "u/2": 2.0}

@@ -168,3 +168,36 @@ def test_bloom_probe_is_lambda_safe(spark):
         ).collect()
     ]
     assert got[0] is True and got[1] in (False, True)  # fp possible, fn not
+
+
+def test_edn_unterminated_and_discard():
+    """r10 review: unterminated collections raised IndexError instead
+    of the parser's ValueError contract; the #_ discard macro kept the
+    discarded form as a phantom element."""
+    import pytest
+
+    from dataworks_spark.functions.edn import parse_edn
+
+    for bad in ("[1 2", "{:a 1", "#{1 2", "(1"):
+        with pytest.raises(ValueError):
+            parse_edn(bad)
+    assert parse_edn("[1 #_ 2 3]") == [1, 3]
+    assert parse_edn("{:a 1 #_ :b #_ 2}") == {":a": 1}
+    assert parse_edn("#{1 #_ 2 3}") == [1, 3]
+    assert parse_edn("#_ 1 2") == 2
+    assert parse_edn("[#_2 5]") == [5]  # form glued to the marker
+    with pytest.raises(ValueError, match="odd number"):
+        parse_edn("{:a 1 :b}")
+
+
+def test_deterministic_uuid_null_propagates(spark):
+    """r10 review: a NULL name produced "" (concat_ws skips NULLs), so
+    every NULL-name row aliased onto one non-UUID id."""
+    from dataworks_spark.functions.ids import deterministic_uuid
+
+    df = spark.createDataFrame([("x",), (None,)], "name string")
+    got = {r.name: r.u for r in df.select(
+        "name", deterministic_uuid("ns:", F.col("name")).alias("u")
+    ).collect()}
+    assert got[None] is None
+    assert got["x"] and len(got["x"]) == 36

@@ -2402,3 +2402,91 @@ def test_cosine_pairs_above_all_null_vectors_no_cartesian(spark):
     # relation — the executed plan must carry NO join at all
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "Join" not in plan, plan
+
+
+def test_tokens_filter_empty_and_fingerprint_invariance(spark):
+    """r10 review: split('\\s+') kept leading/trailing empty-string
+    tokens — token_count(' hello\\n') read 3, '' entered vocabularies,
+    and document_fingerprint broke its reorder/duplication-invariance
+    contract on padded text ('a b' vs ' a b ')."""
+    from dataworks_spark.llm.text import document_fingerprint, token_count
+
+    df = spark.createDataFrame(
+        [(1, " hello\n"), (2, "a b"), (3, " a  b "), (4, "b a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n, r.fp)
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            document_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert got[1][0] == 1
+    assert got[2][0] == 2 and got[3][0] == 2 and got[4][0] == 3
+    # same distinct token set => same fingerprint, padding and order be damned
+    assert got[2][1] == got[3][1] == got[4][1]
+
+
+def test_retrieval_terms_lowercased(spark):
+    """r10 review: tokens are lowercased but query/vocab terms were
+    matched case-sensitively — 'Spark' silently scored nothing."""
+    import pytest
+
+    from dataworks_spark.llm.retrieval import bm25_topk, tfidf_vectors
+
+    df = spark.createDataFrame(
+        [(1, "Spark merges streams"), (2, "duck pond")], "doc_id long, text string"
+    )
+    top = bm25_topk(df, ["Spark"], k=5).collect()
+    assert [r.doc_id for r in top] == [1]
+    vec = {r.doc_id: r.tfidf for r in tfidf_vectors(df, ["SPARK"]).collect()}
+    assert vec[1][0] > 0.0 and vec[2][0] == 0.0
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_topk(df, ["Spark", "spark"], k=5)
+
+
+def test_consume_time_column_branch(spark):
+    """r10 review: `value == ':never'` on a Column forced bool(Column)
+    and raised — the documented Column input never worked."""
+    from dataworks_spark.functions.timeops import consume_time
+
+    df = spark.createDataFrame([("2024-01-02 03:04:05",)], "s string")
+    got = df.select(consume_time(F.col("s")).alias("t")).first()[0]
+    import datetime as dt
+
+    assert got == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_incremental_corpus_stale_mirror_bypassed_and_healed(spark, tmp_path):
+    """r10 review: a crash between the corpus append and the hash-cache
+    append left a stale mirror that silently re-admitted a redelivered
+    batch as duplicates. The sync marker makes the stale mirror
+    bypassed (reads derive from the corpus) and the next ingest
+    rebuilds it."""
+    import os
+
+    from dataworks_spark.llm.incremental import IncrementalCorpus
+
+    cache = str(tmp_path / "hashes")
+    corpus = IncrementalCorpus(
+        spark, str(tmp_path / "corpus"), hash_cache_path=cache
+    )
+    b1 = spark.createDataFrame([(1, "alpha beta"), (2, "gamma")], "doc_id long, text string")
+    assert corpus.ingest(b1) == 2
+
+    # simulate the crash window: corpus has a doc the mirror missed,
+    # with the sync marker still in place
+    extra = spark.createDataFrame([(3, "delta epsilon")], "doc_id long, text string")
+    open(corpus._sync_marker(cache), "w").close()
+    extra.write.mode("append").parquet(corpus.path)
+
+    # redelivery of the doc the mirror doesn't know: stale mirror must
+    # be bypassed, so nothing is re-admitted
+    assert corpus.ingest(extra) == 0
+    assert corpus.read().count() == 3
+    # and the marker is gone (mirror healed from the corpus)
+    assert not os.path.exists(corpus._sync_marker(cache))
+    # mirror now serves the full hash set
+    assert corpus.existing_hashes().count() == 3
