@@ -49,7 +49,22 @@ def load_config(path: str | None = None) -> dict[str, Any]:
 
 
 def apply_spark_conf(cfg: dict[str, Any], spark) -> None:
-    """Apply runtime-settable spark.* keys."""
+    """Apply runtime-settable spark.* keys. STATIC confs (e.g.
+    spark.driver.memory — fixed once the JVM exists) cannot be set on a
+    live session; they are skipped with a warning instead of killing
+    engine boot (r10 review: one static key in config.json crashed
+    init with CANNOT_MODIFY_CONFIG). Static keys belong in the
+    spark-submit / session-builder layer, which owns JVM sizing."""
+    import logging
+
     for k, v in cfg.items():
         if k.startswith("spark.") and v is not None:
-            spark.conf.set(k, str(v))
+            try:
+                spark.conf.set(k, str(v))
+            except Exception as exc:  # noqa: BLE001 — static/immutable conf
+                logging.getLogger(__name__).warning(
+                    "config key %s is not runtime-settable (%s); set it at "
+                    "session build / spark-submit time",
+                    k,
+                    type(exc).__name__,
+                )

@@ -65,19 +65,24 @@ def read_binary_dir(
     ``id_pattern`` — regex with one capture group extracting a numeric
     id from the file path (stable across hosts/mount points); default
     falls back to xxhash64(path), which is deterministic per location
-    but not portable. ``glob`` filters by file name via the source's
-    ``pathGlobFilter`` (preferred over a glob embedded in ``path``,
-    which trips the source's streaming-metadata probe into logging a
-    FileNotFoundException warning)."""
+    but not portable. Files the pattern does NOT match are EXCLUDED —
+    they are not the fixture's media files (a stray cover.png next to
+    media_00001.png). Previously they silently became NULL media_id
+    rows, violating MEDIA_SCHEMA's non-null id and vanishing from any
+    downstream equi-join (r10 review). ``glob`` filters by file name
+    via the source's ``pathGlobFilter`` (preferred over a glob embedded
+    in ``path``, which trips the source's streaming-metadata probe into
+    logging a FileNotFoundException warning)."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     raw = reader.load(path)
-    mid = (
-        F.regexp_extract("path", id_pattern, 1).cast("long")
-        if id_pattern
-        else F.xxhash64("path")
-    )
+    if id_pattern:
+        # regexp_extract returns '' on no-match; '' casts to NULL long
+        raw = raw.filter(F.regexp_extract("path", id_pattern, 1) != "")
+        mid = F.regexp_extract("path", id_pattern, 1).cast("long")
+    else:
+        mid = F.xxhash64("path")
     return raw.select(
         mid.alias("media_id"),
         F.col("content").alias("payload"),
@@ -91,6 +96,26 @@ def read_binary_dir(
     )
 
 
+
+def _fixture_ready(out: str, done: str, signature: str) -> bool:
+    """True iff the fixture directory exists AND was generated with the
+    SAME parameters — the marker records the generation signature, and
+    a mismatch (e.g. a later call asking for more files) regenerates
+    instead of silently reusing the smaller stale fixture (r10 review:
+    the recorded count was written but never read back)."""
+    import os
+    import shutil
+
+    if os.path.exists(done):
+        try:
+            with open(done) as f:
+                if f.read().strip() == signature:
+                    return True
+        except OSError:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    return False
+
 def write_media_fixture(name: str, n: int = 256, root: str | None = None) -> str:
     """Generate a deterministic directory of fake media files (PNG magic
     + sha256-derived payload of varying length) under the repo so the
@@ -103,7 +128,7 @@ def write_media_fixture(name: str, n: int = 256, root: str | None = None) -> str
     base = root or os.path.join(repo_root, ".media_fixtures")
     out = os.path.join(base, name)
     done = os.path.join(out, ".complete")
-    if not os.path.exists(done):
+    if not _fixture_ready(out, done, str(n)):
         os.makedirs(out, exist_ok=True)
         for i in range(n):
             seed = hashlib.sha256(f"media-{name}-{i}".encode()).digest()
@@ -138,12 +163,24 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract via mapInPandas: Arrow-batched binary
     payloads in, small numeric feature rows out (the payload column is
     dropped — features travel, bytes don't)."""
-    real = _real_decode_available()
-    if strict and not real:
+    if strict:
+        # strict means REAL features only — and this generic extractor
+        # has no real kernel wired (the stdlib-decodable paths live in
+        # image_features/audio_features/sample_video_frames). The old
+        # guard raised only when PIL was ABSENT, so a PIL-equipped
+        # deployment silently got sha256 pseudo-features presented as
+        # real (r10 review).
+        hint = (
+            " (PIL is importable here, but no PIL kernel exists in this build)"
+            if _real_decode_available()
+            else ""
+        )
         raise NotImplementedError(
-            "media decode kernel requires codec libraries (PIL) not present "
-            "in this environment; run with strict=False for the "
-            "deterministic fake decoder"
+            "extract_features has no real decode kernel: compressed-codec "
+            "decode is environment-gated and the deterministic fake decoder "
+            "is the only implementation — call with strict=False to use it "
+            "knowingly, or use image_features/audio_features for the real "
+            "stdlib-decodable formats" + hint
         )
 
     # NOTE: the batch fn must be fully self-contained (stdlib imports
@@ -236,7 +273,7 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
     base = root or os.path.join(repo_root, ".media_fixtures")
     out = os.path.join(base, f"{name}_decodable")
     done = os.path.join(out, ".complete")
-    if os.path.exists(done):
+    if _fixture_ready(out, done, f"{n_images},{n_audio}"):
         return out
     os.makedirs(out, exist_ok=True)
     w = h = 16
@@ -267,7 +304,7 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
             f.setframerate(rate)
             f.writeframes(bytes(frames))
     with open(done, "w") as f:
-        f.write(str(n_images + n_audio))
+        f.write(f"{n_images},{n_audio}")
     return out
 
 
@@ -438,7 +475,7 @@ def write_video_fixture(name: str, n_videos: int = 8, root: str | None = None) -
     base = root or os.path.join(repo_root, ".media_fixtures")
     out = os.path.join(base, f"{name}_video")
     done = os.path.join(out, ".complete")
-    if os.path.exists(done):
+    if _fixture_ready(out, done, str(n_videos)):
         return out
     os.makedirs(out, exist_ok=True)
     w = h = 8
@@ -477,7 +514,13 @@ def sample_video_frames(df: DataFrame, every_n: int = 4, strict: bool = False) -
                     )
                 return []
             data = bytes(payload)
-            nl = data.index(b"\n")
+            nl = data.find(b"\n")
+            if nl < 0:
+                # truncated header (no newline): per the contract this
+                # yields no frames — data.index raised ValueError and
+                # failed the whole Spark task on one malformed file
+                # (r10 review)
+                return []
             header = data[:nl].decode("ascii", "replace")
             mw = _re.search(r"\bW(\d+)", header)
             mh = _re.search(r"\bH(\d+)", header)
@@ -493,7 +536,11 @@ def sample_video_frames(df: DataFrame, every_n: int = 4, strict: bool = False) -
             frame_n = luma_n + chroma_n
             out, pos, idx = [], nl + 1, 0
             while data.startswith(b"FRAME", pos):
-                pos = data.index(b"\n", pos) + 1  # frame params line
+                fnl = data.find(b"\n", pos)  # frame params line
+                if fnl < 0:
+                    break  # stream truncated mid-marker: stop, keep
+                    # the frames already sampled (no task-killing raise)
+                pos = fnl + 1
                 if pos + frame_n > len(data):
                     break
                 if idx % every_n == 0:

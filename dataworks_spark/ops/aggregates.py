@@ -34,7 +34,14 @@ def exists_by(df: DataFrame, keys: Sequence[str], cond: Column, name: str = "has
 def distinct_fold(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """Set fold `(into #{} xform results)` (utils/function.clj:26-32):
     dropDuplicates is a hash aggregate on the subset columns."""
-    return df.dropDuplicates(list(subset) if subset else None)
+    # empty subset = fold on no columns → every row is one group;
+    # the old truthy coercion turned [] into a FULL-ROW dedup instead
+    # (r10 review). dropDuplicates([]) keeps exactly one row, matching
+    # `(into #{} (map (constantly k)) …)` semantics — but that is
+    # almost certainly a caller bug, so reject it loudly.
+    if subset is not None and len(list(subset)) == 0:
+        raise ValueError("distinct_fold with an empty subset is ambiguous; pass None for full-row dedup")
+    return df.dropDuplicates(list(subset) if subset is not None else None)
 
 
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:

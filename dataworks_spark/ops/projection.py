@@ -49,7 +49,13 @@ def nil_drop(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """Drop rows whose (subset of) columns are null — the engine's
     implicit ``(filter some?)`` after every transform
     (reference stream.clj:47)."""
-    return df.dropna(how="any", subset=list(subset) if subset else None)
+    # `subset is not None`, not truthiness: an EMPTY subset means
+    # "check no columns" (keep everything), while coercing [] to None
+    # flipped it to "check ALL columns" and silently dropped any row
+    # with any null anywhere (r10 review)
+    if subset is not None and len(list(subset)) == 0:
+        return df
+    return df.dropna(how="any", subset=list(subset) if subset is not None else None)
 
 
 def project(df: DataFrame, *cols: Column | str) -> DataFrame:

@@ -25,5 +25,9 @@ def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Set difference (G3)."""
-    return a.exceptAll(b).dropDuplicates()
+    """Set difference (G3): EXCEPT DISTINCT. ``exceptAll().
+    dropDuplicates()`` computed MULTISET difference then deduped, so a
+    row present in both inputs survived whenever the left held more
+    copies than the right (a=[x,x], b=[x] → [x], not ∅) — inconsistent
+    with union_distinct/intersect_rows' set semantics (r10 review)."""
+    return a.subtract(b)

@@ -104,6 +104,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _ts_is_nanos(path: str) -> bool:
+    """True iff the parquet footer declares a timestamp[ns] ``ts``
+    column (pyarrow probe — one footer read, no Spark job). Fails
+    closed: a probe error means 'not nanos' so the legacy conf is
+    never flipped speculatively."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            inner = [n for n in os.listdir(path) if n.endswith(".parquet")]
+            if not inner:
+                return False
+            target = os.path.join(path, inner[0])
+        field = pq.read_schema(target).field("ts")
+        return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+    except Exception:  # noqa: BLE001 — unknown layout: don't flip the conf
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan (SURVEY §2 A8): Catalyst pushes filters and
     prunes columns, so callers should express predicates declaratively
@@ -125,9 +146,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     frames / sessionization) fails analysis on NTZ inputs. Other tables'
     date-ish columns (o_orderdate, l_shipdate) deliberately stay NTZ:
     literal comparisons on them are exact and push down to the parquet
-    scan, and a cast wrapper would block that pushdown."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    scan, and a cast wrapper would block that pushdown.
+
+    The ``nanosAsLong`` legacy conf is SESSION-GLOBAL; it is flipped
+    only when the events footer actually carries timestamp[ns] (the
+    r1-r2 fixture era), never as a blanket side effect of every table
+    load — previously ANY load_table changed how every later parquet
+    read in the session decoded ns timestamps (r10 review)."""
+    path = table_path(sf_dir, name)
+    if name == "events" and _ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):

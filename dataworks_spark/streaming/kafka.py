@@ -24,17 +24,35 @@ from pyspark.sql.types import StructType
 
 
 def kafka_source_options(
-    topic: str, brokers: str, group_prefix: str = "dataworks", starting_offsets: str = "latest"
+    topic: str,
+    brokers: str,
+    group_prefix: str = "dataworks",
+    starting_offsets: str = "latest",
+    fixed_group_id: bool = True,
 ) -> dict[str, str]:
     """Reference consumer-instance config (utils/kafka.clj:72-91):
-    group.id dataworks/<name>, offset latest on (re)subscribe."""
-    return {
+    group.id dataworks/<name>, offset latest on (re)subscribe.
+
+    ``fixed_group_id=True`` mirrors the reference exactly and matches
+    brokers with group-name ACLs — but a FIXED kafka.group.id is shared
+    by every query on the topic, and Spark's Kafka source docs warn two
+    concurrent queries (or a restart racing its not-yet-expired old
+    consumer) then interfere through broker-side group rebalancing (r10
+    review). Pass ``fixed_group_id=False`` for the Spark-default-safe
+    form: ``groupIdPrefix`` only, a UNIQUE group per query under the
+    reference's prefix — the right setting when multiple queries or
+    blue/green restarts read one topic."""
+    opts = {
         "kafka.bootstrap.servers": brokers,
         "subscribe": topic,
         "startingOffsets": starting_offsets,
-        "kafka.group.id": f"{group_prefix}/{topic}",
         "failOnDataLoss": "false",
     }
+    if fixed_group_id:
+        opts["kafka.group.id"] = f"{group_prefix}/{topic}"
+    else:
+        opts["groupIdPrefix"] = f"{group_prefix}-{topic}"
+    return opts
 
 
 def project_kafka_records(raw: DataFrame, value_schema: StructType | None = None) -> DataFrame:

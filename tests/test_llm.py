@@ -2490,3 +2490,53 @@ def test_incremental_corpus_stale_mirror_bypassed_and_healed(spark, tmp_path):
     assert not os.path.exists(corpus._sync_marker(cache))
     # mirror now serves the full hash set
     assert corpus.existing_hashes().count() == 3
+
+
+def test_multimodal_strict_and_fixture_and_truncated_y4m(spark, tmp_path):
+    """r10 review triple: extract_features(strict=True) must ALWAYS
+    raise (there is no real kernel — PIL presence previously skipped
+    the gate and served sha256 pseudo-features as real); fixture
+    writers must regenerate when called with different n (the marker
+    count was written but never read); truncated y4m payloads yield
+    no/partial frames instead of killing the task with ValueError."""
+    import os
+
+    import pytest
+
+    from dataworks_spark.llm.multimodal import (
+        extract_features,
+        read_binary_dir,
+        sample_video_frames,
+        write_media_fixture,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"\x89PNG1234", "image", None)],
+        "media_id long, payload binary, media_type string, meta string",
+    ).drop("meta")
+    with pytest.raises(NotImplementedError, match="no real decode kernel"):
+        extract_features(media, strict=True)
+
+    root = str(tmp_path / "fx")
+    p1 = write_media_fixture("resize_check", n=4, root=root)
+    assert len([f for f in os.listdir(p1) if f.endswith(".png")]) == 4
+    p2 = write_media_fixture("resize_check", n=7, root=root)
+    assert p1 == p2
+    assert len([f for f in os.listdir(p2) if f.endswith(".png")]) == 7
+
+    junk = spark.createDataFrame(
+        [
+            (1, b"YUV4MPEG2 W8 H8 F25:1"),          # header, no newline
+            (2, b"YUV4MPEG2 W8 H8 F25:1 C420\nFRAME"),  # marker, no newline
+        ],
+        "media_id long, payload binary",
+    )
+    assert sample_video_frames(junk).count() == 0  # no crash, no frames
+
+    # unmatched-id files are excluded, not NULL-id rows
+    stray = os.path.join(p2, "cover.png")
+    with open(stray, "wb") as f:
+        f.write(b"\x89PNGxxxx")
+    got = read_binary_dir(spark, p2, id_pattern=r"media_(\d+)\.")
+    ids = [r.media_id for r in got.select("media_id").collect()]
+    assert len(ids) == 7 and None not in ids

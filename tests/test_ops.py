@@ -143,3 +143,31 @@ def test_bucketized_interval_join_null_end_is_sql_semantics(spark):
         "start timestamp, end timestamp",
     )
     assert bucketized_interval_join(pts, closed, "ts").count() == 1
+
+
+def test_except_rows_is_set_difference(spark):
+    """r10 review: exceptAll().dropDuplicates() computed MULTISET
+    difference then deduped — a=[x,x], b=[x] leaked x into the result.
+    G3 is set difference (EXCEPT DISTINCT), consistent with
+    union_distinct/intersect_rows."""
+    from dataworks_spark.ops.setops import except_rows
+
+    a = spark.createDataFrame([(1,), (1,), (2,)], "v int")
+    b = spark.createDataFrame([(1,)], "v int")
+    assert [r.v for r in except_rows(a, b).collect()] == [2]
+
+
+def test_nil_drop_and_distinct_fold_empty_subset(spark):
+    """r10 review: the falsy `if subset` coerced [] to None — nil_drop
+    flipped from 'check no columns' to 'drop any row with any null',
+    distinct_fold to a full-row dedup."""
+    import pytest
+
+    from dataworks_spark.ops.aggregates import distinct_fold
+    from dataworks_spark.ops.projection import nil_drop
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "a int, b string")
+    assert nil_drop(df, []).count() == 2      # empty subset = no-op
+    assert nil_drop(df).count() == 1          # None = all columns
+    with pytest.raises(ValueError, match="empty subset"):
+        distinct_fold(df, [])
