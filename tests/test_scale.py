@@ -26,7 +26,9 @@ from dataworks_spark.session import load_table
 
 def test_validation_chain_short_circuits():
     """->? semantics (utils/common.clj:8-27): first failure wins."""
-    doc = {"name": "my-stream", "steps": [{"op": "map"}], "buffer": 5}
+    # step args must be well-formed since r10 (an arg-less {'op':'map'}
+    # passed op-name-only validation, then crashed at activation)
+    doc = {"name": "my-stream", "steps": [{"op": "map", "cols": {"y": "x + 1"}}], "buffer": 5}
     ok = thread_checks(
         doc,
         missing_field("name", "steps"),
