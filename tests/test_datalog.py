@@ -519,3 +519,67 @@ def test_transitive_closure_validates_method_and_bound(spark):
         transitive_closure(edges, method="Doubling")
     with pytest.raises(ValueError, match="doubling-path"):
         transitive_closure(edges, method="semi_naive", depth_bound=8)
+
+
+def test_mutual_recursion_three_member_scc(spark):
+    """Three-member SCC (mod-3 path length classes over a chain +
+    cycle): r0/r1/r2 call each other in a ring — r1 and r2 are
+    seedless (late activation chains one round apart), and on a 3-cycle
+    every class is eventually populated. Checked against a DuckDB
+    WITH RECURSIVE mod-3 parity oracle."""
+    import duckdb
+
+    from dataworks_spark.docs.datalog import DatalogDB, Rule
+
+    edge_rows = [("n0", "n1"), ("n1", "n2"), ("n2", "n0"), ("n2", "n3")]
+    db = DatalogDB()
+    db.register("edge", spark.createDataFrame(edge_rows, "id string, next string"), "id")
+    # r0 = paths of length ≡ 1 (mod 3): edge ∪ r2∘edge; r1 = r0∘edge;
+    # r2 = r1∘edge — a ring where only r0 has a seed body
+    r0 = Rule(
+        name="r0",
+        head=("?x", "?y"),
+        bodies=[
+            [("?x", "edge/next", "?y")],
+            [("r2", "?x", "?m"), ("?m", "edge/next", "?y")],
+        ],
+    )
+    r1 = Rule(
+        name="r1",
+        head=("?x", "?y"),
+        bodies=[[("r0", "?x", "?m"), ("?m", "edge/next", "?y")]],
+    )
+    r2 = Rule(
+        name="r2",
+        head=("?x", "?y"),
+        bodies=[[("r1", "?x", "?m"), ("?m", "edge/next", "?y")]],
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edge_rows)
+    for tag, residue in [("r0", 1), ("r1", 2), ("r2", 0)]:
+        oracle = set(
+            map(
+                tuple,
+                con.execute(
+                    f"""
+                    WITH RECURSIVE r(src, dst, m) AS (
+                        SELECT src, dst, 1 FROM edges
+                        UNION
+                        SELECT r.src, e.dst, (r.m + 1) % 3
+                        FROM r JOIN edges e ON r.dst = e.src
+                    )
+                    SELECT DISTINCT src, dst FROM r WHERE m = {residue}
+                    """
+                ).fetchall(),
+            )
+        )
+        got = {
+            (r.x, r.y)
+            for r in db.q(
+                find=["?x", "?y"], where=[(tag, "?x", "?y")], rules=[r0, r1, r2]
+            ).collect()
+        }
+        assert got == oracle, tag
+        assert got, tag  # every class nonempty on a 3-cycle graph
