@@ -76,6 +76,9 @@ class Engine:
             },
         )
         self._collector = None
+        #: every collector name seen via create_function OR control-log
+        #: replay — the boot-time remount source alongside the app-db
+        self._collector_names: set[str] = set()
         self._users = None
 
     # -- §3.1 create!/update! ------------------------------------------
@@ -86,7 +89,7 @@ class Engine:
         short-circuit, §3.1 step 3). Activation runs FIRST so a doc
         that validates but fails to activate raises before anything is
         persisted or broadcast — no other driver ever sees it."""
-        checks = {
+        all_checks: dict[str, tuple] = {
             "stream": (
                 missing_field("name", "steps", "upstreams"),
                 blank_field("name"),
@@ -103,7 +106,16 @@ class Engine:
             # the reference's fourth stored-function type
             # (collector.clj:84-112): a runtime-mounted ingest endpoint
             "collector": (missing_field("name"), blank_field("name"), valid_name()),
-        }[function_type]
+        }
+        checks = all_checks.get(function_type)
+        if checks is None:
+            # doc-or-Invalid is the documented contract; a typo'd type
+            # from a user payload previously escaped as a bare KeyError
+            # before any check ran (r10 review)
+            return Invalid(
+                "unknown-function-type",
+                {"function_type": function_type, "known": sorted(all_checks)},
+            )
         result = thread_checks(dict(doc), *checks)
         if isinstance(result, Invalid):
             return result
@@ -183,7 +195,13 @@ class Engine:
         """Hot-mount the collector's ingest route (the atomic-routes
         swap, collector.clj:98-112): a running collector server gets
         the path immediately; a server started later re-registers every
-        collector function from the app-db on boot."""
+        collector function seen so far on boot. The name is ALWAYS
+        recorded — a collector doc replayed from the control log while
+        no server is running (fresh driver, in-memory app-db empty) was
+        previously lost: the replay path never persisted it, so
+        start_collector's app-db remount could not find it and the
+        route 404'd forever (r10 review)."""
+        self._collector_names.add(msg.name)
         if self._collector is not None:
             self._collector.register(msg.name)
 
@@ -261,9 +279,14 @@ class Engine:
             spool_dir or self.config["collector.spool"], port=self.config["collector.port"]
         ).start()
         # mount every collector stored-function already in the app-db
-        # (the reference rebuilds its routes from Crux on boot)
+        # (the reference rebuilds its routes from Crux on boot) PLUS
+        # any seen only through control-log replay (r10 review: replay
+        # does not persist to this driver's in-memory app-db)
+        names = set(self._collector_names)
         for r in self.app_db.latest().filter(F.col("id").startswith("collector/")).collect():
-            self._collector.register(r.id.split("/", 1)[1])
+            names.add(r.id.split("/", 1)[1])
+        for name in sorted(names):
+            self._collector.register(name)
         return self._collector
 
     def stop(self) -> None:

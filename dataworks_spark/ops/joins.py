@@ -68,12 +68,27 @@ def range_join(
 
 
 def versions_with_validity(
-    df: DataFrame, key: str, ts: str, end_name: str = "valid_to", start_name: str = "valid_from"
+    df: DataFrame,
+    key: str,
+    ts: str,
+    end_name: str = "valid_to",
+    start_name: str = "valid_from",
+    tiebreak: tuple = (),
 ) -> DataFrame:
     """Turn an append-only version log into interval rows:
     valid_from = ts, valid_to = next version's ts (open-ended NULL for
-    the latest). One window pass — no self-join."""
-    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    the latest). One window pass — no self-join.
+
+    ``tiebreak`` names extra order columns for rows sharing (key, ts):
+    without one, which duplicate gets the degenerate [ts, ts) interval
+    — and therefore every downstream as-of answer — depends on shuffle
+    arrival order (r10 review; the repo convention is that window
+    orderings always carry a unique tiebreaker). Pass a unique column
+    (an event id) so the result is layout-invariant AND reproducible by
+    a SQL oracle (unlike a hash tiebreak, which is engine-specific)."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), *[F.col(c).asc() for c in tiebreak]
+    )
     return df.withColumn(start_name, F.col(ts)).withColumn(
         end_name, F.lead(F.col(ts)).over(w)
     )

@@ -250,9 +250,16 @@ def q_join_semi_anti(spark, sf_dir):
 def q_join_asof(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     versions = versions_with_validity(
-        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value", "event_id"
+        ),
         key="user_id",
         ts="ts",
+        # unique tiebreak: two purchases at one (user, ts) — which the
+        # scaled fixtures' with-replacement sampling can produce — must
+        # resolve by DATA, not shuffle order, and identically in the
+        # oracle (r10 review)
+        tiebreak=("event_id",),
     ).select(
         F.col("user_id").alias("v_user_id"),
         "valid_from",
@@ -709,6 +716,17 @@ def _docs_from_events(spark, sf_dir):
     docs = _DOCS_CACHE.get(key)
     if docs is None:
         ev = _t(spark, sf_dir, "events")
+        # same-(user, ts) events dedup to the MAX event_id BEFORE the
+        # version log: version_log's own same-ts tiebreak is a payload
+        # hash — deterministic but engine-specific, so the DuckDB twin
+        # could elect the opposite winner. Deduping on a unique data
+        # column keeps both engines' timelines identical (r10 review).
+        w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+        ev = (
+            ev.withColumn("__dd", F.row_number().over(w))
+            .filter(F.col("__dd") == 1)
+            .drop("__dd")
+        )
         docs = version_log(
             ev.select("user_id", "ts", "event_type", "value"),
             id_col=F.concat(F.lit("app/"), F.col("user_id").cast("string")),
@@ -1780,7 +1798,7 @@ ORACLE_SQL: dict[str, str] = {
     "q_join_asof": """
         WITH v AS (
           SELECT user_id AS v_user_id, ts AS valid_from,
-                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
                  value AS asof_value
           FROM events WHERE event_type = 'purchase')
         SELECT f.event_id, f.user_id, f.ts, v.asof_value
@@ -1892,20 +1910,26 @@ ORACLE_SQL: dict[str, str] = {
           QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
         ), f AS (
           SELECT doc_id, text,
-            len(string_split(text, ' ')) AS n_tokens,
+            -- tokens() filters empty-string tokens (r10): every
+            -- tokens()-derived feature uses the filtered \\s+ split
+            len(list_filter(regexp_split_to_array(text, '\\s+'),
+                t -> t <> '')) AS n_tokens,
             len(regexp_extract_all(text,
                 '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS n_bpe_tokens,
             (LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')))
               / greatest(LENGTH(text), 1) AS punct_ratio,
             len(list_filter(string_split(lower(text), ' '),
                 t -> list_contains(['the','a','of','and','to','in','is'], t)))
-              / greatest(len(string_split(lower(text), ' ')), 1) AS s_en,
+              / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t <> '')), 1) AS s_en,
             len(list_filter(string_split(lower(text), ' '),
                 t -> list_contains(['der','die','das','und','zu','ist'], t)))
-              / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
+              / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t <> '')), 1) AS s_de,
             len(list_filter(string_split(lower(text), ' '),
                 t -> list_contains(['el','la','de','que','y','es'], t)))
-              / greatest(len(string_split(lower(text), ' ')), 1) AS s_es,
+              / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                t -> t <> '')), 1) AS s_es,
             len(list_transform(generate_series(1,
                   greatest(len(string_split(text, ' ')) - 2, 0)),
                 i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
@@ -1930,8 +1954,9 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang,
                n_tokens, n_bpe_tokens,
                ROUND(quality_score, 6) AS quality,
-               md5(array_to_string(list_sort(list_distinct(
-                   string_split(text, ' '))), ' ')) AS fingerprint
+               md5(array_to_string(list_sort(list_distinct(list_filter(
+                   regexp_split_to_array(text, '\\s+'), t -> t <> ''))), ' '))
+                 AS fingerprint
         FROM scored
         WHERE n_tokens >= 5 AND punct_ratio <= 0.5
           AND quality_score >= 0.3 AND dup_ngram_ratio <= 0.5
@@ -2052,12 +2077,18 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY lang, token
     """,
     "q_doc_store": """
-        WITH log AS (
+        WITH src AS (
+          SELECT user_id, ts, event_type, value
+          FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                          ORDER BY event_id DESC) AS dd
+                FROM events)
+          WHERE dd = 1),
+        log AS (
           SELECT 'app/' || CAST(user_id AS VARCHAR) AS id, event_type, value,
                  ts AS valid_from,
                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
-          FROM events)
+          FROM src)
         SELECT 'asof' AS tag, id, event_type, value, valid_from,
                CAST(NULL AS TIMESTAMP) AS valid_to
         FROM log

@@ -220,3 +220,36 @@ def test_stream_doc_republish_without_buffer_clears_it(spark, tmp_path):
     redoc = {k: v for k, v in doc.items() if not k.startswith("buffer")}
     assert not hasattr(eng.create_function("stream", redoc), "reason")
     assert eng.graph._nodes["proc"].buffer is None  # cleared, not kept
+
+
+def test_create_function_unknown_type_returns_invalid(spark, tmp_path):
+    """r10 review: a typo'd function_type escaped as a bare KeyError
+    before any check ran — the contract is doc-or-Invalid."""
+    from dataworks_spark.engine import Engine
+    from dataworks_spark.registry.validation import Invalid
+
+    eng = Engine({"control.log": str(tmp_path / "bus.log")}, spark=spark)
+    out = eng.create_function("collectr", {"name": "x"})
+    assert isinstance(out, Invalid) and out.message == "unknown-function-type"
+
+
+def test_collector_replayed_doc_survives_restart(spark, tmp_path):
+    """r10 review: a collector doc replayed from the control log while
+    no server was running was permanently lost (replay never persists
+    to the fresh driver's in-memory app-db; start_collector read only
+    the app-db). The engine now records every replayed collector name
+    and mounts it on boot."""
+    from dataworks_spark.engine import Engine
+
+    log = str(tmp_path / "bus.log")
+    eng_a = Engine({"control.log": log, "collector.spool": str(tmp_path / "sa")}, spark=spark)
+    assert not hasattr(eng_a.create_function("collector", {"name": "ingest"}), "reason")
+
+    # driver B: same control log, fresh (empty) app-db, no server yet
+    eng_b = Engine({"control.log": log, "collector.spool": str(tmp_path / "sb")}, spark=spark)
+    eng_b.listener.poll()  # replay
+    srv = eng_b.start_collector()
+    try:
+        assert "ingest" in srv._routes
+    finally:
+        eng_b.stop()

@@ -171,3 +171,29 @@ def test_nil_drop_and_distinct_fold_empty_subset(spark):
     assert nil_drop(df).count() == 1          # None = all columns
     with pytest.raises(ValueError, match="empty subset"):
         distinct_fold(df, [])
+
+
+def test_versions_with_validity_tiebreak_deterministic(spark):
+    """r10 review: same-(key, ts) version rows got shuffle-order
+    validity intervals; with a unique tiebreak column the winner is a
+    function of the data under any partitioning."""
+    import datetime as dt
+
+    from dataworks_spark.ops.joins import versions_with_validity
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [(1, t, 10.0, 100), (1, t, 20.0, 101), (1, dt.datetime(2024, 2, 1), 30.0, 102)]
+    outs = set()
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "user_id int, ts timestamp, value double, event_id int"
+        ).repartition(parts)
+        v = versions_with_validity(df, key="user_id", ts="ts", tiebreak=("event_id",))
+        # the live row at ts is the max-event_id one; the other is degenerate
+        live = [
+            r.value
+            for r in v.collect()
+            if r.valid_from == t and (r.valid_to is None or r.valid_to != t)
+        ]
+        outs.add(tuple(sorted(live)))
+    assert outs == {(20.0,)}
