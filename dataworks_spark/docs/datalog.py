@@ -546,9 +546,11 @@ class DatalogDB:
             )
 
         some_rel = next(iter(rels.values()))
+        factor = 2.0  # growth-tracked sizing (ops/recursive._doubling note)
         with adaptive_rounds(self.spark or some_rel.sparkSession) as rt:
             for _ in range(1, MAX_FIXPOINT_ROUNDS + 1):
-                rt(sum(counts.values()) * 2)
+                total_before = sum(counts.values())
+                rt(int(total_before * factor))
                 # expose this round's relations + deltas to the clause
                 # compiler under the member names / delta sentinels (a
                 # member may have a relation but no delta this round —
@@ -621,6 +623,9 @@ class DatalogDB:
                 deltas = new_deltas
                 if not grew:
                     break
+                factor = max(
+                    2.0, 2.0 * sum(counts.values()) / max(total_before, 1)
+                )
             else:
                 raise RuntimeError(
                     f"mutually recursive rules {sorted(scc)} did not reach "
@@ -773,8 +778,9 @@ class DatalogDB:
         self, rule, rule_map, rule_env, rec_bodies, head_vars, tagged, prev, rt
     ) -> DataFrame:
         delta_name = f"{rule.name}@delta"
+        factor = 2.0  # growth-tracked sizing (ops/recursive._doubling note)
         for rnd in range(1, MAX_FIXPOINT_ROUNDS + 1):
-            rt(prev * 2)
+            rt(int(prev * factor))
             rule_env[rule.name] = tagged.drop("__round")
             rule_env[delta_name] = tagged.filter(
                 F.col("__round") == rnd - 1
@@ -805,6 +811,7 @@ class DatalogDB:
             cur = tagged.count()
             if cur == prev:
                 break
+            factor = max(2.0, 2.0 * cur / max(prev, 1))
             prev = cur
         else:
             # a silently partial relation is a wrong answer, not a result

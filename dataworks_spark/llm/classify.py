@@ -245,6 +245,12 @@ def train_classifier(
     n = 16**n_hex_chars
     w = [0.0] * n
     b = 0.0
+    # pin the (narrow) training projection once: every round's gradient
+    # collect re-executed df's FULL upstream lineage otherwise — rounds
+    # × (join/filter/scan) of pure re-computation (r10 review). The
+    # localCheckpoint truncates lineage and is materialized by the
+    # count below; only (label, text) columns are retained.
+    df = df.select(F.col(label_col), F.col(text_col)).localCheckpoint(eager=False)
     n_docs = df.count()
     if n_docs == 0:
         return w, b

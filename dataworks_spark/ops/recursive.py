@@ -303,8 +303,17 @@ def _doubling(
         # (Deeper lazy chaining re-derives unmaterialized intermediates
         # exponentially — the r2/r5 measured dead end.)
         with adaptive_rounds(spark) as rt:
+            # growth-TRACKED sizing (r10 review): a squaring can grow
+            # the closure quadratically (hub graphs), and with AQE off
+            # inside the loop a fixed ×4 assumption under-partitions
+            # the blowup round. Sizing from twice the last observed
+            # growth keeps well-behaved graphs at the old cheap sizing
+            # while a multiplicative ramp is caught a round early;
+            # any residual mis-size lasts exactly one round (the next
+            # rt() uses the true count).
+            factor = 4.0
             while rounds > 2:
-                rt(prev * 4)  # two chained squarings: ≤4× the relation
+                rt(int(prev * factor))
                 closure = rt.lift(
                     _square(_square(closure).dropDuplicates()).dropDuplicates()
                 ).localCheckpoint(eager=False)
@@ -316,6 +325,7 @@ def _doubling(
                     # relation (r9 review: prev was recomputed but
                     # never compared on this path)
                     return _lift(closure, spark)
+                factor = max(4.0, 2.0 * cur / max(prev, 1))
                 prev = cur
                 rounds -= 2
         out = closure
@@ -323,14 +333,16 @@ def _doubling(
             out = _square(out).dropDuplicates()
         return _lift(out, spark)
     with adaptive_rounds(spark) as rt:
+        factor = 2.0  # growth-tracked (see the bound-proven loop note)
         for _ in range(rounds):
-            rt(prev * 2)  # next round at most doubles the relation
+            rt(int(prev * factor))
             closure = rt.lift(
                 _square(closure).dropDuplicates()
             ).localCheckpoint(eager=False)
             cur = closure.count()
             if cur == prev:
                 return _lift(closure, spark)
+            factor = max(2.0, 2.0 * cur / max(prev, 1))
             prev = cur
     if strict:
         raise _nonconverged("doubling", max_iterations)
@@ -363,8 +375,9 @@ def _semi_naive(
     tagged = tagged.withColumn("__round", F.lit(0)).localCheckpoint(eager=False)
     prev = tagged.count()
     with adaptive_rounds(caller) as rt:
+        factor = 2.0  # growth-tracked (see _doubling's note)
         for rnd in range(1, max_iterations + 1):
-            rt(prev * 2)
+            rt(int(prev * factor))
             base = tagged.filter(F.col("__round") == 0).drop("__round")
             frontier = tagged.filter(F.col("__round") == rnd - 1).drop("__round")
             grown = (
@@ -380,6 +393,7 @@ def _semi_naive(
             cur = tagged.count()
             if cur == prev:
                 return _lift(tagged.drop("__round"), caller)
+            factor = max(2.0, 2.0 * cur / max(prev, 1))
             prev = cur
     if strict:
         raise _nonconverged("semi_naive", max_iterations)

@@ -34,7 +34,12 @@ class CollectorServer:
         self.spool_dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
         self._routes: dict[str, str] = {}  # path prefix → sub-spool
-        self._seq = 0
+        # resume the sequence past any prior run's spool files: a fresh
+        # server starting at 0 would os.rename OVER file 000...001.json
+        # (destroying the old doc) while a checkpointed file source —
+        # which never re-reads a seen path — skips the new one: both
+        # docs silently lost (r10 review)
+        self._seq = self._max_existing_seq(spool_dir)
         self._lock = threading.Lock()
         outer = self
 
@@ -69,6 +74,26 @@ class CollectorServer:
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    @staticmethod
+    def _max_existing_seq(spool_dir: str) -> int:
+        """Highest NNNN.json sequence already spooled under any
+        collector sub-directory (one level deep, matching _append's
+        layout); 0 for a fresh spool."""
+        hi = 0
+        try:
+            for sub in os.listdir(spool_dir):
+                subp = os.path.join(spool_dir, sub)
+                if not os.path.isdir(subp):
+                    continue
+                for fn in os.listdir(subp):
+                    if fn.endswith(".json") and not fn.startswith("."):
+                        stem = fn[: -len(".json")]
+                        if stem.isdigit():
+                            hi = max(hi, int(stem))
+        except OSError:
+            pass
+        return hi
 
     # -- control plane (collector.clj:98-112 atomic-routes swap) -------
     def register(self, name: str) -> str:

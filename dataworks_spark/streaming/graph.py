@@ -206,13 +206,18 @@ class StreamGraph:
     def downstream_subgraph(self, name: str) -> set[str]:
         """Nodes reachable from ``name`` (reference query-graph walk,
         utils/stream.clj:26-43) — the set whose queries a swap must
-        restart."""
+        restart. Walks a SNAPSHOT taken under the lock: iterating the
+        live dict raced a concurrent add_node (RuntimeError mid-swap —
+        r10 review; this is the one method whose caller IS the hot-swap
+        path)."""
+        with self._lock:
+            nodes = list(self._nodes.values())
         out: set[str] = set()
         frontier = {name}
         while frontier:
             nxt = {
                 n.name
-                for n in self._nodes.values()
+                for n in nodes
                 if any(u in frontier for u in n.upstreams)
             } - out
             out |= frontier
@@ -397,13 +402,44 @@ class StreamGraph:
             extra = {k: str(v) for k, v in sink_options.items() if k != "path"}
             # topology snapshot: the running query keeps THIS logic even
             # if swap_node fires mid-stream; restart() picks up the swap
-            snapshot = dict(self._nodes)
+            with self._lock:
+                snapshot = dict(self._nodes)
+            quarantined_nodes = [
+                n for n, nd in snapshot.items() if nd.quarantine is not None
+            ]
 
-            def _write_batch(batch_df: DataFrame, _epoch: int) -> None:
+            def _write_batch(batch_df: DataFrame, epoch: int) -> None:
+                # foreachBatch is AT-LEAST-ONCE: a crash after this
+                # append but before the offset-log commit replays the
+                # epoch and duplicated rows (r10 review — the module's
+                # exactly-once claim requires the sink to be idempotent
+                # BY EPOCH). Same applied-epoch ledger as
+                # streaming/rollup.py: an underscore-prefixed marker
+                # dir the sink's own readers ignore.
+                jvm = batch_df.sparkSession._jvm
+                marker = jvm.org.apache.hadoop.fs.Path(f"{path}/_epochs/{epoch}")
+                fs = marker.getFileSystem(
+                    batch_df.sparkSession._jsc.hadoopConfiguration()
+                )
+                if fs.exists(marker):
+                    return  # replayed epoch — already written
                 out = self.build(
                     name, source_overrides={src_name: batch_df}, nodes=snapshot
                 )
                 out.write.format(sink_format).options(**extra).mode("append").save(path)
+                # persist the batch's quarantine splits (I5): the normal
+                # streaming path lets callers run a DLQ query over
+                # dead_letter(name), but per-microbatch mode recomputes
+                # and previously DISCARDED the split every batch — rows
+                # matching the quarantine predicate vanished with no
+                # sink and no error (r10 review)
+                for qn in quarantined_nodes:
+                    dl = self._dead_letters.get(qn)
+                    if dl is not None:
+                        dl.write.format(sink_format).options(**extra).mode(
+                            "append"
+                        ).save(f"{path}/_dead_letter/{qn}")
+                fs.mkdirs(marker)
 
             writer = src_df.writeStream.foreachBatch(_write_batch).queryName(
                 query_name or name
@@ -443,7 +479,8 @@ class StreamGraph:
         mb = self._microbatch_plan(name)
         if mb is not None:
             src_name, src_df = mb
-            snapshot = dict(self._nodes)
+            with self._lock:
+                snapshot = dict(self._nodes)
 
             def _shed_then_fn(batch_df: DataFrame, epoch: int) -> None:
                 fn(

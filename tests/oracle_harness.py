@@ -30,8 +30,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / representation noise at display precision
-        return round(v, 9)
+        # collapse representation noise at display precision; + 0.0
+        # collapses -0.0 too (round() PRESERVES the zero sign — Spark
+        # -0.0 vs DuckDB 0.0 stringified differently and false-failed;
+        # r10 review)
+        return round(v, 9) + 0.0
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
@@ -44,7 +47,22 @@ def _norm(v):
 
 
 def _key(row):
-    return tuple(str(_norm(v)) for v in row)
+    """Per-cell comparison keys. Strings are TAGGED ('s:...') and NULL
+    is a non-printable sentinel so cross-type coincidences cannot
+    false-PASS: bare str() rendered NULL and the literal string 'None'
+    identically (likewise int 1 vs VARCHAR '1', float NaN vs the
+    string 'NaN') — masking exactly the divergences this harness
+    exists to catch (r10 review)."""
+    out = []
+    for v in row:
+        n = _norm(v)
+        if n is None:
+            out.append("\x00NULL")
+        elif isinstance(v, str):
+            out.append("s:" + n)
+        else:
+            out.append(str(n))
+    return tuple(out)
 
 
 def _num_class(dtype_name: str) -> str | None:

@@ -61,3 +61,21 @@ def test_oracle_checked_output_is_scalar(spark, name):
         f"{name} is ORACLE_SQL-checked but emits non-scalar columns {bad}; "
         "flatten (posexplode / per-field columns) or drop the oracle"
     )
+
+
+def test_oracle_harness_key_distinguishes_cross_type_coincidences():
+    """r10 review: bare str() rendered NULL and the string 'None'
+    identically (likewise int 1 vs '1', float NaN vs 'NaN') — the
+    harness could false-PASS a genuine engine divergence; and round()
+    preserves -0.0's sign, false-FAILING numerically equal zeros."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from oracle_harness import _key
+
+    assert _key((None,)) != _key(("None",))
+    assert _key((1,)) != _key(("1",))
+    assert _key((float("nan"),)) != _key(("NaN",))
+    assert _key((-0.0,)) == _key((0.0,))
+    assert _key((1.0000000001,)) == _key((1.0,))  # display-precision collapse

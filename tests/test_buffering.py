@@ -362,3 +362,73 @@ def test_microbatch_query_keeps_topology_snapshot(spark, tmp_path):
     batch = spark.createDataFrame(rows, "key string, ts int, payload string")
     out_snap = g.build("shed", source_overrides={"src": batch}, nodes=snap_before)
     assert {r.v for r in out_snap.collect()} == {"new"}  # snapshot logic, not 'newer'
+
+
+def test_microbatch_start_persists_dead_letters_and_epoch_ledger(spark, tmp_path):
+    """r10 review pair: per-microbatch start() (a) must PERSIST each
+    batch's quarantine split — it was computed and silently discarded,
+    so quarantined rows vanished with no sink (I5 contract); (b) leaves
+    an applied-epoch marker so a replayed foreachBatch epoch cannot
+    append duplicates."""
+    import os
+
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+    from dataworks_spark.streaming.transforms import OpChain
+
+    src_dir = str(tmp_path / "in")
+    rows = [(k, t, float(t)) for k in ("a", "b") for t in range(1, 6)]
+    spark.createDataFrame(rows, "key string, ts int, value double").write.parquet(src_dir)
+
+    g = StreamGraph(spark)
+    g.add_source(
+        "src",
+        lambda: spark.readStream.schema("key string, ts int, value double").parquet(src_dir),
+    )
+    g.add_node(
+        Node(
+            "shed",
+            chain=OpChain(),
+            upstreams=["src"],
+            quarantine=F.col("value") >= 5.0,  # ts=5 rows → dead letter
+            buffer=validate_buffer(
+                {"sliding-buffer": 3}, key_cols=["key"], ts_col="ts"
+            ),
+        )
+    )
+    out_dir = str(tmp_path / "out")
+    q = g.start("shed", sink_format="parquet", checkpoint=str(tmp_path / "ck"), path=out_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    clean = spark.read.parquet(out_dir)
+    assert clean.filter(F.col("value") >= 5.0).count() == 0
+    dl = spark.read.parquet(os.path.join(out_dir, "_dead_letter", "shed"))
+    assert sorted((r.key, r.ts) for r in dl.collect()) == [("a", 5), ("b", 5)]
+    # the epoch ledger exists (one marker per processed batch)
+    assert os.listdir(os.path.join(out_dir, "_epochs"))
+
+
+def test_collector_seq_resumes_after_restart(tmp_path):
+    """r10 review: a restarted CollectorServer reset _seq to 0 and
+    os.rename'd OVER the prior run's spool files — the old doc was
+    destroyed and a checkpointed file source (which never re-reads a
+    seen path) skipped the new one."""
+    import json
+    import os
+
+    from dataworks_spark.streaming.collector import CollectorServer
+
+    spool = str(tmp_path / "spool")
+    s1 = CollectorServer(spool)
+    sub = s1.register("logs")
+    p1 = s1._append(sub, {"doc": 1})
+    p2 = s1._append(sub, {"doc": 2})
+    assert os.path.basename(p2) > os.path.basename(p1)
+
+    s2 = CollectorServer(spool)  # restart on the same spool
+    sub2 = s2.register("logs")
+    p3 = s2._append(sub2, {"doc": 3})
+    names = sorted(os.listdir(sub2))
+    assert len(names) == 3 and os.path.basename(p3) == names[-1]
+    # the first run's docs are intact
+    assert json.load(open(p1))["doc"] == 1
