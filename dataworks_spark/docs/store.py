@@ -95,6 +95,20 @@ def version_log(
     """
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     out = df.withColumn("id", idc)
+    # NULL timestamps are rejected LOUDLY at execution: a NULL
+    # valid_from makes the version invisible to every read (latest,
+    # as_of, entity — all compare against valid_from) while the row
+    # stays in the log — silent ingest data loss (r10 review, confirmed
+    # live via the collector→sink path on a heartbeat missing its ts
+    # field). Same assert_true idiom as pipeline._hash_bucket.
+    ts_guard = F.assert_true(
+        F.col(ts_col).isNotNull(),
+        F.lit(
+            f"version_log: NULL {ts_col} — the version would be invisible "
+            "to every read; fix or filter the event upstream"
+        ),
+    )
+    out = out.withColumn(ts_col, F.when(ts_guard.isNull(), F.col(ts_col)))
     payload_cols = [c for c in df.columns if c != ts_col]
     # xxhash64 rejects MapType (and any type containing one) by
     # default; a schemaless doc batch may legitimately carry map-typed

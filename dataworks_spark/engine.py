@@ -218,9 +218,18 @@ class Engine:
                 key_cols=msg.spec.get("buffer_key"),
                 ts_col=msg.spec.get("buffer_ts", "ts"),
             )
+        # declarative quarantine (I5): a SQL predicate string in the
+        # doc — rows matching it divert to the node's dead letter. Part
+        # of the spec so the feature is deployable/replayable over the
+        # control bus (r10 review: it was only reachable by poking
+        # graph._nodes private state); absent field = no quarantine,
+        # the same republish-clears rule the buffer field follows.
+        quarantine = None
+        if msg.spec.get("quarantine") is not None:
+            quarantine = F.expr(msg.spec["quarantine"])
         if msg.name in self.graph._nodes:
             self.graph.swap_node(
-                msg.name, chain, buffer=buffer,
+                msg.name, chain, buffer=buffer, quarantine=quarantine,
                 upstreams=list(msg.spec.get("upstreams", [])),
             )
         else:
@@ -229,6 +238,7 @@ class Engine:
                     msg.name,
                     chain,
                     list(msg.spec.get("upstreams", [])),
+                    quarantine=quarantine,
                     buffer=buffer,
                 )
             )

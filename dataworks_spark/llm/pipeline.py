@@ -127,6 +127,11 @@ def prepare_corpus(
         "dup_ngram_ratio": rep["dup_3gram_ratio"],
         "fingerprint": document_fingerprint(text),
     }
+    if config.min_model_score is not None and config.model_weights is None:
+        # fail at config time with the actual mistake named — the
+        # filter below would otherwise surface as UNRESOLVED_COLUMN
+        # 'model_score' under a multi-page plan dump (r10 review)
+        raise ValueError("min_model_score requires model_weights")
     if config.model_weights is not None:
         # model tier rides in the SAME projection: the weights are one
         # array literal, so no join/shuffle attaches the score
@@ -376,6 +381,16 @@ def mix_corpus(
     missing = sorted(set(weights) - set(totals))
     if missing:
         raise ValueError(f"strata in weights but not in corpus: {missing}")
+    # a stratum with zero (or all-NULL) token mass cannot satisfy any
+    # positive share — previously a bare ZeroDivisionError/TypeError
+    # deep in the fraction math instead of a diagnosis naming the
+    # stratum (r10 review, confirmed live)
+    empty = sorted(s for s in weights if not totals.get(s))
+    if empty:
+        raise ValueError(
+            f"strata with zero/NULL token mass cannot be mixed: {empty}; "
+            "drop them from weights or fix their token counts"
+        )
     if total_tokens is None:
         scale = min(totals[s] / weights[s] for s in weights)
         targets = {s: weights[s] * scale for s in weights}
@@ -741,11 +756,20 @@ def decontaminate(
                 bloom.might_contain,
             )
         )
+    # the verify join broadcasts ONLY on the exact path (eval sets that
+    # fit the driver by assumption). The Bloom tier exists precisely
+    # for eval-shingle sets too big to broadcast comfortably (its own
+    # docstring: ~GBs exact vs ~170 MB of bits) — force-broadcasting
+    # the same relation in its verify join reintroduced the memory
+    # cliff the tier removes (r10 review); under the Bloom path the
+    # join strategy is left to AQE, exactly like the contaminated-ids
+    # join below.
+    verify_side = eval_shingles if bloom_fpp is not None else F.broadcast(eval_shingles)
     contaminated_ids = (
         candidates.select(
             F.col(id_col), F.explode(shingle_hashes(F.col(text_col), ngram_n)).alias("__sh")
         )
-        .join(F.broadcast(eval_shingles), on="__sh", how="left_semi")
+        .join(verify_side, on="__sh", how="left_semi")
         .select(id_col)
         .dropDuplicates()
     )
@@ -934,8 +958,14 @@ def pack_sequences(
         raise ValueError(f"assign must be 'hash' or 'id': {assign!r}")
     from pyspark.sql import Window
 
+    # NULL ids hash to one lane with identical order keys, making pack
+    # composition partition-dependent — the exact rerun-identity break
+    # the docstring forbids (r10 review, confirmed live: plain vs
+    # repartition(7) input packed NULL-id docs differently). Same loud
+    # execution-time rejection as _hash_bucket/the tokens guard.
     guard = F.assert_true(
-        F.col(tokens_col).isNotNull(), F.lit(f"pack_sequences: null {tokens_col}")
+        F.col(tokens_col).isNotNull() & F.col(id_col).isNotNull(),
+        F.lit(f"pack_sequences: null {tokens_col} or {id_col}"),
     )
     if assign == "hash":
         lane = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(lanes)).cast("int")

@@ -61,6 +61,12 @@ def _stream_doc(expr: str) -> dict:
         "buffer": {"sliding-buffer": 5},
         "buffer_key": ["app"],
         "buffer_ts": "ts",
+        # dead-letter handler (I5) as a DECLARATIVE doc field — rows
+        # matching the predicate divert to dead_letter('process');
+        # deployable and replayable over the control bus like the rest
+        # of the spec (r10: this previously required poking graph
+        # private state after deployment)
+        "quarantine": "value IS NULL",
     }
 
 
@@ -89,12 +95,6 @@ def main(workdir: str | None = None, spark=None) -> dict:
         # ── 2. def-stream :stream/process (inc) over the control bus ─
         ok = engine.create_function("stream", _stream_doc("value + 1"))
         assert not isinstance(ok, Invalid), ok
-        # dead-letter handler (I5): the doc's declarative steps carry
-        # the transducer; the quarantine predicate is attached via the
-        # graph API — swap_node's omitted-buffer sentinel PRESERVES the
-        # doc's sliding buffer
-        g.swap_node("process", g._nodes["process"].chain, quarantine=F.col("value").isNull())
-        assert g._nodes["process"].buffer is not None  # sentinel kept it
 
         # ── 3. :kafka/output — per-microbatch sink + DLQ ─────────────
         def to_output(df, _epoch):
