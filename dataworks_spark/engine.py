@@ -175,20 +175,40 @@ class Engine:
         registry knows its own activation footprint). Direct entry
         restore is deliberate — replaying a prior SPEC through the
         handler would rebuild the object but lose its runtime state."""
+        if function_type == "collector":
+            # the collector activation footprint is TWO pieces: the
+            # server's live route (when one is running) and the engine's
+            # _collector_names set, which _on_collector_change always
+            # appends to. The name-set must be snapshotted even with no
+            # server — otherwise a failed persist leaves a phantom name
+            # that start_collector later mounts as a route no other
+            # driver or the durable store ever saw (r10 ADVICE).
+            server_snap = (
+                (self._collector, self._collector.activation_snapshot(name))
+                if self._collector is not None
+                else None
+            )
+            return ("collector", name, (name in self._collector_names, server_snap))
         target = {
             "stream": self.graph,
             "transformer": self.transformers,
-            "collector": self._collector,
         }.get(function_type)
         if target is None:
             return None
         return (target, name, target.activation_snapshot(name))
 
-    @staticmethod
-    def _activation_restore(snapshot) -> None:
+    def _activation_restore(self, snapshot) -> None:
         if snapshot is None:
             return
         target, name, snap = snapshot
+        if target == "collector":
+            was_present, server_snap = snap
+            if not was_present:
+                self._collector_names.discard(name)
+            if server_snap is not None:
+                server, srv_state = server_snap
+                server.activation_restore(name, srv_state)
+            return
         target.activation_restore(name, snap)
 
     def _on_collector_change(self, msg: FunctionChanged) -> None:

@@ -63,16 +63,67 @@ class TransactorRegistry:
         ``limit(N).collect()`` silently DROPPED every row beyond N —
         an arbitrary, unordered N at that — while the epoch still
         committed, losing those effects permanently (r10 review).
-        Driver memory stays bounded by the chunk, not the batch."""
+        Driver memory stays bounded by the chunk, not the batch.
+
+        Delivery contract (r10 ADVICE — the first chunked version fired
+        chunks into the shared pool CONCURRENTLY, silently breaking
+        transactors written against the old one-ordered-call-per-epoch
+        shape): chunks of one epoch run SERIALLY, in row order, on a
+        single pool task; the sink returns only after the last chunk's
+        effect completes, so an effect error fails the epoch and Spark
+        replays it (at-least-once — effects must be idempotent or keyed
+        by ``epoch_id``). A bounded handoff queue backpressures the
+        iterator instead of buffering the batch."""
 
         def sink(batch_df, epoch_id: int) -> None:
-            chunk: list = []
-            for row in batch_df.toLocalIterator():
-                chunk.append(row)
-                if len(chunk) >= chunk_rows:
-                    self.transact(name, chunk, epoch_id)
-                    chunk = []
-            if chunk:
-                self.transact(name, chunk, epoch_id)
+            import queue
+
+            chunks: queue.Queue = queue.Queue(maxsize=4)
+
+            def drain() -> None:
+                while True:
+                    chunk = chunks.get()
+                    if chunk is None:
+                        return
+                    with self._lock:
+                        fn = self._fns[name]
+                        logged = tuple(
+                            f"<{len(a)} rows>"
+                            if isinstance(a, (list, tuple)) and len(a) > 100
+                            else a
+                            for a in (chunk, epoch_id)
+                        )
+                        self.log.append((name, logged))
+                    fn(chunk, epoch_id)
+
+            fut = self._pool.submit(drain)
+
+            def put(item) -> bool:
+                # a dead consumer (effect raised) stops get()ing; a
+                # plain put on the full bounded queue would then hang
+                # the epoch forever — poll the future instead and let
+                # fut.result() surface the effect's error
+                while not fut.done():
+                    try:
+                        chunks.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
+            try:
+                chunk: list = []
+                for row in batch_df.toLocalIterator():
+                    chunk.append(row)
+                    if len(chunk) >= chunk_rows:
+                        if not put(chunk):
+                            break
+                        chunk = []
+                else:
+                    if chunk:
+                        put(chunk)
+            finally:
+                put(None)
+            fut.result()  # effect error → batch error → epoch replay
 
         return sink

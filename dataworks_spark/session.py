@@ -104,11 +104,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def _ts_is_nanos(path: str) -> bool:
+def _ts_is_nanos(path: str, spark: SparkSession | None = None) -> bool:
     """True iff the parquet footer declares a timestamp[ns] ``ts``
-    column (pyarrow probe — one footer read, no Spark job). Fails
-    closed: a probe error means 'not nanos' so the legacy conf is
-    never flipped speculatively."""
+    column. Local paths use a pyarrow footer probe (one footer read, no
+    Spark job). NON-local paths (hdfs://, s3a://, …) can't be read by
+    local pyarrow — for those, Spark's own schema inference is the
+    probe: with ``nanosAsLong`` unset Spark REJECTS ns-typed parquet at
+    analysis ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))"), and
+    that rejection is exactly the ns signal (r10 ADVICE: the os.path
+    probe read every remote table as 'not nanos', so a remote ns-era
+    events table failed analysis with the conf never flipped). Fails
+    closed on any other error so the legacy conf is never flipped
+    speculatively."""
+    remote = "://" in path and not path.startswith("file:")
+    if remote and spark is not None:
+        try:
+            spark.read.parquet(path).schema
+            return False  # schema inferred fine — not ns (or conf already set)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            return "NANOS" in msg or "nanosAsLong" in msg
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -154,7 +169,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     load — previously ANY load_table changed how every later parquet
     read in the session decoded ns timestamps (r10 review)."""
     path = table_path(sf_dir, name)
-    if name == "events" and _ts_is_nanos(path):
+    if name == "events" and _ts_is_nanos(path, spark):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events":

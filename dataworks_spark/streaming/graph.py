@@ -231,6 +231,7 @@ class StreamGraph:
         _visiting: frozenset = frozenset(),
         source_overrides: dict[str, DataFrame] | None = None,
         nodes: dict[str, Node] | None = None,
+        dead_letters_out: dict[str, DataFrame] | None = None,
     ) -> DataFrame:
         """Compose the DataFrame for a node's output: union of upstream
         outputs → quarantine split → op-chain. Pure; works on both
@@ -246,6 +247,15 @@ class StreamGraph:
         taken at start() so a concurrent swap_node cannot change a
         running query's logic mid-stream (the hot-swap contract:
         swaps take effect at restart(), a batch boundary).
+
+        ``dead_letters_out`` collects THIS invocation's quarantine
+        splits (node name → split frame), scoped to exactly the nodes
+        evaluated for ``name`` over exactly these inputs. Per-batch
+        callers (``start``'s foreachBatch) persist from this dict —
+        the shared ``self._dead_letters`` cache is a convenience view
+        for interactive ``dead_letter()`` reads and is overwritten by
+        every build() of any query, so persisting from it can capture
+        stale splits from other queries' batches (r10 ADVICE).
         """
         if name in _visiting:
             raise ValueError(f"cycle through node {name}")
@@ -257,7 +267,7 @@ class StreamGraph:
                 return self._sources[name]()
             node = node_map[name]
         ups = [
-            self.build(u, _visiting | {name}, source_overrides, nodes)
+            self.build(u, _visiting | {name}, source_overrides, nodes, dead_letters_out)
             for u in (node.upstreams or [])
         ]
         if not ups:
@@ -266,7 +276,10 @@ class StreamGraph:
         for other in ups[1:]:
             df = df.unionByName(other)  # tap/mult merge (I3)
         if node.quarantine is not None:
-            self._dead_letters[name] = df.filter(node.quarantine)
+            split = df.filter(node.quarantine)
+            self._dead_letters[name] = split
+            if dead_letters_out is not None:
+                dead_letters_out[name] = split
             df = df.filter(~node.quarantine)
         if node.buffer is not None:
             spec = validate_buffer(node.buffer)
@@ -404,9 +417,6 @@ class StreamGraph:
             # if swap_node fires mid-stream; restart() picks up the swap
             with self._lock:
                 snapshot = dict(self._nodes)
-            quarantined_nodes = [
-                n for n, nd in snapshot.items() if nd.quarantine is not None
-            ]
 
             def _write_batch(batch_df: DataFrame, epoch: int) -> None:
                 # foreachBatch is AT-LEAST-ONCE: a crash after this
@@ -423,8 +433,12 @@ class StreamGraph:
                 )
                 if fs.exists(marker):
                     return  # replayed epoch — already written
+                dl_splits: dict[str, DataFrame] = {}
                 out = self.build(
-                    name, source_overrides={src_name: batch_df}, nodes=snapshot
+                    name,
+                    source_overrides={src_name: batch_df},
+                    nodes=snapshot,
+                    dead_letters_out=dl_splits,
                 )
                 out.write.format(sink_format).options(**extra).mode("append").save(path)
                 # persist the batch's quarantine splits (I5): the normal
@@ -432,14 +446,19 @@ class StreamGraph:
                 # dead_letter(name), but per-microbatch mode recomputes
                 # and previously DISCARDED the split every batch — rows
                 # matching the quarantine predicate vanished with no
-                # sink and no error (r10 review)
-                for qn in quarantined_nodes:
-                    dl = self._dead_letters.get(qn)
-                    if dl is not None:
-                        dl.write.format(sink_format).options(**extra).mode(
-                            "append"
-                        ).save(f"{path}/_dead_letter/{qn}")
-                fs.mkdirs(marker)
+                # sink and no error (r10 review). dl_splits is scoped
+                # to THIS build — exactly the quarantined nodes in this
+                # query's upstream closure over this batch's frame, so
+                # a quarantined node elsewhere in the graph (or a split
+                # another concurrent query's build left in the shared
+                # cache) can never be re-appended here (r10 ADVICE).
+                for qn, dl in dl_splits.items():
+                    dl.write.format(sink_format).options(**extra).mode(
+                        "append"
+                    ).save(f"{path}/_dead_letter/{qn}")
+                from dataworks_spark.streaming.rollup import mark_epoch_applied
+
+                mark_epoch_applied(fs, marker, epoch)
 
             writer = src_df.writeStream.foreachBatch(_write_batch).queryName(
                 query_name or name

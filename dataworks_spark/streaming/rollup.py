@@ -54,6 +54,36 @@ _MERGEABLE = {
 }
 
 
+#: applied-epoch markers retained per ledger. Structured Streaming only
+#: ever replays the LAST uncommitted epoch after a crash, so any bound
+#: ≥2 preserves replay detection; 128 leaves generous slack for manual
+#: re-runs while keeping the ledger O(1) — without pruning a
+#: long-running query accumulates one marker dir per epoch forever,
+#: which degrades listing-based object stores (r10 ADVICE).
+EPOCH_LEDGER_KEEP = 128
+
+
+def mark_epoch_applied(fs, marker, epoch_id: int, keep: int = EPOCH_LEDGER_KEEP):
+    """Create the applied-epoch marker, then prune ledger entries older
+    than ``epoch_id - keep``. The listing is over the bounded ledger dir
+    (≤ keep+1 entries steady-state), not the data table."""
+    fs.mkdirs(marker)
+    ledger = marker.getParent()
+    try:
+        for st in fs.listStatus(ledger):
+            name = st.getPath().getName()
+            try:
+                old = int(name)
+            except ValueError:
+                continue  # not an epoch marker — leave it
+            if old < epoch_id - keep:
+                fs.delete(st.getPath(), True)
+    except Exception:
+        # pruning is best-effort housekeeping: a racing reader/lister
+        # failure must not fail the batch that already committed
+        pass
+
+
 class ContinuousRollup:
     """A materialized ``(bucket, keys…) → mergeable aggregates`` table.
 
@@ -186,7 +216,7 @@ class ContinuousRollup:
             .parquet(self.path)
         )
         if marker is not None:
-            fs.mkdirs(marker)
+            mark_epoch_applied(fs, marker, epoch_id)
 
     def for_each_batch(self):
         def _sink(df: DataFrame, epoch_id: int) -> None:

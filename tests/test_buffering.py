@@ -432,3 +432,75 @@ def test_collector_seq_resumes_after_restart(tmp_path):
     assert len(names) == 3 and os.path.basename(p3) == names[-1]
     # the first run's docs are intact
     assert json.load(open(p1))["doc"] == 1
+
+
+def test_microbatch_dead_letters_scoped_to_query_closure(spark, tmp_path):
+    """r10 ADVICE: _write_batch persisted the quarantine split of EVERY
+    quarantined node in the topology snapshot, read from the shared
+    mutable _dead_letters dict — a quarantined node outside this query's
+    upstream closure (or a stale split another query's build() left in
+    the cache) got re-appended under this query's path every epoch."""
+    import os
+
+    from dataworks_spark.streaming.graph import Node, StreamGraph, validate_buffer
+    from dataworks_spark.streaming.transforms import OpChain
+
+    src_dir = str(tmp_path / "in")
+    rows = [(k, t, float(t)) for k in ("a", "b") for t in range(1, 6)]
+    spark.createDataFrame(rows, "key string, ts int, value double").write.parquet(src_dir)
+
+    g = StreamGraph(spark)
+    g.add_source(
+        "src",
+        lambda: spark.readStream.schema("key string, ts int, value double").parquet(src_dir),
+    )
+    g.add_node(
+        Node(
+            "shed",
+            chain=OpChain(),
+            upstreams=["src"],
+            quarantine=F.col("value") >= 5.0,
+            buffer=validate_buffer({"sliding-buffer": 3}, key_cols=["key"], ts_col="ts"),
+        )
+    )
+    # a second quarantined node NOT upstream of "shed" — and poison the
+    # shared cache the way a concurrent query's build() would
+    batch_src = str(tmp_path / "other_in")
+    spark.createDataFrame(rows, "key string, ts int, value double").write.parquet(batch_src)
+    g.add_source("other_src", lambda: spark.read.parquet(batch_src))
+    g.add_node(
+        Node("other", chain=OpChain(), upstreams=["other_src"], quarantine=F.col("value") < 2.0)
+    )
+    g.build("other")  # populates the shared _dead_letters["other"] cache
+
+    out_dir = str(tmp_path / "out")
+    q = g.start("shed", sink_format="parquet", checkpoint=str(tmp_path / "ck"), path=out_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    dl_root = os.path.join(out_dir, "_dead_letter")
+    assert os.path.isdir(os.path.join(dl_root, "shed"))
+    assert not os.path.exists(os.path.join(dl_root, "other")), (
+        "out-of-closure quarantine split leaked into this query's dead-letter path"
+    )
+
+
+def test_epoch_ledger_markers_are_pruned(spark, tmp_path):
+    """r10 ADVICE: applied-epoch marker dirs grew unboundedly (one per
+    epoch, never pruned) — millions of small FS entries on a
+    listing-based object store. Markers older than the retention
+    horizon are deleted once the new marker lands."""
+    import os
+
+    from dataworks_spark.streaming.rollup import mark_epoch_applied
+
+    base = str(tmp_path / "table")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for epoch in range(0, 140):
+        marker = jvm.org.apache.hadoop.fs.Path(f"{base}/_epochs/{epoch}")
+        fs = marker.getFileSystem(hconf)
+        mark_epoch_applied(fs, marker, epoch, keep=16)
+    left = sorted(int(n) for n in os.listdir(os.path.join(base, "_epochs")))
+    assert left[-1] == 139 and left[0] >= 139 - 16 - 1
+    assert len(left) <= 18  # bounded, not one-per-epoch

@@ -253,3 +253,38 @@ def test_collector_replayed_doc_survives_restart(spark, tmp_path):
         assert "ingest" in srv._routes
     finally:
         eng_b.stop()
+
+
+def test_collector_names_rolled_back_on_failed_persist(spark, tmp_path):
+    """r10 ADVICE: trial activation of a collector added msg.name to
+    _collector_names but the persist/broadcast rollback never undid it
+    — a later start_collector() mounted a phantom route for a function
+    no other driver or the durable store ever saw."""
+    from dataworks_spark.engine import Engine
+
+    eng = Engine(
+        {"control.log": str(tmp_path / "bus.log"), "collector.spool": str(tmp_path / "sp")},
+        spark=spark,
+    )
+    try:
+        orig_publish = eng.bus.publish
+
+        def boom(msg):
+            raise RuntimeError("broker down")
+
+        eng.bus.publish = boom
+        with pytest.raises(RuntimeError, match="broker down"):
+            eng.create_function("collector", {"name": "ghost"})
+        eng.bus.publish = orig_publish
+        assert "ghost" not in eng._collector_names
+        srv = eng.start_collector()
+        assert "ghost" not in srv._routes
+        # a live server's route is also rolled back when one is running
+        eng.bus.publish = boom
+        with pytest.raises(RuntimeError, match="broker down"):
+            eng.create_function("collector", {"name": "ghost2"})
+        assert "ghost2" not in eng._collector_names
+        assert "ghost2" not in srv._routes
+    finally:
+        eng.bus.publish = orig_publish
+        eng.stop()

@@ -286,3 +286,55 @@ def test_validation_buffer_key_and_step_args():
         }
     )
     assert not isinstance(ok, Invalid)
+
+
+def test_foreach_batch_sink_chunks_are_ordered_and_serial(spark):
+    """r10 ADVICE: chunks fired into the shared 4-worker pool ran
+    concurrently and out of order, silently breaking transactors
+    written against the one-ordered-call-per-epoch contract. Chunks of
+    one epoch now run serially in row order on a single pool task, and
+    the sink returns only after the last effect completes."""
+    import threading
+
+    reg = TransactorRegistry()
+    seen: list = []
+    in_flight = []
+    overlap = []
+    lock = threading.Lock()
+
+    def effect(rows, epoch):
+        with lock:
+            in_flight.append(1)
+            if len(in_flight) > 1:
+                overlap.append(1)
+        time.sleep(0.02)
+        seen.append([r.id for r in rows])
+        with lock:
+            in_flight.pop()
+
+    reg.register("ordered", effect)
+    sink = reg.foreach_batch_sink("ordered", chunk_rows=5)
+    sink(spark.range(23).coalesce(1), epoch_id=0)
+    # sink is synchronous now: all chunks delivered on return
+    flat = [i for chunk in seen for i in chunk]
+    assert flat == list(range(23)), "rows out of order or dropped"
+    assert [len(c) for c in seen] == [5, 5, 5, 5, 3]
+    assert not overlap, "chunks of one epoch executed concurrently"
+
+
+def test_foreach_batch_sink_effect_error_fails_epoch(spark):
+    """An effect error must propagate out of the sink (→ batch failure
+    → epoch replay, at-least-once) instead of vanishing on the pool —
+    and the producer must not hang on the bounded handoff queue when
+    the consumer dies mid-epoch."""
+    import pytest as _pytest
+
+    reg = TransactorRegistry()
+
+    def effect(rows, epoch):
+        raise ValueError("effect exploded")
+
+    reg.register("boom", effect)
+    sink = reg.foreach_batch_sink("boom", chunk_rows=2)
+    with _pytest.raises(ValueError, match="effect exploded"):
+        sink(spark.range(50).coalesce(1), epoch_id=7)
