@@ -1,14 +1,17 @@
 """Benchmark harness (driver contract): run every declared query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]. The FINAL stdout line is a compact JSON
-headline — {"metric", "value", "unit", "queries": steady per-query
-seconds, "sf", totals, steady_ratio} — sized so a tail-capture window
-always keeps it whole (r9's single 5.5 KB line was clipped mid-object);
-a detail JSON line (per-query cold + DuckDB times, errors) precedes it.
-The DuckDB baseline ALWAYS runs side-by-side so the artifact carries a
-same-machine same-contention ratio (steady_ratio); pass --no-duckdb to
-skip it for a faster Spark-only iteration loop (--duckdb is accepted
-for back-compat and is the default behavior).
+local[$SPARK_GRAFT_CPUS]. Stdout is ONE compact JSON headline line —
+{"metric", "value", "unit", "queries": steady per-query seconds, "sf",
+totals, steady_ratio} — sized so a tail-capture window always keeps it
+whole (r9's single 5.5 KB line was clipped mid-object; r10's separate
+stdout detail line was clipped again). The COMPLETE record — cold +
+steady + the full DuckDB per-query map + errors — is written to
+$SPARK_GRAFT_BENCH_OUT (default BENCH_local_latest.json next to this
+file), where no capture window can truncate it. The DuckDB baseline
+ALWAYS runs side-by-side so the artifact carries a same-machine
+same-contention ratio (steady_ratio); pass --no-duckdb to skip it for
+a faster Spark-only iteration loop (--duckdb is accepted for
+back-compat and is the default behavior).
 """
 
 from __future__ import annotations
@@ -233,24 +236,6 @@ def main() -> None:
             duck_con = None
     cold, steady, errors, duck = run_spark(duck_con=duck_con)
     ratio: dict = _ratio(steady, duck) if duck else {}
-    # TWO stdout lines (r9: the single ~5.5 KB line was clipped by the
-    # driver's tail-capture mid-object — BENCH_r09.json parsed: null).
-    # Line 1 carries the full detail (cold per query, DuckDB per query,
-    # errors); the FINAL line is a compact (~1.5 KB) headline holding
-    # everything binding — per-query STEADY times (what the judge reads
-    # against BASELINE.md), totals, and the same-run DuckDB ratio — so
-    # any tail-capture window keeps a complete, parseable record.
-    detail = {
-        "detail": "per-query cold + duckdb; headline JSON is the next line",
-        "metric": "total_query_wall_clock",
-        "unit": "sec",
-        "queries_cold": cold,
-    }
-    if duck:
-        detail["duckdb"] = duck
-    if errors:
-        detail["errors"] = errors
-    print(json.dumps(detail))
     out = {
         "metric": "total_query_wall_clock",
         "value": round(sum(cold.values()), 4),
@@ -262,6 +247,29 @@ def main() -> None:
     if errors:
         out["n_errors"] = len(errors)
     out.update(ratio)
+    # The COMPLETE record (cold + steady + the full DuckDB per-query
+    # map + errors) goes to a FILE — tail-capture windows clipped the
+    # stdout detail line two rounds running (r10 VERDICT #2: only 16/46
+    # DuckDB entries survived in BENCH_r10.json and the repo-side local
+    # file carried no duckdb dict at all; files don't get tail-clipped).
+    # Stdout stays minimal: ONE compact headline line (~1.5 KB), the
+    # driver contract.
+    full = dict(out)
+    full["queries_cold"] = cold
+    if duck:
+        full["duckdb"] = duck
+    if errors:
+        full["errors"] = errors
+    record_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"),
+    )
+    try:
+        with open(record_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: keep the stdout record
+        print(json.dumps({"detail": f"record write failed: {exc}"}))
     print(json.dumps(out))
 
 
