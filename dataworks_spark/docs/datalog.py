@@ -149,16 +149,44 @@ class DatalogDB:
             raise KeyError(f"unknown entity namespace {ns!r}")
         return self._tables[ns]
 
+    #: find-spec aggregates (the Crux/Datomic `:find [(count ?e) …]`
+    #: surface the reference delegates wholesale — the same delegation
+    #: argument that mandated recursive rules): aggregate name →
+    #: Column-builder over the bound variable column.
+    _FIND_AGGS = {
+        "count": lambda c: F.count(c),
+        "count-distinct": lambda c: F.count_distinct(c),
+        "sum": lambda c: F.sum(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "avg": lambda c: F.avg(c),
+    }
+
     # -- the query entry point (db/app_db.clj:33-43 arities) -----------
     def q(
         self,
-        find: Sequence[str],
+        find: Sequence,
         where: Sequence[tuple],
         args: dict | None = None,
         rules: Sequence[Rule] = (),
+        with_: Sequence[str] = (),
     ) -> DataFrame:
         """Compile and run a Datalog query; returns a DataFrame whose
-        columns are the find-vars (without '?')."""
+        columns are the find-vars (without '?').
+
+        ``find`` elements are either variables (``"?v"``) or AGGREGATE
+        forms ``("count"|"count-distinct"|"sum"|"min"|"max"|"avg",
+        "?v")`` with an optional third element naming the output column
+        (default ``<agg>_<var>``) — the Crux/Datomic
+        ``:find [(count ?e) (sum ?x)]`` surface. Plain find variables
+        become the grouping key; with no plain variable the aggregate
+        is global (one row). SET SEMANTICS, like the engines this
+        mirrors: aggregation runs over the DISTINCT bindings of the
+        find (+ ``with_``) variables — a Datalog result is a relation,
+        so two derivations of the same tuple count once. ``with_``
+        mirrors Datomic's ``:with``: extra variables folded into the
+        distinct-ness check (preserving meaningful duplicates of the
+        find-tuple) but not returned."""
         args = args or {}
         rule_map = {r.name: r for r in rules}
         rule_env: dict[str, DataFrame] = {}
@@ -179,7 +207,45 @@ class DatalogDB:
             if _vcol(var) in bound.columns:
                 bound = bound.filter(F.col(_vcol(var)) == F.lit(value))
 
-        return bound.select(*[_vcol(v) for v in find]).dropDuplicates()
+        group_vars: list[str] = []
+        agg_specs: list[tuple[str, str, str]] = []  # (fn, var, out_name)
+        for el in find:
+            if isinstance(el, str):
+                group_vars.append(el)
+                continue
+            fn, var = el[0], el[1]
+            if fn not in self._FIND_AGGS:
+                raise ValueError(
+                    f"unknown find aggregate {fn!r} "
+                    f"(known: {sorted(self._FIND_AGGS)})"
+                )
+            out = el[2] if len(el) > 2 else f"{fn.replace('-', '_')}_{_vcol(var)}"
+            agg_specs.append((fn, var, out))
+
+        if not agg_specs:
+            return bound.select(*[_vcol(v) for v in find]).dropDuplicates()
+
+        for _, var, _ in agg_specs:
+            if _vcol(var) not in bound.columns:
+                raise ValueError(
+                    f"aggregate over unbound variable {var!r} "
+                    f"(bound: {sorted(bound.columns)})"
+                )
+        # distinct FIRST (set semantics over find+with vars), then one
+        # map-side-combined groupBy — both shuffles key on the same
+        # columns, so at scale this is one exchange + a mostly-local agg
+        keep = dict.fromkeys(
+            [_vcol(v) for v in group_vars]
+            + [_vcol(v) for _, v, _ in agg_specs]
+            + [_vcol(v) for v in with_]
+        )
+        base = bound.select(*keep).dropDuplicates()
+        exprs = [
+            self._FIND_AGGS[fn](F.col(_vcol(var))).alias(out)
+            for fn, var, out in agg_specs
+        ]
+        grouped = base.groupBy(*[_vcol(v) for v in group_vars]) if group_vars else base.groupBy()
+        return grouped.agg(*exprs)
 
     # -- conjunctive clause-list evaluation ------------------------------
     def _eval_clauses(

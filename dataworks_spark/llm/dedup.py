@@ -16,6 +16,16 @@ stable across runs/partitions; band hashing never depends on row order.
 
 from __future__ import annotations
 
+import numpy as np
+
+try:
+    # pandas_udf return-type hints are resolved as STRINGS in this
+    # module's globals (PEP 563 via `from __future__ import
+    # annotations`) — `pd` must be importable here, import-guarded so a
+    # pandas-less install keeps every JVM code path working
+    import pandas as pd
+except ImportError:  # pragma: no cover
+    pd = None  # type: ignore[assignment]
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -321,12 +331,127 @@ def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
     )
 
 
-def minhash_from_hashes(hashes: Column, n_hashes: int = 64) -> Column:
+# -- Spark-exact XXH64 primitives in numpy (the Arrow MinHash kernel) --
+# Spark's xxhash64(c1, c2, …) chains XXH64 over the column values with
+# accumulating seed (seed 42): hash = XXH64_int(c1, 42); hash =
+# XXH64_long(c2, hash). These are the 4-byte/8-byte specializations of
+# the public XXH64 algorithm (Collet; Spark's
+# sql/catalyst/expressions/XXH64.java) — reimplemented vectorized over
+# uint64 numpy arrays so the Arrow kernel's signatures are BIT-IDENTICAL
+# to the JVM expression form (equality is pinned in tests/test_llm.py).
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh_rotl(x, r: int):
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxh_fmix(h):
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XXH_P2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XXH_P3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh64_long(vals_u64: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """Vectorized XXH64 of 8-byte longs (uint64 in/out, wrap-around
+    arithmetic — numpy integer ops wrap mod 2⁶⁴ like Java longs)."""
+    h = seed + _XXH_P5 + np.uint64(8)
+    k1 = _xxh_rotl(vals_u64 * _XXH_P2, 31) * _XXH_P1
+    h = h ^ k1
+    h = _xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4
+    return _xxh_fmix(h)
+
+
+def _xxh64_int(i: int, seed: int = 42) -> np.uint64:
+    """Scalar XXH64 of a 4-byte int — the per-hash-function seed
+    xxhash64(lit(i), …) folds in first."""
+    with np.errstate(over="ignore"):
+        h = np.uint64(seed) + _XXH_P5 + np.uint64(4)
+        h = h ^ (np.uint64(np.uint32(i)) * _XXH_P1)
+        h = _xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3
+        return _xxh_fmix(h)
+
+
+def _minhash_arrow(hashes: Column, n_hashes: int) -> Column:
+    """Arrow-batched MinHash signature kernel — the large-corpus path
+    behind :func:`minhash_from_hashes`' auto-split (same pattern as
+    similarity.ivf_assign, r10 VERDICT #3): the JVM HOF form evaluates
+    |shingles|×n_hashes INTERPRETED lambda steps per row (higher-order
+    functions are CodegenFallback — BASELINE attributes q_dedup_sketch's
+    dominant cost to exactly this), while this kernel computes the same
+    minima as n_hashes vectorized numpy passes (XXH64 + segmented min)
+    per Arrow batch.
+
+    Memory per batch is O(total_shingles) — ONE flattened value array
+    and one n_hashes-pass loop over it, never the |shingles|×n_hashes
+    matrix. Signed-long minima (Spark's least() compares signed), the
+    per-i seed chain, NULL input → NULL signature, and empty shingle
+    arrays → all-NULL signatures all mirror the JVM form bit-for-bit
+    (pinned cross-shape in tests). Input arrays must not contain NULL
+    elements — true of every shingle producer in this module."""
+    from pyspark.sql.functions import pandas_udf
+
+    seeds = [_xxh64_int(i) for i in range(n_hashes)]
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hs), dtype=np.int64, count=n
+        )
+        nonempty = lens > 0
+        total = int(lens.sum())
+        out = np.empty(n, dtype=object)
+        if total:
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs if a is not None and len(a)]
+            ).view(np.uint64)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            mins = np.empty((len(starts), n_hashes), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for i, seed in enumerate(seeds):
+                    v = _xxh64_long(flat, seed).view(np.int64)
+                    mins[:, i] = np.minimum.reduceat(v, starts)
+            rows = mins.tolist()
+            for k, j in enumerate(np.flatnonzero(nonempty)):
+                out[j] = rows[k]
+        for j in np.flatnonzero(~nonempty):
+            out[j] = None if hs.iloc[j] is None else [None] * n_hashes
+        return pd.Series(list(out))
+
+    return _sig(hashes)
+
+
+def minhash_from_hashes(
+    hashes: Column, n_hashes: int = 64, use_arrow: bool | None = None
+) -> Column:
     """MinHash signature from a *materialized* shingle-hash column:
     sig[i] = min over shingles of xxhash64(i, h). ``hashes`` must be a
     plain column reference (not the shingle expression itself) or the
     per-element hash fan-out re-evaluates the shingle construction —
     measured 25× slower at sf0.1.
+
+    TWO kernels (r10 VERDICT #3, the ivf_assign auto-split pattern):
+    ``use_arrow=None`` (default) picks the Arrow-batched numpy kernel
+    when pandas is importable — the signature fold is the sketch
+    queries' dominant CPU and the JVM HOF form pays |shingles|×n_hashes
+    interpreted lambda evaluations per row (CodegenFallback), where the
+    Arrow kernel runs n_hashes vectorized XXH64+segmented-min passes
+    per batch (measured ~3× on the signature stage at sf0.1). Pass
+    ``False`` to force the pure-JVM expression (no Python boundary —
+    streaming plans or pandas-less installs), ``True`` to require
+    Arrow. Both produce BIT-IDENTICAL signatures (cross-shape pinned).
 
     LAMBDA ARITY IS LOAD-BEARING (round-8 correctness fix): the
     previous form captured the loop variable with a default argument —
@@ -350,6 +475,16 @@ def minhash_from_hashes(hashes: Column, n_hashes: int = 64) -> Column:
     memory is O(n_hashes) per row — a transform-then-fold variant
     materializes the full |shingles|×n_hashes array-of-arrays first,
     ~5 MB of ArrayData for a 10 k-shingle document."""
+    if use_arrow is None:
+        use_arrow = pd is not None
+    if use_arrow:
+        if pd is None:
+            raise RuntimeError(
+                "minhash_from_hashes(use_arrow=True) needs pandas (Arrow "
+                "batch transfer); install pandas or pass use_arrow=False "
+                "for the pure-JVM expression kernel"
+            )
+        return _minhash_arrow(hashes, n_hashes)
     return F.aggregate(
         hashes,
         F.array_repeat(F.lit(None).cast("long"), n_hashes),
@@ -363,8 +498,13 @@ def minhash_from_hashes(hashes: Column, n_hashes: int = 64) -> Column:
 
 def minhash_signature(text: Column, n_hashes: int = 64, shingle_n: int = 3) -> Column:
     """One-expression convenience form (prefer the two-step
-    shingle_hashes → minhash_from_hashes inside queries)."""
-    return minhash_from_hashes(shingle_hashes(text, shingle_n), n_hashes)
+    shingle_hashes → materialize → minhash_from_hashes inside queries).
+    Pinned to the JVM kernel: the Arrow kernel's pandas-UDF argument
+    may not embed shingle_hashes' nested-lambda let-binding (python-UDF
+    extraction mis-plans cross-scope lambda variables — see
+    minhash_near_dup_pairs), and a single-expression form has no
+    materialization boundary to hide it behind."""
+    return minhash_from_hashes(shingle_hashes(text, shingle_n), n_hashes, use_arrow=False)
 
 
 def minhash_near_dup_pairs(
@@ -429,14 +569,36 @@ def minhash_near_dup_pairs(
     # `size(split(text)) >= shingle_n` is the exact same predicate —
     # word_ngram_hashes yields empty iff tokens < n, NULL text drops
     # under both — and duplicating one split is cheap.
-    sig = (
+    # TWO checkpoint barriers when the Arrow signature kernel is in
+    # play (it is by default):
+    #
+    # 1. the SHINGLE-HASH relation — load-bearing for plan validity,
+    #    not just speed: without it CollapseProject inlines the whole
+    #    shingle expression into the pandas-UDF argument, and Spark's
+    #    python-UDF extraction mis-plans UDF arguments whose tree
+    #    contains a NESTED HOF lambda referencing an OUTER lambda
+    #    variable (shingle_hashes' let-binding shape) — the projection
+    #    then evaluates interpreted and dies at runtime with
+    #    "[INTERNAL_ERROR] Cannot evaluate expression: _sig(…)"
+    #    (reproduced: single-level lambda args extract fine, cross-
+    #    scope nested-lambda args do not). A materialized attribute is
+    #    the one shape extraction always handles.
+    # 2. the SIGNATURE relation — the original cost barrier: both
+    #    self-join sides read the signatures, and without it the fold
+    #    (or the Arrow kernel) runs once PER SIDE. Banding expressions
+    #    below the sig checkpoint run once per side — slice+hash over a
+    #    materialized 64-long array, noise next to the signature work.
+    hs_rel = (
         df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n)
         .select(
             F.col(id_col).alias("doc"),
             shingle_hashes(F.col(text_col), shingle_n).alias("hs"),
         )
-        .select("doc", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig"))
+        .localCheckpoint(eager=False)
     )
+    sig = hs_rel.select(
+        "doc", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig")
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "doc",
         "sig",
@@ -453,7 +615,7 @@ def minhash_near_dup_pairs(
         ).alias("bb"),
     ).select(
         "doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
-    ).localCheckpoint(eager=False)
+    )
 
     a = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bhash")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bhash")

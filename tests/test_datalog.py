@@ -583,3 +583,97 @@ def test_mutual_recursion_three_member_scc(spark):
         }
         assert got == oracle, tag
         assert got, tag  # every class nonempty on a 3-cycle graph
+
+
+def test_find_aggregates_count_sum_min_max(db, spark, sf_dir):
+    """Crux/Datomic `:find [(count ?e) (sum ?v) …]` aggregates (r10
+    VERDICT #4): plain find vars group, aggregate forms aggregate, all
+    over the DISTINCT binding set (a Datalog result is a relation)."""
+    out = db.q(
+        find=[
+            "?seg",
+            ("count", "?c"),
+            ("sum", "?bal"),
+            ("min", "?bal"),
+            ("max", "?bal"),
+            ("avg", "?bal", "mean_bal"),
+        ],
+        where=[
+            ("?c", "customer/c_mktsegment", "?seg"),
+            ("?c", "customer/c_acctbal", "?bal"),
+        ],
+    )
+    assert out.columns == ["seg", "count_c", "sum_bal", "min_bal", "max_bal", "mean_bal"]
+    got = {r.seg: r for r in out.collect()}
+    cust = load_table(spark, sf_dir, "customer")
+    exp = {
+        r.c_mktsegment: r
+        for r in cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("c_custkey").alias("n"),
+            F.sum("c_acctbal").alias("s"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+            F.avg("c_acctbal").alias("m"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for seg, e in exp.items():
+        g = got[seg]
+        assert g.count_c == e.n and g.min_bal == e.lo and g.max_bal == e.hi
+        assert abs(g.sum_bal - e.s) < 1e-6 and abs(g.mean_bal - e.m) < 1e-9
+
+
+def test_find_aggregates_global_and_count_distinct(db, spark, sf_dir):
+    """No plain find var → ONE global row; count-distinct counts the
+    distinct bound values."""
+    out = db.q(
+        find=[("count", "?c"), ("count-distinct", "?seg")],
+        where=[("?c", "customer/c_mktsegment", "?seg")],
+    )
+    rows = out.collect()
+    cust = load_table(spark, sf_dir, "customer")
+    assert len(rows) == 1
+    assert rows[0].count_c == cust.count()
+    assert rows[0].count_distinct_seg == cust.select("c_mktsegment").distinct().count()
+
+
+def test_find_aggregates_set_semantics_and_with(db, spark, sf_dir):
+    """Aggregation runs over the DISTINCT find(+with) bindings — two
+    derivations of one tuple count once; Datomic's :with re-admits
+    meaningful duplicates without returning the extra var."""
+    d = DatalogDB(db.spark if hasattr(db, "spark") else None)
+    from pyspark.sql import Row
+
+    ev = spark.createDataFrame(
+        [
+            Row(eid=1, user="u1", amount=10.0),
+            Row(eid=2, user="u1", amount=10.0),  # same (user, amount), different event
+            Row(eid=3, user="u2", amount=5.0),
+        ]
+    )
+    d.register("ev", ev, "eid")
+    find = ["?u", ("sum", "?amt")]
+    where = [("?e", "ev/user", "?u"), ("?e", "ev/amount", "?amt")]
+    # set semantics: (u1, 10.0) appears once -> sum 10
+    got = {r.u: r.sum_amt for r in d.q(find, where).collect()}
+    assert got == {"u1": 10.0, "u2": 5.0}
+    # :with ?e preserves the two distinct events -> sum 20
+    got_w = {r.u: r.sum_amt for r in d.q(find, where, with_=["?e"]).collect()}
+    assert got_w == {"u1": 20.0, "u2": 5.0}
+
+
+def test_find_aggregates_errors(db):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown find aggregate"):
+        db.q(
+            find=[("median", "?bal")],
+            where=[("?c", "customer/c_acctbal", "?bal")],
+        )
+    with _pytest.raises(ValueError, match="unbound variable"):
+        db.q(
+            find=[("count", "?nope")],
+            where=[("?c", "customer/c_acctbal", "?bal")],
+        )

@@ -2674,3 +2674,71 @@ def test_minibatch_init_plus_distributed_refine_recovers_structure(spark, monkey
         if len({a[g * 20 + j] for j in range(20)}) == 1
     )
     assert pure >= int(0.95 * n_groups), f"only {pure}/{n_groups} groups intact"
+
+
+def test_minhash_arrow_kernel_matches_jvm_bitwise(spark, sf_dir):
+    """r10 VERDICT #3: the Arrow-batched numpy MinHash kernel (XXH64
+    reimplementation + segmented min) must produce BIT-IDENTICAL
+    signatures to the JVM HOF fold — signed-long minima, per-i seed
+    chain, and the NULL/empty edge semantics."""
+    from dataworks_spark.llm.dedup import minhash_from_hashes, shingle_hashes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").alias("doc"), shingle_hashes(F.col("text"), 3).alias("hs")
+    ).localCheckpoint()
+    jvm = {
+        r.doc: r.sig
+        for r in base.select(
+            "doc", minhash_from_hashes(F.col("hs"), 64, use_arrow=False).alias("sig")
+        ).collect()
+    }
+    arw = {
+        r.doc: r.sig
+        for r in base.select(
+            "doc", minhash_from_hashes(F.col("hs"), 64, use_arrow=True).alias("sig")
+        ).collect()
+    }
+    assert jvm == arw and len(jvm) > 0
+
+    # NULL input -> NULL signature; empty shingles -> all-NULL entries
+    edge = spark.createDataFrame(
+        [(1, [5, -7]), (2, []), (3, None)], "doc int, hs array<long>"
+    )
+    for ua in (False, True):
+        rows = {
+            r.doc: r.sig
+            for r in edge.select(
+                "doc", minhash_from_hashes(F.col("hs"), 8, use_arrow=ua).alias("sig")
+            ).collect()
+        }
+        assert rows[3] is None
+        assert rows[2] == [None] * 8
+        assert all(v is not None for v in rows[1])
+    # and the two kernels agree on the edge rows too
+    a = edge.select(minhash_from_hashes(F.col("hs"), 8, use_arrow=False).alias("s")).collect()
+    b = edge.select(minhash_from_hashes(F.col("hs"), 8, use_arrow=True).alias("s")).collect()
+    assert [r.s for r in a] == [r.s for r in b]
+
+
+def test_minhash_pipeline_survives_local_relation_and_collapse(spark):
+    """Guard for the python-UDF extraction pitfall: an argument tree
+    holding a NESTED HOF lambda that references an OUTER lambda
+    variable (shingle_hashes' let-binding) mis-plans and dies at
+    runtime with '[INTERNAL_ERROR] Cannot evaluate expression'.
+    minhash_near_dup_pairs must therefore keep a materialization
+    barrier between the shingle expression and the Arrow kernel — this
+    exercises the exact LocalRelation + CollapseProject shape that
+    reproduced the crash."""
+    from dataworks_spark.llm.dedup import minhash_near_dup_pairs, minhash_signature
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "c d"), (2, "x y z w v u t s r q"), (3, "x y z w v u t s r q")],
+        "doc_id long, text string",
+    )
+    out = minhash_near_dup_pairs(df, "doc_id", "text", n_hashes=16, bands=4, threshold=0.5)
+    assert {(r.doc_a, r.doc_b) for r in out.collect()} == {(2, 3)}
+    # the one-expression convenience form is pinned to the JVM kernel
+    # for the same reason — it must also run over a LocalRelation
+    sigs = df.select(minhash_signature(F.col("text"), 16, 3).alias("s")).collect()
+    assert len(sigs) == 4
