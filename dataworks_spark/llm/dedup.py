@@ -397,7 +397,19 @@ def _minhash_arrow(hashes: Column, n_hashes: int) -> Column:
     arrays → all-NULL signatures all mirror the JVM form bit-for-bit
     (pinned cross-shape in tests). Input arrays must not contain NULL
     elements — true of every shingle producer in this module."""
+    from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
+
+    # the UDF body calls this module's XXH64 helpers — cloudpickle
+    # references module functions BY NAME, so executor workers must be
+    # able to import dataworks_spark (they can't when the driver runs
+    # from outside the repo, e.g. the driver-contract harness). Ship
+    # the package once per context.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        from dataworks_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(active)
 
     seeds = [_xxh64_int(i) for i in range(n_hashes)]
 
@@ -633,13 +645,81 @@ def minhash_near_dup_pairs(
     return est.filter(F.col("est_jaccard") >= threshold).select("doc_a", "doc_b", "est_jaccard")
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def _simhash_arrow(hashes: Column) -> Column:
+    """Arrow-batched SimHash vote fold (the minhash kernel's sibling):
+    the JVM form runs 64 zip_with lambda steps PER TOKEN interpreted
+    (the heaviest single stage of the sketch query, measured above the
+    minhash fold); this computes the same fingerprint as 64 vectorized
+    shift-mask-segmented-sum passes per Arrow batch.
+
+    Bit-exact mirror of the JVM fold: bit i set iff strictly more
+    tokens carry bit i than not (votes > 0); empty token arrays → 0
+    fingerprint (zero votes, no bit strictly positive); NULL input →
+    NULL. The input is the token-HASH array (single-level lambda —
+    safe as a pandas-UDF argument; see minhash_near_dup_pairs on why a
+    nested-lambda argument is not)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        from dataworks_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(active)
+
+    @pandas_udf("long")
+    def _fp(hs: pd.Series) -> pd.Series:
+        n = len(hs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter(
+            (-1 if a is None else len(a) for a in hs), dtype=np.int64, count=n
+        )
+        nonempty = lens > 0
+        out = np.zeros(n, dtype=np.int64)
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs if a is not None and len(a)]
+            ).view(np.uint64)
+            row_lens = lens[nonempty].astype(np.uint64)
+            starts = np.zeros(len(row_lens), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            fp = np.zeros(len(row_lens), dtype=np.uint64)
+            one = np.uint64(1)
+            for i in range(64):
+                ones = np.add.reduceat((flat >> np.uint64(i)) & one, starts)
+                # votes = ones - (len - ones) > 0  ⇔  2·ones > len
+                fp |= ((2 * ones > row_lens).astype(np.uint64)) << np.uint64(i)
+            out[nonempty] = fp.view(np.int64)
+        result = out.astype(object)
+        result[lens < 0] = None  # NULL input → NULL fingerprint
+        return pd.Series(result)
+
+    return _fp(hashes)
+
+
+def simhash(text: Column, bits: int = 64, use_arrow: bool | None = None) -> Column:
     """64-bit SimHash: per token hash, vote +1/-1 on each bit position
     weighted by occurrence; fingerprint bit i set iff vote > 0.
-    Expressed as nested higher-order functions (aggregate over tokens)
-    — one pass, no explode, no UDF."""
+
+    TWO kernels (the minhash_from_hashes auto-split pattern):
+    ``use_arrow=None`` picks the Arrow vote fold when pandas is
+    importable and ``bits == 64``; ``False`` forces the pure JVM
+    nested-HOF aggregate (one pass, no explode, no Python boundary).
+    Both produce bit-identical fingerprints (pinned)."""
     toks = F.split(text, " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if use_arrow is None:
+        use_arrow = pd is not None and bits == 64
+    if use_arrow:
+        if bits != 64:
+            raise ValueError("the Arrow SimHash kernel is 64-bit only")
+        if pd is None:
+            raise RuntimeError(
+                "simhash(use_arrow=True) needs pandas; pass use_arrow=False "
+                "for the pure-JVM fold"
+            )
+        return _simhash_arrow(hashes)
     # votes[i] = Σ_tok (bit_i(hash) ? 1 : -1); the bit positions are
     # unrolled in Python (shift amounts must be static ints)
     votes = F.aggregate(

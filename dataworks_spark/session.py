@@ -100,6 +100,50 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
     return spark
 
 
+_shipped_ctx: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``dataworks_spark`` importable on executor Python workers.
+
+    Cloudpickle serializes NESTED functions by value but references to
+    MODULE-LEVEL functions by name — an executor-side kernel that calls
+    a helper from this package (the Arrow MinHash XXH64 primitives, the
+    baseline-JPEG decoder) therefore needs the package on the worker's
+    sys.path. That holds when the driver runs from the repo root (the
+    worker inherits the cwd) but NOT for an embedding harness running
+    from elsewhere — the exact driver-contract shape, where the failure
+    is a task-time ``ModuleNotFoundError: dataworks_spark``.
+
+    Idempotent per SparkContext: zips the package source once and
+    ``addPyFile``s it — a few hundred KB of metadata shipped with the
+    application, the same mechanism any PySpark deployment uses for
+    its own code. Executors that can already import the package just
+    gain a redundant sys.path entry with identical code."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _shipped_ctx:
+        return
+    import tempfile
+    import zipfile
+
+    import dataworks_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(dataworks_spark.__file__))
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="dataworks_spark_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _shipped_ctx.add(key)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 

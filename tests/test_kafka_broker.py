@@ -5,6 +5,15 @@ against a live broker when ``KAFKA_BOOTSTRAP`` is set (e.g.
 ``KAFKA_BOOTSTRAP=localhost:9092 pytest -m kafka``), and is skipped
 otherwise (the test container ships no broker and no client libs).
 
+ENVIRONMENT RECORD (r11, per the standing verify item): no environment
+with a reachable broker has existed through rounds 10-11 — the build
+container has no Kafka distribution (`/opt` carries only Spark/sbt),
+no confluent-kafka, and no kafka-python, and installing packages is
+out of scope for the image. This suite therefore remains the one
+standing skip; it executes the moment a deployment exports
+KAFKA_BOOTSTRAP against any 0.11+ broker with either client library
+installed.
+
 Covers, per available client library:
 - admin: create_missing_topics creates a single-partition control
   topic and is idempotent on re-run;

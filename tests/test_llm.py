@@ -2742,3 +2742,31 @@ def test_minhash_pipeline_survives_local_relation_and_collapse(spark):
     # for the same reason — it must also run over a LocalRelation
     sigs = df.select(minhash_signature(F.col("text"), 16, 3).alias("s")).collect()
     assert len(sigs) == 4
+
+
+def test_simhash_arrow_kernel_matches_jvm_bitwise(spark, sf_dir):
+    """The Arrow SimHash vote fold (r11, minhash kernel's sibling) must
+    produce BIT-IDENTICAL fingerprints to the JVM nested-HOF aggregate
+    — strict-majority bit votes, empty-token zero fingerprint, NULL
+    text -> NULL."""
+    from dataworks_spark.llm.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jvm = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", simhash(F.col("text"), use_arrow=False).alias("fp")).collect()
+    }
+    arw = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", simhash(F.col("text"), use_arrow=True).alias("fp")).collect()
+    }
+    assert jvm == arw and len(jvm) > 0
+    edge = spark.createDataFrame(
+        [(1, "hello world hello"), (2, ""), (3, None)], "doc int, text string"
+    )
+    for ua in (False, True):
+        rows = {r.doc: r.fp for r in edge.select("doc", simhash(F.col("text"), use_arrow=ua).alias("fp")).collect()}
+        assert rows[3] is None and rows[1] is not None and rows[2] is not None
+    a = {r.doc: r.fp for r in edge.select("doc", simhash(F.col("text"), use_arrow=False).alias("fp")).collect()}
+    b = {r.doc: r.fp for r in edge.select("doc", simhash(F.col("text"), use_arrow=True).alias("fp")).collect()}
+    assert a == b
