@@ -135,8 +135,17 @@ class Engine:
             # trial activation through the SAME handler the consume
             # path uses; a failure raises HERE, before any global side
             # effect — no app-db row, no bus message, nothing any other
-            # driver could have seen
-            handler(msg)
+            # driver could have seen. The snapshot is restored on THIS
+            # failure path too (r11 review): _on_collector_change adds
+            # the name to _collector_names BEFORE server registration
+            # can raise, so an unrestored partial activation would
+            # leave the same phantom route the persist-failure rollback
+            # exists to prevent.
+            try:
+                handler(msg)
+            except Exception:
+                self._activation_restore(snapshot)
+                raise
 
         # persist the function document (added-to-db?, db/app_db.clj:95-113)
         # as JSON — machine-parseable on reload, same encoding the bus

@@ -16,15 +16,18 @@ stable across runs/partitions; band hashing never depends on row order.
 
 from __future__ import annotations
 
-import numpy as np
-
 try:
     # pandas_udf return-type hints are resolved as STRINGS in this
     # module's globals (PEP 563 via `from __future__ import
-    # annotations`) — `pd` must be importable here, import-guarded so a
-    # pandas-less install keeps every JVM code path working
+    # annotations`) — `pd` must be importable here. BOTH scientific
+    # deps are import-guarded (numpy too, r11 review — an unguarded
+    # numpy import broke module import on a numpy-less install even
+    # though the pure-JVM kernels need neither) so every JVM code path
+    # keeps working; the Arrow kernels check and raise with guidance.
+    import numpy as np
     import pandas as pd
 except ImportError:  # pragma: no cover
+    np = None  # type: ignore[assignment]
     pd = None  # type: ignore[assignment]
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -339,11 +342,12 @@ def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
 # sql/catalyst/expressions/XXH64.java) — reimplemented vectorized over
 # uint64 numpy arrays so the Arrow kernel's signatures are BIT-IDENTICAL
 # to the JVM expression form (equality is pinned in tests/test_llm.py).
-_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
-_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
-_XXH_P3 = np.uint64(0x165667B19E3779F9)
-_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
-_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+if np is not None:
+    _XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+    _XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    _XXH_P3 = np.uint64(0x165667B19E3779F9)
+    _XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+    _XXH_P5 = np.uint64(0x27D4EB2F165667C5)
 
 
 def _xxh_rotl(x, r: int):

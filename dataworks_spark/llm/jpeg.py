@@ -199,9 +199,23 @@ class _BitReader:
 
 def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) JPEG to an ``(H, W, C)`` uint8 array
-    (C = 1 grayscale / 3 RGB). Raises ``ValueError`` on anything that
+    (C = 1 grayscale / 3 RGB). Raises ``ValueError`` on ANYTHING that
     is not a well-formed baseline stream (progressive, arithmetic,
-    12-bit, truncated)."""
+    12-bit, truncated, internally inconsistent) — the callers'
+    non-strict contract maps exactly ValueError to a NULL row, so a
+    malformed stream must never escape as IndexError/StopIteration and
+    kill the task (r11 review: a truncated DHT raised IndexError out
+    of _huff_decode_map, an SOS naming an unknown component raised
+    StopIteration)."""
+    try:
+        return _decode_baseline_jpeg(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, StopIteration, struct.error, OverflowError) as exc:
+        raise ValueError(f"malformed JPEG stream: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}

@@ -176,8 +176,13 @@ def ivf_build_centroids(
       gracefully than Lloyd's hard reassignment. This regime is an
       INIT: :func:`ivf_train` routes it into the distributed
       full-table refiner, which does the honest work."""
+    # mini-batch applies ONLY when the DEFAULT sizing hit the cap — an
+    # explicit sample always runs full Lloyd, even one that happens to
+    # equal the cap value (r11 review: comparing the resolved value
+    # misclassified sample=IVF_TRAIN_SAMPLE_CAP as capped and silently
+    # changed a caller-managed build's optimizer)
+    capped = sample is None and 32 * n_centroids > IVF_TRAIN_SAMPLE_CAP
     sample = _train_sample_size(n_centroids, sample)
-    capped = sample < 32 * n_centroids and sample == IVF_TRAIN_SAMPLE_CAP
     rows = (
         df.select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col)).asc(), F.col(vec_col).asc())

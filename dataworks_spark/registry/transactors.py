@@ -38,19 +38,27 @@ class TransactorRegistry:
         with self._lock:
             self._fns[name] = fn  # hot-swap: latest wins
 
-    def transact(self, name: str, *args) -> Future:
-        """Fire-and-forget async call — `(transact! :name args)`
-        (transactors.clj:18-19: `(go (apply f args))`)."""
+    def _claim(self, name: str, args: tuple) -> Callable:
+        """Shared lookup+audit step for every delivery path: resolve
+        the fn and append the audit entry under ONE lock acquisition.
+        The audit entry summarizes bulk args (row batches) to a count —
+        pinning every delivered row in the log is the driver leak the
+        LOG_MAX cap exists to prevent. One definition (r11 review: the
+        sink's serial drain had copy-pasted this block, so a format or
+        threshold change would silently diverge the two audit paths)."""
         with self._lock:
             fn = self._fns[name]
-            # the audit entry summarizes bulk args (row batches) to a
-            # count — pinning every delivered row in the log is the
-            # driver leak the LOG_MAX cap exists to prevent
             logged = tuple(
                 f"<{len(a)} rows>" if isinstance(a, (list, tuple)) and len(a) > 100 else a
                 for a in args
             )
             self.log.append((name, logged))
+            return fn
+
+    def transact(self, name: str, *args) -> Future:
+        """Fire-and-forget async call — `(transact! :name args)`
+        (transactors.clj:18-19: `(go (apply f args))`)."""
+        fn = self._claim(name, args)
         return self._pool.submit(fn, *args)
 
     def foreach_batch_sink(self, name: str, chunk_rows: int = 10_000):
@@ -85,15 +93,7 @@ class TransactorRegistry:
                     chunk = chunks.get()
                     if chunk is None:
                         return
-                    with self._lock:
-                        fn = self._fns[name]
-                        logged = tuple(
-                            f"<{len(a)} rows>"
-                            if isinstance(a, (list, tuple)) and len(a) > 100
-                            else a
-                            for a in (chunk, epoch_id)
-                        )
-                        self.log.append((name, logged))
+                    fn = self._claim(name, (chunk, epoch_id))
                     fn(chunk, epoch_id)
 
             fut = self._pool.submit(drain)

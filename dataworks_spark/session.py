@@ -100,7 +100,9 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
     return spark
 
 
-_shipped_ctx: set[int] = set()
+_shipped_ctx: set[str] = set()
+_pkg_zip_path: str | None = None
+_ns_probe_cache: dict[str, bool] = {}
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
@@ -115,32 +117,39 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     from elsewhere — the exact driver-contract shape, where the failure
     is a task-time ``ModuleNotFoundError: dataworks_spark``.
 
-    Idempotent per SparkContext: zips the package source once and
-    ``addPyFile``s it — a few hundred KB of metadata shipped with the
-    application, the same mechanism any PySpark deployment uses for
-    its own code. Executors that can already import the package just
+    Idempotent per SparkContext, keyed by ``applicationId`` — NOT by
+    ``id(sc)``, which CPython reuses after a stopped context is GC'd,
+    silently skipping the ship on the replacement context (r11
+    review). The zip is built once per PROCESS and reused across
+    contexts (rebuilding per context leaked one tempfile each).
+    ``addPyFile`` ships a few hundred KB of metadata with the
+    application — the same mechanism any PySpark deployment uses for
+    its own code; executors that can already import the package just
     gain a redundant sys.path entry with identical code."""
+    global _pkg_zip_path
     sc = spark.sparkContext
-    key = id(sc)
+    key = sc.applicationId
     if key in _shipped_ctx:
         return
-    import tempfile
-    import zipfile
+    if _pkg_zip_path is None or not os.path.exists(_pkg_zip_path):
+        import tempfile
+        import zipfile
 
-    import dataworks_spark
+        import dataworks_spark
 
-    pkg_dir = os.path.dirname(os.path.abspath(dataworks_spark.__file__))
-    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="dataworks_spark_pkg_")
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, dirs, files in os.walk(pkg_dir):
-            dirs[:] = [d for d in dirs if d != "__pycache__"]
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    z.write(full, rel)
-    sc.addPyFile(zpath)
+        pkg_dir = os.path.dirname(os.path.abspath(dataworks_spark.__file__))
+        fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="dataworks_spark_pkg_")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, dirs, files in os.walk(pkg_dir):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        _pkg_zip_path = zpath
+    sc.addPyFile(_pkg_zip_path)
     _shipped_ctx.add(key)
 
 
@@ -162,12 +171,20 @@ def _ts_is_nanos(path: str, spark: SparkSession | None = None) -> bool:
     speculatively."""
     remote = "://" in path and not path.startswith("file:")
     if remote and spark is not None:
+        if path in _ns_probe_cache:
+            return _ns_probe_cache[path]
         try:
+            # one remote schema inference per PATH per process — the
+            # probe result is memoized because load_table immediately
+            # re-reads the same path for real and a remote listing is
+            # the expensive part (r11 review)
             spark.read.parquet(path).schema
-            return False  # schema inferred fine — not ns (or conf already set)
+            out = False  # schema inferred fine — not ns (or conf already set)
         except Exception as e:  # noqa: BLE001
             msg = str(e)
-            return "NANOS" in msg or "nanosAsLong" in msg
+            out = "NANOS" in msg or "nanosAsLong" in msg
+        _ns_probe_cache[path] = out
+        return out
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq

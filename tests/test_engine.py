@@ -288,3 +288,34 @@ def test_collector_names_rolled_back_on_failed_persist(spark, tmp_path):
     finally:
         eng.bus.publish = orig_publish
         eng.stop()
+
+
+def test_collector_activation_failure_restores_name_set(spark, tmp_path):
+    """r11 review: when the trial activation ITSELF raises (server
+    registration error), the pre-activation snapshot must be restored
+    — _on_collector_change adds the name before register() can fail,
+    and the persist-failure rollback alone left the phantom behind."""
+    from dataworks_spark.engine import Engine
+
+    eng = Engine(
+        {"control.log": str(tmp_path / "bus.log"), "collector.spool": str(tmp_path / "sp")},
+        spark=spark,
+    )
+    try:
+        srv = eng.start_collector()
+
+        def boom(name):
+            raise OSError("spool unwritable")
+
+        orig = srv.register
+        srv.register = boom
+        with pytest.raises(OSError, match="spool unwritable"):
+            eng.create_function("collector", {"name": "phantom"})
+        srv.register = orig
+        assert "phantom" not in eng._collector_names
+        assert "phantom" not in srv._routes
+        # nothing persisted, nothing broadcast
+        ids = {r.id for r in eng.app_db.latest().select("id").collect()}
+        assert "collector/phantom" not in ids
+    finally:
+        eng.stop()

@@ -134,3 +134,33 @@ def test_ensure_package_shipped_idempotent(spark):
     ensure_package_shipped(spark)  # second call: no error, no re-zip
     files = list(spark.sparkContext.listFiles)
     assert sum("dataworks_spark_pkg_" in f for f in files) == 1
+
+
+def test_malformed_jpeg_always_raises_valueerror_and_yields_null_row(spark):
+    """r11 review: a truncated DHT raised IndexError out of the Huffman
+    builder and an SOS naming an unknown component raised StopIteration
+    — escaping the callers' ValueError-only handling and killing the
+    task. Every malformed stream must surface as ValueError, which the
+    non-strict feature decoder maps to a NULL row."""
+    from dataworks_spark.llm.multimodal import decode_image_features
+
+    bad = [
+        b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x01\xff\xd9",  # truncated DHT
+        # SOF with component id 1, SOS referencing component id 9
+        bytes.fromhex(
+            "ffd8"
+            "ffdb004300" + "10" * 64  # DQT id 0
+            + "ffc0000b08001000100301110002110103110f"[:22]  # (malformed SOF)
+        ),
+        b"\xff\xd8\xff\xc0\x00\x02",  # empty SOF body
+        b"\xff\xd8\xff\xda\x00\x02\xff\xd9",  # SOS before SOF
+    ]
+    for payload in bad:
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(payload)
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(bad)],
+        "media_id long, payload binary",
+    )
+    rows = decode_image_features(df).collect()  # must NOT kill the task
+    assert all(r.format is None for r in rows) and len(rows) == len(bad)

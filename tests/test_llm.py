@@ -2770,3 +2770,23 @@ def test_simhash_arrow_kernel_matches_jvm_bitwise(spark, sf_dir):
     a = {r.doc: r.fp for r in edge.select("doc", simhash(F.col("text"), use_arrow=False).alias("fp")).collect()}
     b = {r.doc: r.fp for r in edge.select("doc", simhash(F.col("text"), use_arrow=True).alias("fp")).collect()}
     assert a == b
+
+
+def test_explicit_sample_equal_to_cap_runs_full_lloyd(spark, monkeypatch):
+    """r11 review: an EXPLICIT sample that happens to equal
+    IVF_TRAIN_SAMPLE_CAP was misclassified as 'default capped' and
+    silently switched the caller-managed build to mini-batch — the
+    contract is that explicit samples always run full Lloyd."""
+    import numpy as np
+
+    from dataworks_spark.llm import similarity as sim
+
+    rows = [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setattr(sim, "IVF_TRAIN_SAMPLE_CAP", 128)
+    # explicit sample == cap, n_centroids large enough that 32*c > cap
+    explicit = sim.ivf_build_centroids(df, "embedding", n_centroids=8, sample=128, seed=3)
+    # Lloyd reference: same inputs with the cap moved out of the way
+    monkeypatch.setattr(sim, "IVF_TRAIN_SAMPLE_CAP", 1 << 30)
+    lloyd = sim.ivf_build_centroids(df, "embedding", n_centroids=8, sample=128, seed=3)
+    assert np.array_equal(explicit, lloyd), "explicit sample took the mini-batch path"
