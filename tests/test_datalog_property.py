@@ -227,3 +227,48 @@ def test_mutual_even_odd_matches_duckdb_on_random_graphs(spark, edges):
             ).collect()
         }
         assert got == oracle, (tag, sorted(edges))
+
+
+# -- find-spec aggregates (r11): compiled groupBy vs brute-force -----------
+
+_AGG_FNS = {
+    "count": lambda vals: len(vals),
+    "count-distinct": lambda vals: len(set(vals)),
+    "sum": lambda vals: sum(vals),
+    "min": lambda vals: min(vals),
+    "max": lambda vals: max(vals),
+}
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    agg=st.sampled_from(sorted(_AGG_FNS)),
+    group_attr=st.sampled_from(["person/tag", "person/city_id"]),
+    val_attr=st.sampled_from(["person/age", "person/city_id"]),
+    use_with=st.booleans(),
+)
+def test_find_aggregates_match_bruteforce(db, agg, group_attr, val_attr, use_with):
+    """Aggregate find-specs must equal a brute-force evaluation over
+    the DISTINCT binding set (set semantics), and `with_=['?e']` must
+    equal the same aggregation over per-entity bindings."""
+    find = ["?g", (agg, "?v", "out")]
+    where = [("?e", group_attr, "?g"), ("?e", val_attr, "?v")]
+    kwargs = {"with_": ["?e"]} if use_with else {}
+    got = {(r.g, r.out) for r in db.q(find, where, **kwargs).collect()}
+
+    # brute force over the fixture rows
+    envs = _eval_query(where, ["?g", "?v", "?e"])
+    groups: dict = {}
+    for g, v, e in envs:
+        groups.setdefault(g, []).append((v, e))
+    exp = set()
+    for g, pairs in groups.items():
+        if use_with:
+            vals = [v for v, _e in set(pairs)]  # distinct (v, e) bindings
+        else:
+            vals = [v for v in {v for v, _e in pairs}]  # distinct v per group
+        exp.add((g, _AGG_FNS[agg](vals)))
+    assert got == exp

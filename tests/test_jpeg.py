@@ -164,3 +164,39 @@ def test_malformed_jpeg_always_raises_valueerror_and_yields_null_row(spark):
     )
     rows = decode_image_features(df).collect()  # must NOT kill the task
     assert all(r.format is None for r in rows) and len(rows) == len(bad)
+
+
+def test_jpeg_roundtrip_property_random_images():
+    """Property sweep (seeded, deterministic): random images — noise,
+    blocky, and smooth — across sizes that exercise every pad/crop and
+    subsampling branch must round-trip within quantization tolerance,
+    and encoding must be byte-deterministic."""
+    rng = np.random.default_rng(1234)
+    cases = []
+    for h, w in ((8, 8), (9, 17), (16, 16), (24, 31), (33, 40)):
+        cases.append(("noise", rng.integers(0, 256, (h, w, 3)).astype(np.uint8)))
+        blocky = np.repeat(
+            np.repeat(rng.integers(0, 256, (max(h // 8, 1), max(w // 8, 1), 3)), 8, 0), 8, 1
+        )[:h, :w].astype(np.uint8)
+        cases.append(("blocky", blocky))
+        cases.append(("smooth", _gradient(h, w)))
+    for kind, img in cases:
+        for sub in (False, True):
+            enc = encode_baseline_jpeg(img, quality=95, subsample=sub)
+            assert enc == encode_baseline_jpeg(img, quality=95, subsample=sub)
+            dec = decode_baseline_jpeg(enc)
+            assert dec.shape == img.shape
+            if sub and kind == "noise":
+                # 4:2:0 on per-pixel random CHROMA is destructive by
+                # design (2x2 block averaging) — the preserved property
+                # is LUMA fidelity, not RGB closeness
+                def luma(a):
+                    a = a.astype(float)
+                    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+                err = np.abs(luma(dec) - luma(img)).mean()
+                assert err < 9.0, f"noise {img.shape} 4:2:0 luma err {err}"
+                continue
+            err = np.abs(dec.astype(float) - img.astype(float)).mean()
+            tol = {"noise": 9.0, "blocky": 6.0, "smooth": 4.0}[kind] + (6.0 if sub else 0.0)
+            assert err < tol, f"{kind} {img.shape} sub={sub}: err {err}"
