@@ -200,3 +200,77 @@ def test_jpeg_roundtrip_property_random_images():
             err = np.abs(dec.astype(float) - img.astype(float)).mean()
             tol = {"noise": 9.0, "blocky": 6.0, "smooth": 4.0}[kind] + (6.0 if sub else 0.0)
             assert err < tol, f"{kind} {img.shape} sub={sub}: err {err}"
+
+
+def test_restart_markers_fire_and_reset_dc_prediction():
+    """A stream whose DRI actually FIRES (RST0 between two MCUs, DC
+    predictors reset per segment — the layout camera encoders emit)
+    must decode exactly. Built from the module's own block encoder so
+    the test is self-contained."""
+    import struct
+
+    from dataworks_spark.llm import jpeg as J
+
+    img = np.zeros((8, 16, 3), dtype=np.uint8)
+    img[:, :8] = [200, 40, 40]
+    img[:, 8:] = [40, 200, 40]
+    enc = bytearray(encode_baseline_jpeg(img, quality=95))
+    sos = enc.find(b"\xff\xda")
+    enc[sos:sos] = b"\xff\xdd\x00\x04\x00\x01"  # DRI = 1 MCU
+
+    ql = J._scaled_q(J._Q_LUMA, 95)
+    qc = J._scaled_q(J._Q_CHROMA, 95)
+    dc_l = J._huff_encode_map(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac_l = J._huff_encode_map(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    dc_c = J._huff_encode_map(J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    ac_c = J._huff_encode_map(J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    planes = (
+        (1, 0.299 * r + 0.587 * g + 0.114 * b - 128.0, ql, dc_l, ac_l),
+        (2, -0.168736 * r - 0.331264 * g + 0.5 * b, qc, dc_c, ac_c),
+        (3, 0.5 * r - 0.418688 * g - 0.081312 * b, qc, dc_c, ac_c),
+    )
+    segs = []
+    for mx in range(2):
+        bw = J._BitWriter()
+        pred = {1: 0, 2: 0, 3: 0}  # restart = fresh DC predictors
+        for cid, plane, q, dcm, acm in planes:
+            J._encode_block(bw, plane[0:8, mx * 8 : (mx + 1) * 8], q, dcm, acm, pred, cid)
+        bw.flush()
+        segs.append(bytes(bw.out))
+    sos2 = bytes(enc).find(b"\xff\xda")
+    sos_len = (enc[sos2 + 2] << 8) | enc[sos2 + 3]
+    stream = bytes(enc[: sos2 + 2 + sos_len]) + segs[0] + b"\xff\xd0" + segs[1] + b"\xff\xd9"
+    dec = decode_baseline_jpeg(stream)
+    assert dec.shape == (8, 16, 3)
+    assert np.abs(dec.astype(float) - img.astype(float)).max() <= 3
+
+
+def test_16bit_quant_tables_decode_identically():
+    """DQT Pq=1 (16-bit table entries) must decode exactly like the
+    same values stored 8-bit — the precision flag changes encoding,
+    not arithmetic."""
+    import struct
+
+    img = _gradient(24, 24)
+    enc = bytes(encode_baseline_jpeg(img, quality=95))
+    out = bytearray(b"\xff\xd8")
+    i = 2
+    while i < len(enc) - 1:
+        m = enc[i + 1]
+        if m == 0xDA:
+            out += enc[i:]
+            break
+        ln = (enc[i + 2] << 8) | enc[i + 3]
+        seg = enc[i + 4 : i + 2 + ln]
+        if m == 0xDB:
+            tid = seg[0] & 15
+            body = bytes([0x10 | tid]) + b"".join(
+                struct.pack(">H", v) for v in seg[1:65]
+            )
+            out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+        else:
+            out += enc[i : i + 2 + ln]
+        i += 2 + ln
+    assert np.array_equal(decode_baseline_jpeg(bytes(out)), decode_baseline_jpeg(enc))
