@@ -262,13 +262,17 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
-                            root: str | None = None) -> str:
+                            n_jpeg: int = 12, root: str | None = None) -> str:
     """Generate a deterministic directory of REAL decodable media:
     16×16 P6 PPM images (smooth per-index gradients; every 8th image
     is a NEAR-DUPLICATE of its predecessor — one pixel perturbed — so
-    perceptual-hash dedup has planted positives) and 16-bit PCM WAV
+    perceptual-hash dedup has planted positives), 16-bit PCM WAV
     sine files (frequency varies by index; every 8th repeats its
-    predecessor's frequency exactly). Idempotent."""
+    predecessor's frequency exactly), and — since r11 — baseline JPEG
+    re-encodes of the first ``n_jpeg`` PPM images (ids offset by
+    10000; quality 92 via llm/jpeg.py's encoder), planting
+    CROSS-FORMAT perceptual near-dups: jpg 10000+i is lossy-identical
+    to ppm i, so the Hamming kernel must pair them. Idempotent."""
     import math
     import os
     import struct
@@ -278,10 +282,11 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
     base = root or os.path.join(repo_root, ".media_fixtures")
     out = os.path.join(base, f"{name}_decodable")
     done = os.path.join(out, ".complete")
-    if _fixture_ready(out, done, f"{n_images},{n_audio}"):
+    if _fixture_ready(out, done, f"{n_images},{n_audio},{n_jpeg}"):
         return out
     os.makedirs(out, exist_ok=True)
     w = h = 16
+    pixel_arrays: list[bytes] = []
     for i in range(n_images):
         src = i - 1 if (i % 8 == 7) else i  # every 8th ≈ its predecessor
         px = bytearray()
@@ -293,8 +298,18 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
                 px += bytes((r, g, b))
         if i % 8 == 7:  # one-pixel perturbation: near-dup, not exact
             px[0] = (px[0] + 8) % 256
+        pixel_arrays.append(bytes(px))
         with open(os.path.join(out, f"img_{i:05d}.ppm"), "wb") as f:
             f.write(b"P6\n%d %d\n255\n" % (w, h) + bytes(px))
+    if n_jpeg:
+        import numpy as _np
+
+        from dataworks_spark.llm.jpeg import encode_baseline_jpeg
+
+        for i in range(min(n_jpeg, n_images)):
+            arr = _np.frombuffer(pixel_arrays[i], dtype=_np.uint8).reshape(h, w, 3)
+            with open(os.path.join(out, f"jpg_{10000 + i:05d}.jpg"), "wb") as f:
+                f.write(encode_baseline_jpeg(arr, quality=92))
     rate = 8000
     for i in range(n_audio):
         src = i - 1 if (i % 8 == 7) else i

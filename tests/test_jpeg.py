@@ -274,3 +274,34 @@ def test_16bit_quant_tables_decode_identically():
             out += enc[i : i + 2 + ln]
         i += 2 + ln
     assert np.array_equal(decode_baseline_jpeg(bytes(out)), decode_baseline_jpeg(enc))
+
+
+def test_fixture_jpegs_pair_with_their_ppm_sources(spark):
+    """The r11 fixture plants CROSS-FORMAT near-dups: jpg 10000+i is a
+    quality-92 re-encode of ppm i. The shared Hamming kernel must pair
+    each with its source at tiny distance — exercising the JPEG codec
+    inside the exact binaryFile → decode → near-dup pipeline
+    q_multimodal ships."""
+    from dataworks_spark.llm.multimodal import (
+        decode_image_features,
+        image_near_dup_pairs,
+        read_binary_dir,
+        write_decodable_fixture,
+    )
+
+    path = write_decodable_fixture("t_jpeg")
+    ppms = read_binary_dir(spark, path, id_pattern=r"img_(\d+)\.", glob="*.ppm")
+    jpgs = read_binary_dir(spark, path, id_pattern=r"jpg_(\d+)\.", glob="*.jpg")
+    feats = decode_image_features(ppms.unionByName(jpgs))
+    rows = {r.media_id: r for r in feats.collect()}
+    assert sum(1 for r in rows.values() if r.format == "JPEG") == 12
+    # every jpeg decoded with real dims and means near its source ppm
+    for i in range(12):
+        j, p = rows[10000 + i], rows[i]
+        assert (j.width, j.height) == (16, 16)
+        assert abs(j.mean_r - p.mean_r) < 3.0
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in image_near_dup_pairs(feats).collect()}
+    planted = {(i, 10000 + i) for i in range(12)}
+    found = planted & set(pairs)
+    assert len(found) >= 10, f"only {len(found)}/12 cross-format plants paired"
+    assert all(pairs[p] <= 4 for p in found)
