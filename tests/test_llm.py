@@ -2790,3 +2790,33 @@ def test_explicit_sample_equal_to_cap_runs_full_lloyd(spark, monkeypatch):
     monkeypatch.setattr(sim, "IVF_TRAIN_SAMPLE_CAP", 1 << 30)
     lloyd = sim.ivf_build_centroids(df, "embedding", n_centroids=8, sample=128, seed=3)
     assert np.array_equal(explicit, lloyd), "explicit sample took the mini-batch path"
+
+
+def test_numpy_xxh64_primitives_match_spark(spark):
+    """Primitive-level pin for the Arrow kernels' hash reimplementation:
+    numpy XXH64 (int-seed chain + long) must equal Spark's xxhash64 on
+    adversarial longs — extremes, sign boundaries, powers of two, and a
+    seeded random sweep — for every hash-function index the MinHash
+    kernel uses. The doc-level bit-identity tests would catch a break,
+    but this names the failing primitive directly."""
+    import numpy as np
+
+    from dataworks_spark.llm.dedup import _xxh64_int, _xxh64_long
+
+    rng = np.random.default_rng(99)
+    vals = (
+        [0, 1, -1, 2**63 - 1, -(2**63), 2**32, -(2**32), 42, -42]
+        + [int(v) for v in rng.integers(-(2**63), 2**63 - 1, size=64, dtype=np.int64)]
+    )
+    idxs = [0, 1, 7, 31, 63]
+    rows = [(i, v) for i in idxs for v in vals]
+    df = spark.createDataFrame(rows, "i int, h long")
+    got = {
+        (r.i, r.h): r.x
+        for r in df.select("i", "h", F.xxhash64(F.col("i"), F.col("h")).alias("x")).collect()
+    }
+    arr = np.array(vals, dtype=np.int64).view(np.uint64)
+    for i in idxs:
+        mine = _xxh64_long(arr, _xxh64_int(i)).view(np.int64)
+        for v, m in zip(vals, mine):
+            assert int(m) == got[(i, v)], f"xxh64 mismatch at i={i}, h={v}"
