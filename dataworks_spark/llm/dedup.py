@@ -419,6 +419,9 @@ def _minhash_arrow(hashes: Column, n_hashes: int) -> Column:
 
     @pandas_udf("array<long>")
     def _sig(hs: pd.Series) -> pd.Series:
+        from dataworks_spark.functions.blasctl import limit_blas_threads
+
+        limit_blas_threads()
         n = len(hs)
         if n == 0:
             return pd.Series([], dtype=object)
@@ -673,6 +676,9 @@ def _simhash_arrow(hashes: Column) -> Column:
 
     @pandas_udf("long")
     def _fp(hs: pd.Series) -> pd.Series:
+        from dataworks_spark.functions.blasctl import limit_blas_threads
+
+        limit_blas_threads()
         n = len(hs)
         if n == 0:
             return pd.Series([], dtype=object)

@@ -444,6 +444,9 @@ def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
 
     @pandas_udf("int")
     def _assign(batch: pd.Series) -> pd.Series:
+        from dataworks_spark.functions.blasctl import limit_blas_threads
+
+        limit_blas_threads()  # once per worker: task slots ARE the parallelism
         n = len(batch)
         out = np.zeros(n, dtype=np.int32)
         if n == 0:
