@@ -186,7 +186,10 @@ class DatalogDB:
         so two derivations of the same tuple count once. ``with_``
         mirrors Datomic's ``:with``: extra variables folded into the
         distinct-ness check (preserving meaningful duplicates of the
-        find-tuple) but not returned."""
+        find-tuple) but not returned — on BOTH branches: with
+        aggregates it widens the set the aggregate folds over; without
+        aggregates the result is a bag where each find-tuple repeats
+        once per distinct with-binding (r12)."""
         args = args or {}
         rule_map = {r.name: r for r in rules}
         rule_env: dict[str, DataFrame] = {}
@@ -222,15 +225,41 @@ class DatalogDB:
             out = el[2] if len(el) > 2 else f"{fn.replace('-', '_')}_{_vcol(var)}"
             agg_specs.append((fn, var, out))
 
-        if not agg_specs:
-            return bound.select(*[_vcol(v) for v in find]).dropDuplicates()
-
+        # every projected variable — plain find vars, with_ vars, and
+        # aggregated vars alike — must be bound by the :where clauses;
+        # checking here keeps the module's documented error contract
+        # (a friendly ValueError) instead of an opaque AnalysisException
+        # from the select below (r12 ADVICE low).
+        for var in list(group_vars) + list(with_):
+            if _vcol(var) not in bound.columns:
+                raise ValueError(
+                    f"find/with variable {var!r} is not bound by the "
+                    f"query (bound: {sorted(bound.columns)})"
+                )
         for _, var, _ in agg_specs:
             if _vcol(var) not in bound.columns:
                 raise ValueError(
                     f"aggregate over unbound variable {var!r} "
                     f"(bound: {sorted(bound.columns)})"
                 )
+
+        if not agg_specs:
+            if with_:
+                # Datomic's :with without aggregates switches the find
+                # tuple to bag semantics: distinct-ness is judged over
+                # find+with, then the with columns are dropped, so a
+                # find-tuple occurs once PER distinct with-binding
+                # (r12 ADVICE low — previously with_ was silently
+                # ignored on this branch).
+                keep = dict.fromkeys(
+                    [_vcol(v) for v in find] + [_vcol(v) for v in with_]
+                )
+                return (
+                    bound.select(*keep)
+                    .dropDuplicates()
+                    .select(*[_vcol(v) for v in find])
+                )
+            return bound.select(*[_vcol(v) for v in find]).dropDuplicates()
         # distinct FIRST (set semantics over find+with vars), then one
         # map-side-combined groupBy — both shuffles key on the same
         # columns, so at scale this is one exchange + a mostly-local agg

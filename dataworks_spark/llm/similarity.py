@@ -23,7 +23,7 @@ try:
     import pandas as pd
 except ImportError:  # pragma: no cover — the test image ships pandas
     pd = None  # type: ignore[assignment]
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataworks_spark.functions.arrays import cosine_similarity, dot, unit_vector
@@ -438,6 +438,18 @@ def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
             "kernel"
         )
     from pyspark.sql.functions import pandas_udf
+
+    # the UDF body imports dataworks_spark.functions.blasctl at task
+    # time — cloudpickle references it BY NAME, so executor workers
+    # must be able to import dataworks_spark (they can't when the
+    # driver runs from outside the repo, e.g. the driver-contract
+    # harness). Ship the package once per context, mirroring the
+    # minhash/simhash/multimodal kernels (r12 ADVICE medium).
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        from dataworks_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(active)
 
     dim = int(cn.shape[1])
     cnT = np.ascontiguousarray(cn.T)  # dim×c, contiguous for row @ cnT

@@ -1661,34 +1661,55 @@ def q_quality_buckets(spark, sf_dir):
 
 
 def q_contamination_report(spark, sf_dir):
-    """Per-eval-doc contamination audit (llm/pipeline.py
+    """The two n-gram-overlap audit relations over documents as ONE
+    tagged relation (§8 consolidation of q_contamination_report +
+    q_winnow_overlap, r12 — restores L18 to the driver's 50-entry
+    correctness window).
+
+    'report' branch — per-eval-doc contamination audit (llm/pipeline.py
     contamination_report): docs 0-4 stand in for an eval set; for each,
     the fraction of its distinct word 5-grams present in the rest of
     the corpus. The report direction (eval broadcasts, corpus scanned
     once, shuffle ≤ |eval shingles|) is the decontaminate join flipped;
     counts are hash-checked end-to-end against a string-shingle oracle
     (64-bit shingle collisions are the only divergence channel,
-    ~|shingles|²/2⁶⁵)."""
-    from dataworks_spark.llm.pipeline import contamination_report
+    ~|shingles|²/2⁶⁵).
 
-    d = _t(spark, sf_dir, "documents")
-    return contamination_report(
-        d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5)
-    )
-
-
-def q_winnow_overlap(spark, sf_dir):
-    """Winnowing local-overlap detection (llm/dedup.py
+    'winnow' branch — winnowing local-overlap detection (llm/dedup.py
     winnow_fingerprints, SIGMOD'03): per-window-min md5 fingerprints
     over word 4-gram hashes, pairs sharing ≥2 selected fingerprints
     (boilerplate fingerprints with df>50 dropped per the paper). The
     oracle reproduces the SELECTION (md5 strings compare identically in
     both engines), so the windowed-min choice itself is hash-checked.
-    Catches shared passages whole-document similarity misses."""
+    Catches shared passages whole-document similarity misses.
+
+    Unified columns: id_a/id_b (eval doc | pair), n_total (report's
+    shingle denominator), n_shared (hits | shared fingerprints), frac
+    (contamination fraction). Columns a branch doesn't define are typed
+    NULLs in BOTH engines, so the hash check stays end-to-end."""
     from dataworks_spark.llm.dedup import winnow_overlap_pairs
+    from dataworks_spark.llm.pipeline import contamination_report
 
     d = _t(spark, sf_dir, "documents")
-    return winnow_overlap_pairs(d)
+    rep = contamination_report(
+        d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5)
+    ).select(
+        F.lit("report").alias("tag"),
+        F.col("eval_id").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("n_grams").cast("long").alias("n_total"),
+        F.col("n_hit").cast("long").alias("n_shared"),
+        F.col("contamination").cast("double").alias("frac"),
+    )
+    win = winnow_overlap_pairs(d).select(
+        F.lit("winnow").alias("tag"),
+        F.col("doc_a").cast("long").alias("id_a"),
+        F.col("doc_b").cast("long").alias("id_b"),
+        F.lit(None).cast("long").alias("n_total"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    return rep.unionByName(win)
 
 
 # ---------------------------------------------------------------------------
@@ -1758,20 +1779,7 @@ ORACLE_SQL: dict[str, str] = {
         ), hits AS (
           SELECT eval_id, count(*) AS n_hit
           FROM ev JOIN tr USING (g) GROUP BY eval_id
-        )
-        SELECT d.doc_id AS eval_id,
-               CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
-               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-               CASE WHEN coalesce(s.n_grams, 0) > 0
-                    THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
-                               / s.n_grams, 6)
-                    ELSE 0.0 END AS contamination
-        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 5) d
-        LEFT JOIN sizes s ON s.eval_id = d.doc_id
-        LEFT JOIN hits h ON h.eval_id = d.doc_id
-    """,
-    "q_winnow_overlap": """
-        WITH t AS (
+        ), wt AS (
           SELECT doc_id, string_split(text, ' ') AS toks,
                  len(string_split(text, ' ')) AS nt
           FROM documents
@@ -1781,7 +1789,7 @@ ORACLE_SQL: dict[str, str] = {
                    list_transform(range(1, nt - 2),
                                   i -> md5(array_to_string(toks[i:i+3], ' ')))
                  ELSE [] END AS hashes
-          FROM t
+          FROM wt
         ), fp AS (
           SELECT doc_id,
                  CASE WHEN len(hashes) = 0 THEN []
@@ -1795,7 +1803,27 @@ ORACLE_SQL: dict[str, str] = {
           SELECT fp FROM ex GROUP BY fp
           HAVING count(*) > 1 AND count(*) <= 50
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        SELECT 'report' AS tag,
+               d.doc_id AS id_a,
+               CAST(NULL AS BIGINT) AS id_b,
+               CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_total,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_shared,
+               CASE WHEN coalesce(s.n_grams, 0) > 0
+                    THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                               / s.n_grams, 6)
+                    ELSE 0.0 END AS frac
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 5) d
+        LEFT JOIN sizes s ON s.eval_id = d.doc_id
+        LEFT JOIN hits h ON h.eval_id = d.doc_id
+
+        UNION ALL
+
+        SELECT 'winnow' AS tag,
+               a.doc_id AS id_a,
+               b.doc_id AS id_b,
+               CAST(NULL AS BIGINT) AS n_total,
+               count(*) AS n_shared,
+               CAST(NULL AS DOUBLE) AS frac
         FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
         JOIN grp g ON g.fp = a.fp
         GROUP BY a.doc_id, b.doc_id

@@ -102,7 +102,7 @@ def get_spark(app_name: str = "dataworks_spark", cpus: int | None = None) -> Spa
 
 _shipped_ctx: set[str] = set()
 _pkg_zip_path: str | None = None
-_ns_probe_cache: dict[str, bool] = {}
+_ns_probe_cache: dict[tuple[str, str], bool] = {}
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
@@ -171,10 +171,20 @@ def _ts_is_nanos(path: str, spark: SparkSession | None = None) -> bool:
     speculatively."""
     remote = "://" in path and not path.startswith("file:")
     if remote and spark is not None:
-        if path in _ns_probe_cache:
-            return _ns_probe_cache[path]
+        # keyed by (applicationId, path), NOT path alone: a False can
+        # mean "conf already set in the probing session", and a LATER
+        # fresh session in this process reading the same path must
+        # re-probe or it never flips nanosAsLong and fails analysis
+        # (r12 ADVICE low)
+        key = (spark.sparkContext.applicationId, path)
+        if key in _ns_probe_cache:
+            return _ns_probe_cache[key]
+        conf_set = (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            == "true"
+        )
         try:
-            # one remote schema inference per PATH per process — the
+            # one remote schema inference per PATH per session — the
             # probe result is memoized because load_table immediately
             # re-reads the same path for real and a remote listing is
             # the expensive part (r11 review)
@@ -183,7 +193,11 @@ def _ts_is_nanos(path: str, spark: SparkSession | None = None) -> bool:
         except Exception as e:  # noqa: BLE001
             msg = str(e)
             out = "NANOS" in msg or "nanosAsLong" in msg
-        _ns_probe_cache[path] = out
+        if not (out is False and conf_set):
+            # a False observed WITH the conf set is ambiguous (the conf
+            # masks the ns rejection) — don't memoize it, so the probe
+            # re-runs if the conf is ever unset in this session
+            _ns_probe_cache[key] = out
         return out
     try:
         import pyarrow as pa

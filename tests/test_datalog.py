@@ -677,3 +677,54 @@ def test_find_aggregates_errors(db):
             find=[("count", "?nope")],
             where=[("?c", "customer/c_acctbal", "?bal")],
         )
+    # r12 ADVICE low: plain grouping find vars and with_ vars get the
+    # same friendly error, not an opaque AnalysisException
+    with _pytest.raises(ValueError, match="find/with variable '\\?ghost'"):
+        db.q(
+            find=["?ghost", ("count", "?c")],
+            where=[("?c", "customer/c_acctbal", "?bal")],
+        )
+    with _pytest.raises(ValueError, match="find/with variable '\\?ghost'"):
+        db.q(
+            find=[("count", "?c")],
+            where=[("?c", "customer/c_acctbal", "?bal")],
+            with_=["?ghost"],
+        )
+    with _pytest.raises(ValueError, match="find/with variable '\\?ghost'"):
+        db.q(
+            find=["?bal"],
+            where=[("?c", "customer/c_acctbal", "?bal")],
+            with_=["?ghost"],
+        )
+
+
+def test_with_without_aggregates_is_bag_semantics(spark):
+    """Datomic's :with changes NON-aggregated results too: distinct-ness
+    is judged over find+with, the with column is dropped, so a
+    find-tuple repeats once per distinct with-binding (r12 ADVICE low —
+    with_ used to be silently ignored on this branch)."""
+    from pyspark.sql import Row
+
+    from dataworks_spark.docs.datalog import DatalogDB
+
+    d = DatalogDB(spark)
+    ev = spark.createDataFrame(
+        [
+            Row(eid=1, user="u1", amount=10.0),
+            Row(eid=2, user="u1", amount=10.0),  # same (user, amount) pair
+            Row(eid=3, user="u2", amount=5.0),
+        ]
+    )
+    d.register("ev", ev, "eid")
+    where = [("?e", "ev/user", "?u"), ("?e", "ev/amount", "?amt")]
+    # set semantics: (u1, 10.0) once
+    plain = sorted((r.u, r.amt) for r in d.q(["?u", "?amt"], where).collect())
+    assert plain == [("u1", 10.0), ("u2", 5.0)]
+    # :with ?e: one row per distinct event
+    bag = sorted(
+        (r.u, r.amt) for r in d.q(["?u", "?amt"], where, with_=["?e"]).collect()
+    )
+    assert bag == [("u1", 10.0), ("u1", 10.0), ("u2", 5.0)]
+    # the with column itself is not returned
+    cols = d.q(["?u", "?amt"], where, with_=["?e"]).columns
+    assert sorted(cols) == ["amt", "u"]

@@ -2141,6 +2141,29 @@ def test_ivf_assign_arrow_equals_literal_kernel(spark):
     assert all(r.lit_c == r.arrow_c for r in fboth)
 
 
+def test_ivf_assign_arrow_ships_package(spark, monkeypatch):
+    """r12 (ADVICE medium): the Arrow IVF kernel's task body imports
+    dataworks_spark.functions.blasctl by name, so building the kernel
+    must ship the package (ensure_package_shipped) exactly like the
+    minhash/simhash/multimodal kernels — otherwise an off-repo driver
+    (the driver-contract harness shape) dies with ModuleNotFoundError
+    at task time. Asserted at kernel-build time, no job needed."""
+    import numpy as np
+
+    import dataworks_spark.session as S
+    from dataworks_spark.llm.similarity import ivf_assign
+
+    calls = []
+    monkeypatch.setattr(S, "ensure_package_shipped", lambda sp: calls.append(sp))
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    df.select(
+        ivf_assign(F.col("embedding"), np.eye(2), max_literal=0).alias("c")
+    )
+    assert calls, "arrow IVF kernel built without shipping the package"
+
+
 def test_ivf_assign_large_c_invariance_and_planted_recall(spark):
     """r10 (VERDICT #6): the large-c Arrow path — not just the literal
     kernel — carries the rows-only anchors. c=300 crosses the default

@@ -114,8 +114,18 @@ def test_classifier_broadcasts_weights_single_exchange(spark):
 def test_winnow_selection_is_shuffle_free_projection(spark):
     """Fingerprint selection must happen BEFORE any exchange (a
     row-local HOF projection over the scan); the pair kernel then pays
-    its two linear exchanges (by fingerprint, by pair)."""
-    plan = _plan(spark, "q_winnow_overlap")
+    its two linear exchanges (by fingerprint, by pair). Asserted on the
+    winnow branch directly — in the registry it ships as the 'winnow'
+    arm of the merged q_contamination_report (r12 §8 consolidation)."""
+    from dataworks_spark.llm.dedup import winnow_overlap_pairs
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = (
+        winnow_overlap_pairs(d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     body = plan.split("AdaptiveSparkPlan")[-1]
     n_exchange = body.count("Exchange") - body.count("BroadcastExchange") - body.count("ReusedExchange")
     assert n_exchange == 2, f"expected 2 shuffle exchanges, plan:\n{plan}"
