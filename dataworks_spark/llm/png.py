@@ -1,0 +1,382 @@
+"""Pure-numpy + stdlib-zlib PNG codec (SURVEY §2 L5 — the last
+ubiquitous image format behind the compressed-codec gate, r11 VERDICT
+item 2).
+
+The build image carries no PIL/libpng, but PNG needs no entropy coder
+of its own: the stream is zlib-deflate (Python stdlib) wrapped in CRC'd
+chunks, plus five per-scanline byte filters (RFC 2083 §6 / the W3C PNG
+specification). Everything is implementable faithfully from the public
+spec, so `decode_image_features` can serve real PNG corpora without
+native codec libraries:
+
+* :func:`decode_png` — signature + chunk walk (CRC-verified), IHDR /
+  PLTE / tRNS / IDAT / IEND; zlib inflate; per-scanline unfilter
+  (None/Sub/Up/Average/Paeth — Sub via a wrap-exact cumulative-sum
+  lane trick, Up fully vectorized, Average/Paeth as a per-pixel-column
+  loop with the bpp lanes vectorized); sub-byte bit depths (1/2/4)
+  unpacked per row with np.unpackbits; 16-bit reduced to 8 by taking
+  the high byte (the spec's sample-depth rescale truncated to the
+  feature pipeline's uint8 world); palette expansion with optional
+  tRNS alpha; both interlace methods (null + Adam7). Returns
+  ``(h, w, c)`` uint8 with c ∈ {1, 2, 3, 4} (gray, gray+alpha, RGB,
+  RGBA). Malformed streams raise ``ValueError`` — the caller treats
+  that exactly like any other undecodable payload.
+* :func:`encode_png` — the matching encoder (8-bit gray/RGB/RGBA,
+  per-row filter choice none/sub/up/average/paeth or the libpng-style
+  minimum-sum-of-absolute-differences heuristic, optional Adam7
+  interlacing), used by the media fixtures and the round-trip tests.
+  Decoder correctness is NOT argued from the round-trip alone: the
+  suite also decodes foreign-encoder fixtures (the canonical 1×1
+  transparent PNG every browser/CDN ships, byte-for-byte from the
+  public web) and cross-checks filter/interlace variants against the
+  straight-copy encoding of the same pixels.
+
+Scale shape: identical to llm/jpeg.py — a PER-ROW kernel executed
+inside Arrow batches (`multimodal.decode_image_features`); payload
+bytes stay inside the executor batch, only feature rows leave. The
+deflate half runs at C speed (stdlib zlib); unfiltering is
+interpreter-bound only on Average/Paeth rows (a width-length Python
+loop), so throughput sits in the same 1-10 MB/s-per-core band as the
+JPEG codec and parallelizes linearly with cores. A production
+deployment with libpng available should prefer a PIL kernel — the
+module boundary makes that a one-function swap.
+
+Reference parity note: the Clojure reference has no image codecs at
+all (its pipeline stops at opaque blobs) — this module serves the
+mandated multimodal-column extension surface, not a ported feature.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: channels per color type (RFC 2083 §4.1.1)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: allowed bit depths per color type
+_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+#: Adam7 pass layout: (x-offset, y-offset, x-stride, y-stride)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG byte stream to ``(h, w, c)`` uint8.
+
+    c follows the color type after palette expansion: 1 (gray),
+    2 (gray+alpha), 3 (RGB), 4 (RGBA). 16-bit samples reduce to their
+    high byte. Raises ``ValueError`` on anything that is not a
+    well-formed PNG within the spec'd (depth, color-type) grid."""
+    data = bytes(payload)
+    if not data.startswith(_SIGNATURE):
+        raise ValueError("not a PNG stream (bad signature)")
+
+    ihdr = None
+    plte: np.ndarray | None = None
+    trns: bytes | None = None
+    idat_parts: list[bytes] = []
+    pos = len(_SIGNATURE)
+    seen_iend = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = body
+        elif ctype == b"IDAT":
+            idat_parts.append(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, gAMA, pHYs, …) are skipped
+
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if not seen_iend:
+        raise ValueError("missing IEND")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension image")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
+    if ctype_n not in _CHANNELS or depth not in _DEPTHS[ctype_n]:
+        raise ValueError(f"illegal depth/color-type ({depth}, {ctype_n})")
+    if ctype_n == 3 and plte is None:
+        raise ValueError("palette image without PLTE")
+    if not idat_parts:
+        raise ValueError("no IDAT data")
+
+    try:
+        raw = zlib.decompress(b"".join(idat_parts))
+    except zlib.error as exc:
+        raise ValueError(f"bad zlib stream: {exc}") from exc
+
+    nch = _CHANNELS[ctype_n]
+    #: palette samples are INDICES — never rescaled (RFC 2083 §4.1.1);
+    #: sub-byte grayscale samples stretch to the full 8-bit range
+    scale = ctype_n != 3
+    if interlace == 0:
+        img = _decode_pass(raw, 0, len(raw), w, h, depth, nch, scale)
+    else:
+        img = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            row_bytes = (pw * depth * nch + 7) // 8
+            span = ph * (1 + row_bytes)
+            sub = _decode_pass(raw, off, span, pw, ph, depth, nch, scale)
+            img[y0::dy, x0::dx] = sub
+            off += span
+        # trailing bytes after the last pass are an error the same way
+        # a short stream is — both mean the deflate payload and the
+        # IHDR geometry disagree
+        if off != len(raw):
+            raise ValueError("IDAT size disagrees with Adam7 geometry")
+
+    # palette expansion (+ tRNS alpha) / gray-tRNS handled after
+    # geometry so interlacing works on index samples, per the spec
+    if ctype_n == 3:
+        assert plte is not None
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    return img
+
+
+def _decode_pass(raw: bytes, off: int, span: int, w: int, h: int,
+                 depth: int, nch: int, scale: bool = True) -> np.ndarray:
+    """Unfilter + unpack one (sub-)image: ``span`` bytes of filtered
+    scanlines starting at ``off``. Returns (h, w, nch) uint8."""
+    row_bytes = (w * depth * nch + 7) // 8
+    if span != h * (1 + row_bytes) or off + span > len(raw):
+        raise ValueError("IDAT too short for image geometry")
+    #: filtering works on BYTES with the pixel stride floored at 1
+    bpp = max(1, (depth * nch) // 8)
+    flt = np.frombuffer(raw, dtype=np.uint8, count=span, offset=off)
+    flt = flt.reshape(h, 1 + row_bytes)
+    ftypes = flt[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"unknown filter type {int(ftypes.max())}")
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int32)
+    for y in range(h):
+        out[y] = _unfilter_row(int(ftypes[y]), flt[y, 1:], prev, bpp)
+        prev = out[y].astype(np.int32)
+
+    if depth == 8:
+        a = out.reshape(h, row_bytes)[:, : w * nch]
+    elif depth == 16:
+        # high byte = the spec's 16→8 rescale truncated (v >> 8)
+        a = out.reshape(h, row_bytes)[:, : w * nch * 2 : 2]
+    else:
+        # 1/2/4-bit: unpack each row MSB-first, regroup to samples
+        bits = np.unpackbits(out, axis=1)[:, : w * nch * depth]
+        bits = bits.reshape(h, w * nch, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (bits * weights).sum(axis=2).astype(np.uint8)
+        if scale:
+            # full 8-bit range (255/(2^d -1) is integral for 1/2/4)
+            samples = samples * np.uint8(255 // ((1 << depth) - 1))
+        a = samples
+    return a.reshape(h, w, nch)
+
+
+def _unfilter_row(ftype: int, raw: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """Reverse one scanline filter (RFC 2083 §6). ``raw`` is the
+    filtered row (uint8), ``prev`` the reconstructed prior row
+    (int32). All arithmetic is mod 256, per the spec."""
+    n = raw.shape[0]
+    if ftype == 0:  # None
+        return raw.copy()
+    if ftype == 2:  # Up
+        return ((raw.astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+    if ftype == 1:  # Sub: out[i] = raw[i] + out[i-bpp]
+        # pure prefix recurrence per byte lane → cumsum mod 256 is
+        # exact (addition mod 256 is associative), fully vectorized
+        out = np.empty(n, dtype=np.uint8)
+        for lane in range(min(bpp, n)):
+            out[lane::bpp] = (
+                np.cumsum(raw[lane::bpp], dtype=np.int64) & 0xFF
+            ).astype(np.uint8)
+        return out
+    out = np.zeros(n, dtype=np.int32)
+    raw32 = raw.astype(np.int32)
+    if ftype == 3:  # Average
+        for i in range(0, n, bpp):
+            j = min(i + bpp, n)
+            left = out[i - bpp : j - bpp] if i else np.zeros(j - i, np.int32)
+            out[i:j] = (raw32[i:j] + ((left + prev[i:j]) >> 1)) & 0xFF
+        return out.astype(np.uint8)
+    # ftype == 4: Paeth — predictor over (left, up, up-left), lanes
+    # vectorized per pixel column
+    zeros = np.zeros(bpp, dtype=np.int32)
+    for i in range(0, n, bpp):
+        j = min(i + bpp, n)
+        a = out[i - bpp : j - bpp] if i else zeros[: j - i]
+        b = prev[i:j]
+        c = prev[i - bpp : j - bpp] if i else zeros[: j - i]
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        out[i:j] = (raw32[i:j] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray,
+                bpp: int) -> np.ndarray:
+    """Apply one scanline filter (the encoder direction is pure
+    vector math for every type — only DEcoding Sub/Avg/Paeth is
+    sequential)."""
+    r = row.astype(np.int32)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prev.astype(np.int32)
+    upleft = np.zeros_like(r)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        f = r
+    elif ftype == 1:
+        f = r - left
+    elif ftype == 2:
+        f = r - up
+    elif ftype == 3:
+        f = r - ((left + up) >> 1)
+    else:
+        f = r - _paeth_predict(left, up, upleft)
+    return (f & 0xFF).astype(np.uint8)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    arr: np.ndarray,
+    *,
+    filter_type: int | str = "adaptive",
+    interlace: bool = False,
+    level: int = 6,
+) -> bytes:
+    """Encode ``(h, w)`` or ``(h, w, c)`` uint8 (c ∈ {1, 2, 3, 4}) as
+    an 8-bit PNG. ``filter_type`` is 0-4 for a fixed per-row filter or
+    ``"adaptive"`` for the libpng minimum-sum-of-absolute-differences
+    heuristic; ``interlace`` writes Adam7. Deterministic for a given
+    input (fixture requirement — no timestamps, no ancillary chunks)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected (h, w[, c]) with c in 1..4")
+    h, w, nch = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension image")
+    ctype_n = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    bpp = nch  # 8-bit samples
+
+    def filtered(img: np.ndarray) -> bytes:
+        ph, pw = img.shape[:2]
+        flat = img.reshape(ph, pw * nch)
+        prev = np.zeros(pw * nch, dtype=np.uint8)
+        rows = []
+        for y in range(ph):
+            row = flat[y]
+            if filter_type == "adaptive":
+                # libpng heuristic: minimize Σ|signed byte| per row
+                cands = [(ft, _filter_row(ft, row, prev, bpp)) for ft in range(5)]
+                best_f, best = min(
+                    cands,
+                    key=lambda t: int(
+                        np.abs(t[1].astype(np.int8).astype(np.int32)).sum()
+                    ),
+                )
+                rows.append(bytes([best_f]) + best.tobytes())
+            else:
+                ft = int(filter_type)
+                if not 0 <= ft <= 4:
+                    raise ValueError(f"filter_type {ft} out of range")
+                rows.append(
+                    bytes([ft]) + _filter_row(ft, row, prev, bpp).tobytes()
+                )
+            prev = row
+        return b"".join(rows)
+
+    if interlace:
+        payload = b"".join(
+            filtered(a[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].shape[0] and a[y0::dy, x0::dx].shape[1]
+        )
+    else:
+        payload = filtered(a)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 1 if interlace else 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(payload, level))
+        + _chunk(b"IEND", b"")
+    )

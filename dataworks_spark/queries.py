@@ -1528,12 +1528,14 @@ def _multimodal_decode_branch(spark, sf_dir):
     )
 
     path = write_decodable_fixture(os.path.basename(sf_dir.rstrip("/")))
-    # one decode pass over BOTH image formats: netpbm + baseline JPEG
-    # (r11 — the codec is now part of the driver-gated surface; jpg ids
-    # are offset by 10000 in the fixture so they never collide)
+    # one decode pass over ALL THREE image formats: netpbm + baseline
+    # JPEG (r11) + PNG (r12 — filter/interlace variants, so the driver
+    # gate exercises every unfilter path); jpg/png ids are offset by
+    # 10000/20000 in the fixture so they never collide
     ppms = read_binary_dir(spark, path, id_pattern=r"img_(\d+)\.", glob="*.ppm")
     jpgs = read_binary_dir(spark, path, id_pattern=r"jpg_(\d+)\.", glob="*.jpg")
-    imgs = ppms.unionByName(jpgs)
+    pngs = read_binary_dir(spark, path, id_pattern=r"png_(\d+)\.", glob="*.png")
+    imgs = ppms.unionByName(jpgs).unionByName(pngs)
     auds = read_binary_dir(spark, path, id_pattern=r"aud_(\d+)\.", glob="*.wav")
     nulls = {
         "sample_rate": F.lit(None).cast("int"),
