@@ -128,6 +128,18 @@ def lsh_cosine_topk(
 #: :func:`ivf_train` auto-routes to the distributed full-table refiner.
 IVF_TRAIN_SAMPLE_CAP = 262_144
 
+#: Above this cluster count the INIT's own distance work leaves the
+#: driver too (r11 VERDICT #4): the mini-batch pass is O(sample·c·dim)
+#: driver FLOPs — bounded in ROWS by the cap but linear in c, and
+#: SemDeDup's c = n/128 sizing grows c with the corpus (measured 421 s
+#: at c=10⁴; ×10 per decade). Past this threshold the init runs
+#: sample-Lloyd with EXECUTOR-side assignment: the capped sample
+#: becomes a tiny DataFrame job per iteration through the same Arrow
+#: kernel ivf_assign uses, and the driver only averages (O(sample·dim),
+#: c-independent). 16384 keeps every previously-measured point
+#: (c ≤ 10⁴) on the bit-pinned mini-batch path.
+IVF_INIT_DRIVER_MAX_C = 16_384
+
 
 def _train_sample_size(n_centroids: int, sample: int | None) -> int:
     """Resolve the driver training-sample size: explicit values are
@@ -193,6 +205,12 @@ def ivf_build_centroids(
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     if capped:
+        if n_centroids > IVF_INIT_DRIVER_MAX_C:
+            # the init's distance work itself must leave the driver —
+            # see IVF_INIT_DRIVER_MAX_C (r11 VERDICT #4)
+            return _sample_lloyd_distributed(
+                df.sparkSession, x, cents, epochs=2
+            )
         return _minibatch_kmeans(x, cents, epochs=2, seed=seed)
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)  # rows never change
     for _ in range(iterations):
@@ -245,6 +263,57 @@ def _minibatch_kmeans(
             new_n = counts[uniq] + k
             cents[uniq] += (sums - k[:, None] * cents[uniq]) / new_n[:, None]
             counts[uniq] = new_n
+    return cents
+
+
+def _sample_lloyd_distributed(
+    spark, x: np.ndarray, cents: np.ndarray, epochs: int = 2,
+) -> np.ndarray:
+    """Lloyd iterations over the (already capped) driver sample with
+    the ASSIGNMENT step run executor-side (r11 VERDICT #4): the sample
+    becomes a small cached DataFrame; each epoch is one job through the
+    same Arrow matmul kernel :func:`ivf_assign` uses everywhere else
+    (per-worker BLAS pinned, package shipped), and the driver's own
+    work per epoch is the raw-mean update — O(sample·dim), independent
+    of c. The mini-batch form this replaces above
+    :data:`IVF_INIT_DRIVER_MAX_C` was O(sample·c·dim) DRIVER flops:
+    bounded in rows, linear in c, and SemDeDup grows c with the corpus.
+
+    Cost shape at c = 10⁵, dim 64: the centroid matrix ships in the
+    task closure (c×dim ≈ 51 MB — once per executor per epoch), the
+    collected assignment is sample int32s (~1 MB), and the matmul
+    flops run on all cores instead of one BLAS context under the
+    driver's GIL-adjacent loop. Deterministic: same cosine argmax,
+    same raw-mean update as the uncapped Lloyd path; row↔assignment
+    correspondence via an explicit index column, so the result is
+    independent of partitioning."""
+    if pd is None:  # pragma: no cover — the test image ships pandas
+        # without Arrow transfer there is no executor kernel to route
+        # to; the driver mini-batch pass is the only option
+        return _minibatch_kmeans(x, cents, epochs=epochs)
+    n = len(x)
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "v": list(x)})
+    sdf = (
+        spark.createDataFrame(pdf)
+        .repartition(max(2, spark.sparkContext.defaultParallelism))
+        .localCheckpoint()
+    )
+    cents = cents.astype(np.float64, copy=True)
+    try:
+        for _ in range(epochs):
+            got = sdf.select(
+                "idx", ivf_assign(F.col("v"), cents, max_literal=0).alias("c")
+            ).collect()
+            assign = np.zeros(n, dtype=np.int64)
+            for r in got:
+                assign[r["idx"]] = r["c"]
+            order = np.argsort(assign, kind="stable")
+            uniq, starts = np.unique(assign[order], return_index=True)
+            bounds = np.append(starts[1:], len(order))
+            for c, s, e in zip(uniq, starts, bounds):
+                cents[c] = x[order[s:e]].mean(axis=0)
+    finally:
+        sdf.unpersist()
     return cents
 
 
@@ -471,8 +540,20 @@ def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
                 (batch[ok] if not ok.all() else batch).tolist(), dtype=np.float64
             )
             # a None element inside a vector becomes NaN → every score
-            # in that row is NaN → argmax returns index 0 (sentinel)
-            out[ok] = np.argmax(mat @ cnT, axis=1).astype(np.int32)
+            # in that row is NaN → argmax returns index 0 (sentinel).
+            # The matmul runs in ROW CHUNKS sized so the m×c score
+            # intermediate stays ≤ ~64 MB: an unchunked Arrow batch
+            # (10k rows) at c=32k would materialize a 2.6 GB float64
+            # score matrix PER WORKER — 32 concurrent workers then
+            # thrash allocation/bandwidth instead of computing
+            # (measured 252 s → ~8 s for the same job, r12)
+            step = max(1, (64 << 20) // (8 * cnT.shape[1]))
+            res = np.empty(len(mat), dtype=np.int32)
+            for s in range(0, len(mat), step):
+                res[s : s + step] = np.argmax(
+                    mat[s : s + step] @ cnT, axis=1
+                ).astype(np.int32)
+            out[ok] = res
         return pd.Series(out)
 
     return _assign(vec)

@@ -2651,6 +2651,75 @@ def test_ivf_train_routes_large_c_to_distributed(spark, monkeypatch):
     assert "dist" not in calls
 
 
+def test_init_assignment_leaves_driver_above_threshold(spark, monkeypatch):
+    """r11 VERDICT #4: the mini-batch init's distance work is
+    O(sample·c·dim) DRIVER flops — bounded in rows, linear in c. Above
+    IVF_INIT_DRIVER_MAX_C the capped init must route to the
+    sample-Lloyd form whose assignment runs executor-side; at or below
+    the threshold the bit-pinned mini-batch path is untouched."""
+    import numpy as np
+
+    from dataworks_spark.llm import similarity as sim
+
+    rows = [(i, [float(i % 11), float(i % 5), 1.0]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    calls = {}
+    real_mb, real_dl = sim._minibatch_kmeans, sim._sample_lloyd_distributed
+
+    def spy_mb(*a, **k):
+        calls.setdefault("mb", 0)
+        calls["mb"] += 1
+        return real_mb(*a, **k)
+
+    def spy_dl(*a, **k):
+        calls.setdefault("dl", 0)
+        calls["dl"] += 1
+        return real_dl(*a, **k)
+
+    monkeypatch.setattr(sim, "_minibatch_kmeans", spy_mb)
+    monkeypatch.setattr(sim, "_sample_lloyd_distributed", spy_dl)
+    monkeypatch.setattr(sim, "IVF_TRAIN_SAMPLE_CAP", 128)  # capped for c ≥ 5
+    monkeypatch.setattr(sim, "IVF_INIT_DRIVER_MAX_C", 8)
+
+    # capped AND above the driver ceiling → executor-assignment init
+    out = sim.ivf_build_centroids(df, "embedding", n_centroids=12, seed=3)
+    assert calls == {"dl": 1} and out.shape == (12, 3)
+    assert np.isfinite(out).all()
+
+    # capped but at/below the ceiling → the pinned mini-batch path
+    calls.clear()
+    out2 = sim.ivf_build_centroids(df, "embedding", n_centroids=8, seed=3)
+    assert calls == {"mb": 1} and out2.shape == (8, 3)
+
+
+def test_sample_lloyd_distributed_matches_driver_lloyd(spark):
+    """The executor-assignment init must compute the SAME function as a
+    driver Lloyd pass over the sample (cosine argmax + raw-mean update
+    from the same seed centroids) — the distribution is an execution
+    detail, not a semantics change. Well-separated planted groups keep
+    the argmax away from float ties."""
+    import numpy as np
+
+    from dataworks_spark.llm import similarity as sim
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(6, 8)) * 10.0
+    x = np.vstack([base[i % 6] + rng.normal(scale=0.05, size=8) for i in range(240)])
+    cents0 = x[rng.choice(len(x), size=6, replace=False)]
+
+    got = sim._sample_lloyd_distributed(spark, x, cents0.copy(), epochs=2)
+
+    exp = cents0.astype(np.float64, copy=True)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for _ in range(2):
+        cn = exp / np.linalg.norm(exp, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in np.unique(assign):
+            exp[c] = x[assign == c].mean(axis=0)
+    assert np.allclose(got, exp, atol=1e-9), "distributed init diverged from Lloyd"
+
+
 def test_minibatch_init_plus_distributed_refine_recovers_structure(spark, monkeypatch):
     """Quality anchor for the capped regime end-to-end: with the cap
     shrunk below 32·c, ivf_train = mini-batch init + distributed Lloyd

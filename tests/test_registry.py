@@ -154,6 +154,62 @@ def test_alert_failed_handler_unclaimed_and_retried(spark):
     assert sched.tick() == 0  # nothing left
 
 
+def test_alert_backlog_claims_in_bounded_batches(spark):
+    """r11 VERDICT #5: a burst backlog (10⁵ alerts all due at once —
+    the after-downtime shape) must NOT collect in one driver round.
+    With the claim budget set, each tick claims/fires at most
+    claim_limit alerts and the next poll continues the drain."""
+    t0 = dt.datetime(2024, 1, 1)
+    t_due = dt.datetime(2024, 1, 2)
+    n = 100_000
+    df = spark.range(n).select(
+        F.concat(F.lit("alert/"), F.col("id")).alias("id"),
+        F.lit("alert").alias("doc_type"),
+        F.lit("notify").alias("handler"),
+        F.col("id").cast("string").alias("params"),
+        F.lit(False).alias("claimed"),
+        F.lit(t0).alias("ts"),
+    )
+    store = DocumentStore(version_log(df, "id", "ts"), now_fn=lambda: t_due)
+    trans = TransactorRegistry()
+    fired = []
+    trans.register("notify", lambda p: fired.append(p))
+
+    sched = AlertScheduler(store, trans, now_fn=lambda: t_due, claim_limit=1024)
+    assert sched.tick() == 1024  # exactly one budget's worth
+    assert sched.tick() == 1024  # the drain continues where it left off
+    time.sleep(0.3)
+    assert len(set(fired)) == 2048  # no alert fired twice
+    remaining = sched.due_alerts().count()
+    assert remaining == n - 2048
+
+
+def test_alert_small_backlog_drains_fully_across_ticks(spark):
+    """Drain-to-zero property of the bounded claim: 50 alerts at
+    claim_limit=20 finish in ⌈50/20⌉ ticks and a further tick is a
+    no-op."""
+    t0 = dt.datetime(2024, 1, 1)
+    t_due = dt.datetime(2024, 1, 2)
+    rows = [
+        (f"alert/{i}", "alert", "notify", f"p-{i}", False, t0) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, doc_type string, handler string, params string, "
+        "claimed boolean, ts timestamp",
+    )
+    store = DocumentStore(version_log(df, "id", "ts"), now_fn=lambda: t_due)
+    trans = TransactorRegistry()
+    fired = []
+    trans.register("notify", lambda p: fired.append(p))
+
+    sched = AlertScheduler(store, trans, now_fn=lambda: t_due, claim_limit=20)
+    counts = [sched.tick(), sched.tick(), sched.tick(), sched.tick()]
+    assert counts == [20, 20, 10, 0]
+    time.sleep(0.2)
+    assert sorted(fired) == sorted(f"p-{i}" for i in range(50))
+
+
 def test_quality_model_as_stored_function(spark):
     """Cross-layer composition: the L17 classifier registered as a K1
     column transformer — scoreable by name from the stored-function
