@@ -28,9 +28,32 @@ can serve real JPEG corpora without native codec libraries:
 Scale shape: this is a PER-ROW kernel executed inside Arrow batches
 (`multimodal.decode_image_features`) — payload bytes stay inside the
 executor batch; only feature rows leave. Throughput is interpreter-
-bound (~1-3 MB/s per core) which suits test/CI and modest corpora;
-a production deployment with libjpeg available should prefer a PIL
-kernel — the module boundary makes that a one-function swap.
+bound: MEASURED r12 on a 512×384 quality-85 4:2:0 photo-like payload,
+single core: **0.18 MB/s of compressed bytes ≈ 0.7 Mpx/s ≈ 2.1 MB/s
+of decoded pixel data** (the Huffman bit loop dominates). That suits
+test/CI and modest corpora and parallelizes linearly with cores; a
+production deployment with libjpeg available should prefer a PIL
+kernel.
+
+PIL swap recipe (verbatim): in ``multimodal.decode_image_features``
+and ``multimodal.resize_images``, replace the body of the FFD8 branch
+
+    a = decode_baseline_jpeg(bytes(payload))
+
+with
+
+    import io
+    from PIL import Image
+
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        a = _np.asarray(im.convert("RGB"))
+
+and widen the surrounding ``except ValueError`` to
+``except Exception`` (PIL raises ``UnidentifiedImageError``/``OSError``
+where this module raises ``ValueError``). Nothing else changes: both
+produce (h, w, 3) uint8, and every downstream feature/resize line is
+shape-generic. PIL also decodes progressive JPEG, so the strict-mode
+gate narrows to MP3 alone.
 """
 
 from __future__ import annotations

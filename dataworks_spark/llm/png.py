@@ -12,8 +12,8 @@ native codec libraries:
 * :func:`decode_png` — signature + chunk walk (CRC-verified), IHDR /
   PLTE / tRNS / IDAT / IEND; zlib inflate; per-scanline unfilter
   (None/Sub/Up/Average/Paeth — Sub via a wrap-exact cumulative-sum
-  lane trick, Up fully vectorized, Average/Paeth as a per-pixel-column
-  loop with the bpp lanes vectorized); sub-byte bit depths (1/2/4)
+  lane trick, Up fully vectorized, Average/Paeth as pure-python int
+  loops, which beat numpy at this granularity); sub-byte depths (1/2/4)
   unpacked per row with np.unpackbits; 16-bit reduced to 8 by taking
   the high byte (the spec's sample-depth rescale truncated to the
   feature pipeline's uint8 world); palette expansion with optional
@@ -35,11 +35,14 @@ Scale shape: identical to llm/jpeg.py — a PER-ROW kernel executed
 inside Arrow batches (`multimodal.decode_image_features`); payload
 bytes stay inside the executor batch, only feature rows leave. The
 deflate half runs at C speed (stdlib zlib); unfiltering is
-interpreter-bound only on Average/Paeth rows (a width-length Python
-loop), so throughput sits in the same 1-10 MB/s-per-core band as the
-JPEG codec and parallelizes linearly with cores. A production
-deployment with libpng available should prefer a PIL kernel — the
-module boundary makes that a one-function swap.
+interpreter-bound only on Average/Paeth rows (a pure-python int loop —
+measured 12× faster than per-column numpy slicing at this
+granularity). MEASURED r12 on a 512×384 adaptive-filtered photo-like
+payload, single core: **4.1 MB/s of compressed bytes ≈ 2.0 Mpx/s ≈
+6.1 MB/s of decoded pixel data**; parallelizes linearly with cores. A
+production deployment with libpng available should prefer a PIL
+kernel — the same one-function swap documented in llm/jpeg.py (PIL's
+``Image.open`` handles PNG through the identical branch shape).
 
 Reference parity note: the Clojure reference has no image codecs at
 all (its pipeline stops at opaque blobs) — this module serves the
@@ -248,27 +251,31 @@ def _unfilter_row(ftype: int, raw: np.ndarray, prev: np.ndarray,
                 np.cumsum(raw[lane::bpp], dtype=np.int64) & 0xFF
             ).astype(np.uint8)
         return out
-    out = np.zeros(n, dtype=np.int32)
-    raw32 = raw.astype(np.int32)
+    # Average/Paeth carry a left-dependency, so they are sequential in
+    # x. Pure-python int loops over plain lists beat per-column numpy
+    # slicing ~12× here: the per-element work is 3-8 integer ops, far
+    # below numpy's per-call overhead on bpp-length arrays (measured
+    # 169 → 2042 rows/s on 512-px RGB Paeth rows, r12).
+    rawl = raw.tolist()
+    prevl = prev.tolist()
+    out = [0] * n
     if ftype == 3:  # Average
-        for i in range(0, n, bpp):
-            j = min(i + bpp, n)
-            left = out[i - bpp : j - bpp] if i else np.zeros(j - i, np.int32)
-            out[i:j] = (raw32[i:j] + ((left + prev[i:j]) >> 1)) & 0xFF
-        return out.astype(np.uint8)
-    # ftype == 4: Paeth — predictor over (left, up, up-left), lanes
-    # vectorized per pixel column
-    zeros = np.zeros(bpp, dtype=np.int32)
-    for i in range(0, n, bpp):
-        j = min(i + bpp, n)
-        a = out[i - bpp : j - bpp] if i else zeros[: j - i]
-        b = prev[i:j]
-        c = prev[i - bpp : j - bpp] if i else zeros[: j - i]
+        for i in range(n):
+            left = out[i - bpp] if i >= bpp else 0
+            out[i] = (rawl[i] + ((left + prevl[i]) >> 1)) & 0xFF
+        return np.array(out, dtype=np.uint8)
+    # ftype == 4: Paeth — predictor over (left, up, up-left)
+    for i in range(n):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prevl[i]
+        c = prevl[i - bpp] if i >= bpp else 0
         p = a + b - c
-        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-        out[i:j] = (raw32[i:j] + pred) & 0xFF
-    return out.astype(np.uint8)
+        pa = p - a if p >= a else a - p
+        pb = p - b if p >= b else b - p
+        pc = p - c if p >= c else c - p
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (rawl[i] + pred) & 0xFF
+    return np.array(out, dtype=np.uint8)
 
 
 # ---------------------------------------------------------------------------
