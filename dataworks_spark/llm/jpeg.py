@@ -220,6 +220,39 @@ class _BitReader:
         raise ValueError("invalid Huffman code in JPEG stream")
 
 
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Dispatch an FFD8 payload to the right decoder by its SOF marker:
+    SOF0/SOF1 → the baseline decoder here; SOF2 → the progressive
+    decoder (llm/jpeg_progressive.py, r12). Anything else (arithmetic,
+    lossless, hierarchical, 12-bit) raises ``ValueError`` like every
+    other undecodable payload."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i, n = 2, len(payload)
+    while i < n - 1:
+        if payload[i] != 0xFF:
+            raise ValueError(f"marker expected at offset {i}")
+        marker = payload[i + 1]
+        if marker in (0xC0, 0xC1):
+            return decode_baseline_jpeg(payload)
+        if marker == 0xC2:
+            from dataworks_spark.llm.jpeg_progressive import decode_progressive_jpeg
+
+            return decode_progressive_jpeg(payload)
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode SOF{marker - 0xC0} "
+                "(baseline SOF0/SOF1 and progressive SOF2 only)"
+            )
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9 or i + 4 > n:
+            break
+        i += 2 + ((payload[i + 2] << 8) | payload[i + 3])
+    raise ValueError("no SOF marker in JPEG stream")
+
+
 def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) JPEG to an ``(H, W, C)`` uint8 array
     (C = 1 grayscale / 3 RGB). Raises ``ValueError`` on ANYTHING that

@@ -7,14 +7,17 @@ is real and tested. REAL decode kernels, no codec libraries required:
 netpbm (P5/P6), WAV PCM, Y4M video frames, baseline JPEG via the
 pure-numpy T.81 codec in ``llm/jpeg.py`` (r11), and — since r12 — PNG
 via the zlib+numpy codec in ``llm/png.py`` (all color types, sub-byte
-and 16-bit depths, Adam7). decode_image_features / resize_images
-accept FFD8 and \\x89PNG payloads; the fixture writer emits real JPEGs
-and PNGs with the matching encoders. Formats still outside the
-stdlib+numpy reach (progressive JPEG, MP3, compressed video) stay
-honestly gated: the operator raises NotImplementedError (strict mode),
-yields NULL rows, or applies a clearly-labeled deterministic fake
-decoder (extract_features' test mode) with the same signature/schema
-as a real one.
+and 16-bit depths, Adam7) AND progressive JPEG via the T.81 Annex G
+decoder in ``llm/jpeg_progressive.py`` (spectral selection +
+successive approximation; FFD8 payloads dispatch by SOF marker through
+``jpeg.decode_jpeg``). decode_image_features / resize_images accept
+FFD8 and \\x89PNG payloads; the fixture writer emits real baseline
+JPEGs, progressive JPEGs, and PNGs with the matching encoders. Formats
+still outside the stdlib+numpy reach (MP3, compressed video,
+arithmetic-coded JPEG) stay honestly gated: the operator raises
+NotImplementedError (strict mode), yields NULL rows, or applies a
+clearly-labeled deterministic fake decoder (extract_features' test
+mode) with the same signature/schema as a real one.
 
 Scale notes: binary payloads dominate row size, so media tables set a
 small files.maxPartitionBytes and never participate in wide shuffles —
@@ -265,7 +268,7 @@ AUDIO_FEATURE_SCHEMA = (
 
 def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
                             n_jpeg: int = 12, n_png: int = 12,
-                            root: str | None = None) -> str:
+                            n_prog: int = 6, root: str | None = None) -> str:
     """Generate a deterministic directory of REAL decodable media:
     16×16 P6 PPM images (smooth per-index gradients; every 8th image
     is a NEAR-DUPLICATE of its predecessor — one pixel perturbed — so
@@ -290,7 +293,7 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
     base = root or os.path.join(repo_root, ".media_fixtures")
     out = os.path.join(base, f"{name}_decodable")
     done = os.path.join(out, ".complete")
-    if _fixture_ready(out, done, f"{n_images},{n_audio},{n_jpeg},{n_png}"):
+    if _fixture_ready(out, done, f"{n_images},{n_audio},{n_jpeg},{n_png},{n_prog}"):
         return out
     os.makedirs(out, exist_ok=True)
     w = h = 16
@@ -318,6 +321,19 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
             arr = _np.frombuffer(pixel_arrays[i], dtype=_np.uint8).reshape(h, w, 3)
             with open(os.path.join(out, f"jpg_{10000 + i:05d}.jpg"), "wb") as f:
                 f.write(encode_baseline_jpeg(arr, quality=92))
+    if n_prog:
+        import numpy as _np
+
+        from dataworks_spark.llm.jpeg_progressive import encode_progressive_jpeg
+
+        for i in range(min(n_prog, n_images)):
+            arr = _np.frombuffer(pixel_arrays[i], dtype=_np.uint8).reshape(h, w, 3)
+            with open(os.path.join(out, f"jpg_{30000 + i:05d}.jpg"), "wb") as f:
+                f.write(
+                    encode_progressive_jpeg(
+                        arr, quality=92, restart_interval=(2 if i % 2 else 0)
+                    )
+                )
     if n_png:
         import numpy as _np
 
@@ -348,7 +364,7 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
             f.setframerate(rate)
             f.writeframes(bytes(frames))
     with open(done, "w") as f:
-        f.write(f"{n_images},{n_audio},{n_jpeg},{n_png}")
+        f.write(f"{n_images},{n_audio},{n_jpeg},{n_png},{n_prog}")
     return out
 
 
@@ -393,14 +409,15 @@ def decode_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     )
                 return None
             if payload[:2] == b"\xff\xd8":
-                from dataworks_spark.llm.jpeg import decode_baseline_jpeg
+                from dataworks_spark.llm.jpeg import decode_jpeg
 
                 try:
-                    a = decode_baseline_jpeg(bytes(payload))
+                    a = decode_jpeg(bytes(payload))
                 except ValueError as exc:
                     if strict:
                         raise NotImplementedError(
-                            f"JPEG payload outside the baseline subset: {exc}"
+                            f"JPEG payload outside the baseline/progressive "
+                            f"subset: {exc}"
                         ) from exc
                     return None
                 iw, ih = a.shape[1], a.shape[0]
@@ -692,14 +709,15 @@ def resize_images(
                 return None
             data = bytes(payload)
             if data[:2] == b"\xff\xd8":
-                from dataworks_spark.llm.jpeg import decode_baseline_jpeg
+                from dataworks_spark.llm.jpeg import decode_jpeg
 
                 try:
-                    a = decode_baseline_jpeg(data)
+                    a = decode_jpeg(data)
                 except ValueError as exc:
                     if strict:
                         raise NotImplementedError(
-                            f"JPEG payload outside the baseline subset: {exc}"
+                            f"JPEG payload outside the baseline/progressive "
+                            f"subset: {exc}"
                         ) from exc
                     return None
                 ih, iw, ch = a.shape

@@ -1528,10 +1528,11 @@ def _multimodal_decode_branch(spark, sf_dir):
     )
 
     path = write_decodable_fixture(os.path.basename(sf_dir.rstrip("/")))
-    # one decode pass over ALL THREE image formats: netpbm + baseline
-    # JPEG (r11) + PNG (r12 — filter/interlace variants, so the driver
-    # gate exercises every unfilter path); jpg/png ids are offset by
-    # 10000/20000 in the fixture so they never collide
+    # one decode pass over ALL the image formats: netpbm + baseline
+    # JPEG (r11) + PNG and progressive JPEG (r12 — PNG filter/interlace
+    # variants and SOF2 restart variants, so the driver gate exercises
+    # every decode path); jpg/png/progressive ids are offset by
+    # 10000/20000/30000 in the fixture so they never collide
     ppms = read_binary_dir(spark, path, id_pattern=r"img_(\d+)\.", glob="*.ppm")
     jpgs = read_binary_dir(spark, path, id_pattern=r"jpg_(\d+)\.", glob="*.jpg")
     pngs = read_binary_dir(spark, path, id_pattern=r"png_(\d+)\.", glob="*.png")

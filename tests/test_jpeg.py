@@ -294,7 +294,9 @@ def test_fixture_jpegs_pair_with_their_ppm_sources(spark):
     jpgs = read_binary_dir(spark, path, id_pattern=r"jpg_(\d+)\.", glob="*.jpg")
     feats = decode_image_features(ppms.unionByName(jpgs))
     rows = {r.media_id: r for r in feats.collect()}
-    assert sum(1 for r in rows.values() if r.format == "JPEG") == 12
+    # 12 baseline (ids 10000+) + 6 progressive (ids 30000+, r12)
+    assert sum(1 for m, r in rows.items()
+               if r.format == "JPEG" and 10000 <= m < 20000) == 12
     # every jpeg decoded with real dims and means near its source ppm
     for i in range(12):
         j, p = rows[10000 + i], rows[i]
