@@ -13,9 +13,11 @@ can serve real JPEG corpora without native codec libraries:
   de-stuffing and restart markers, dequantize → inverse zigzag →
   IDCT-II (8×8 basis matmul), chroma upsampling by replication (any
   integer sampling factors, so 4:4:4 / 4:2:2 / 4:2:0 and grayscale all
-  decode), JFIF YCbCr→RGB. Progressive (SOF2) and arithmetic-coded
-  streams raise ``ValueError`` — they are NOT baseline, and the caller
-  treats that exactly like any other undecodable payload.
+  decode), JFIF YCbCr→RGB. Progressive (SOF2) streams decode through
+  :mod:`dataworks_spark.llm.jpeg_progressive` via the
+  :func:`decode_jpeg` dispatcher (r12); arithmetic-coded streams raise
+  ``ValueError``, which the caller treats exactly like any other
+  undecodable payload.
 * :func:`encode_baseline_jpeg` — the matching encoder (Annex K example
   quantization + Huffman tables, quality scaling per the public IJG
   formula, optional 4:2:0), used by the media fixtures and the
@@ -40,7 +42,7 @@ kernel.
 PIL swap recipe (verbatim): in ``multimodal.decode_image_features``
 and ``multimodal.resize_images``, replace the body of the FFD8 branch
 
-    a = decode_baseline_jpeg(bytes(payload))
+    a = decode_jpeg(bytes(payload))
 
 with
 
@@ -54,8 +56,8 @@ and widen the surrounding ``except ValueError`` to
 ``except Exception`` (PIL raises ``UnidentifiedImageError``/``OSError``
 where this module raises ``ValueError``). Nothing else changes: both
 produce (h, w, 3) uint8, and every downstream feature/resize line is
-shape-generic. PIL also decodes progressive JPEG, so the strict-mode
-gate narrows to MP3 alone.
+shape-generic; PIL brings native-speed decode and arithmetic-coded
+coverage, narrowing the strict-mode gate to MP3 alone.
 """
 
 from __future__ import annotations

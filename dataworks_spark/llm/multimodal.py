@@ -369,16 +369,17 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
 
 
 def decode_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
-    """REAL image decode for netpbm (P6 RGB / P5 gray), baseline JPEG,
-    AND PNG payloads via mapInPandas: per-image width/height, channel
-    means, and a 64-bit average-hash (aHash: 8×8 block-mean grayscale
-    thresholded at its mean — the standard perceptual fingerprint),
-    ready for ``dedup.hamming_near_dup_pairs``. JPEG decode is the
-    pure-numpy baseline codec (llm/jpeg.py — r10 VERDICT #6); PNG
-    decode is the zlib+numpy codec (llm/png.py — r11 VERDICT #2).
-    Progressive/arithmetic JPEGs and other compressed formats (MP3 on
-    the audio side) still yield NULL features, or raise under
-    ``strict=True``. PNG alpha is dropped for the feature math (means/
+    """REAL image decode for netpbm (P6 RGB / P5 gray), JPEG
+    (baseline AND progressive), and PNG payloads via mapInPandas:
+    per-image width/height, channel means, and a 64-bit average-hash
+    (aHash: 8×8 block-mean grayscale thresholded at its mean — the
+    standard perceptual fingerprint), ready for
+    ``dedup.hamming_near_dup_pairs``. FFD8 payloads dispatch by SOF
+    marker through jpeg.decode_jpeg (baseline llm/jpeg.py, progressive
+    llm/jpeg_progressive.py — r12); PNG decode is the zlib+numpy codec
+    (llm/png.py — r12). Arithmetic-coded JPEGs and other compressed
+    formats (MP3 on the audio side) still yield NULL features, or
+    raise under ``strict=True``. PNG alpha is dropped for the feature math (means/
     aHash are defined over opaque pixels; the decoder itself preserves
     it for callers that want it).
 
