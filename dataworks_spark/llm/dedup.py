@@ -534,6 +534,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """L2 at scale: MinHash LSH banding.
 
@@ -562,7 +563,21 @@ def minhash_near_dup_pairs(
     an O(k²) candidate blowup in every bucket, the exact cost the LSH
     design exists to avoid (r9 review). Shingle-less docs have no
     Jaccard-over-shingles identity to match on; exact dedup (L1)
-    handles their duplicates."""
+    handles their duplicates.
+
+    ``max_bucket`` (100 TB knob, r12): a band bucket of k docs emits
+    k² candidate rows — one hot bucket (a near-identical boilerplate
+    FAMILY that survived exact dedup: templated pages, license
+    headers) turns the linear bucket join quadratic. When set, buckets
+    larger than ``max_bucket`` are DROPPED before the self-join (one
+    extra map-side-combined count + one linear semi-join — the same
+    df-cap prescription winnowing/token-join already apply). Recall
+    note: a true near-dup pair inside an over-cap bucket still pairs
+    through any of its other ``bands − 1`` (smaller) buckets; an
+    over-cap family identical in EVERY band is, by construction, a
+    mass-duplicate family that near_dup_clusters over exact-hash edges
+    (L1) handles more cheaply than k² pair rows would. Default None
+    preserves exact historical results."""
     if not 1 <= bands <= n_hashes:
         # bands=0 would ZeroDivisionError out of the modulo below, and
         # a negative divisor of n_hashes (e.g. 128 / -16) would pass it
@@ -636,6 +651,7 @@ def minhash_near_dup_pairs(
         "doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
 
+    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket)
     a = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bhash")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bhash")
     cand = (
@@ -761,8 +777,30 @@ def simhash(text: Column, bits: int = 64, use_arrow: bool | None = None) -> Colu
     )
 
 
+def _cap_buckets(
+    rel: DataFrame, keys: list, max_bucket: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` before a self-join
+    (the shared 100 TB hot-bucket guard, r12): bucket sizes fold with
+    map-side combine (shuffle = |buckets|), survivors attach via one
+    linear semi-join. ``None`` = no capping (exact historical
+    behavior)."""
+    if max_bucket is None:
+        return rel
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    small = (
+        rel.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+    return rel.join(small, keys, "left_semi")
+
+
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash bucket candidates: near-dup docs almost always share at
     least one 16-bit quarter of the 64-bit fingerprint (≤3 bit flips) —
@@ -772,13 +810,17 @@ def simhash_near_dup_pairs(
     Checkpoint-materialized before the self-join for the same reason as
     :func:`minhash_near_dup_pairs`: the 64-bit vote fold is the
     query's dominant CPU and would otherwise run once per join side
-    (measured ~2× on the fingerprint phase)."""
+    (measured ~2× on the fingerprint phase). ``max_bucket`` caps hot
+    quarter buckets exactly like :func:`minhash_near_dup_pairs` — a
+    64/band_bits-band pair inside a dropped bucket still pairs via its
+    other quarters."""
     f = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col)).alias("fp"))
-    return hamming_near_dup_pairs(f, "doc", "fp", band_bits)
+    return hamming_near_dup_pairs(f, "doc", "fp", band_bits, max_bucket)
 
 
 def hamming_near_dup_pairs(
-    f: DataFrame, id_col: str = "doc", fp_col: str = "fp", band_bits: int = 16
+    f: DataFrame, id_col: str = "doc", fp_col: str = "fp", band_bits: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Quarter-bucket Hamming candidate pairs over ANY 64-bit
     fingerprint relation — the banding/verify kernel shared by text
@@ -809,6 +851,7 @@ def hamming_near_dup_pairs(
     ).select(
         "doc", "fp", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv")
     ).localCheckpoint(eager=False)
+    quarters = _cap_buckets(quarters, ["q", "qv"], max_bucket)
     a = quarters.select(F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a"), "q", "qv")
     b = quarters.select(F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b"), "q", "qv")
     return (

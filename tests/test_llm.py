@@ -54,6 +54,41 @@ def test_minhash_recalls_true_near_dups(docs):
     assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} strong pairs"
 
 
+def test_max_bucket_caps_hot_lsh_buckets(spark):
+    """r12 100 TB guard: a boilerplate family of k docs identical in
+    every band emits k² candidates per bucket — max_bucket drops those
+    buckets before the self-join while leaving normal near-dup pairs
+    untouched (they pair via their own small buckets)."""
+    from dataworks_spark.llm.dedup import (
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    family = "license header boilerplate text repeated verbatim on every page forever"
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("today", "tomorrow")
+    rows = [(i, family) for i in range(40)] + [(100, a), (101, b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_near_dup_pairs(df, "doc_id", "text", threshold=0.3)
+    capped = minhash_near_dup_pairs(
+        df, "doc_id", "text", threshold=0.3, max_bucket=10
+    )
+    un = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    cp = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in un and (100, 101) in cp  # real pair survives
+    assert len(un) == 40 * 39 // 2 + 1  # family blowup without the cap
+    assert cp == {(100, 101)}  # family buckets dropped with it
+
+    sun = {(r.doc_a, r.doc_b) for r in simhash_near_dup_pairs(df, "doc_id", "text").collect() if r.hamming <= 12}
+    scp = {(r.doc_a, r.doc_b) for r in simhash_near_dup_pairs(df, "doc_id", "text", max_bucket=10).collect() if r.hamming <= 12}
+    assert (100, 101) in sun and (100, 101) in scp
+    assert not any(x < 100 and y < 100 for x, y in scp)
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_near_dup_pairs(df, "doc_id", "text", max_bucket=0)
+
+
 def test_simhash_separates_dup_from_random(spark, docs):
     """Near-identical texts get near-identical simhash fingerprints."""
     a = "the quick brown fox jumps over the lazy dog again and again today"
