@@ -16,8 +16,11 @@ native codec libraries:
   loops, which beat numpy at this granularity); sub-byte depths (1/2/4)
   unpacked per row with np.unpackbits; 16-bit reduced to 8 by taking
   the high byte (the spec's sample-depth rescale truncated to the
-  feature pipeline's uint8 world); palette expansion with optional
-  tRNS alpha; both interlace methods (null + Adam7). Returns
+  feature pipeline's uint8 world); tRNS alpha for ALL three forms —
+  palette entry alphas, and the single transparent-color form for
+  gray/truecolor images (matched at the native sample depth, then
+  synthesized as a real alpha channel); both interlace methods
+  (null + Adam7). Returns
   ``(h, w, c)`` uint8 with c ∈ {1, 2, 3, 4} (gray, gray+alpha, RGB,
   RGBA). Malformed streams raise ``ValueError`` — the caller treats
   that exactly like any other undecodable payload.
@@ -157,10 +160,29 @@ def decode_png(payload: bytes) -> np.ndarray:
     #: palette samples are INDICES — never rescaled (RFC 2083 §4.1.1);
     #: sub-byte grayscale samples stretch to the full 8-bit range
     scale = ctype_n != 3
+    # tRNS for gray (type 0) / truecolor (type 2) names ONE transparent
+    # sample value at the image's native bit depth (RFC 2083 §4.2.1) —
+    # parse it here so the per-pass decode can match at FULL depth
+    # (16-bit images must not conflate values sharing a high byte)
+    trns_vals: tuple[int, ...] | None = None
+    if trns is not None:
+        if ctype_n == 0:
+            if len(trns) != 2:
+                raise ValueError("gray tRNS must be 2 bytes")
+            trns_vals = (struct.unpack(">H", trns)[0] & ((1 << depth) - 1),)
+        elif ctype_n == 2:
+            if len(trns) != 6:
+                raise ValueError("truecolor tRNS must be 6 bytes")
+            trns_vals = struct.unpack(">HHH", trns)
+        elif ctype_n in (4, 6):
+            raise ValueError("tRNS forbidden for alpha color types")
     if interlace == 0:
-        img = _decode_pass(raw, 0, len(raw), w, h, depth, nch, scale)
+        img, tmask = _decode_pass(raw, 0, len(raw), w, h, depth, nch,
+                                  scale, trns_vals)
     else:
         img = np.zeros((h, w, nch), dtype=np.uint8)
+        tmask = (np.zeros((h, w), dtype=bool)
+                 if trns_vals is not None else None)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
@@ -169,8 +191,11 @@ def decode_png(payload: bytes) -> np.ndarray:
                 continue
             row_bytes = (pw * depth * nch + 7) // 8
             span = ph * (1 + row_bytes)
-            sub = _decode_pass(raw, off, span, pw, ph, depth, nch, scale)
+            sub, smask = _decode_pass(raw, off, span, pw, ph, depth, nch,
+                                      scale, trns_vals)
             img[y0::dy, x0::dx] = sub
+            if tmask is not None:
+                tmask[y0::dy, x0::dx] = smask
             off += span
         # trailing bytes after the last pass are an error the same way
         # a short stream is — both mean the deflate payload and the
@@ -191,13 +216,25 @@ def decode_png(payload: bytes) -> np.ndarray:
             alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             return np.dstack([rgb, alpha[idx]])
         return rgb
+    if tmask is not None:
+        # gray/truecolor tRNS: matching pixels fully transparent,
+        # everything else opaque — synthesized as a real alpha channel
+        # (gray → gray+alpha, RGB → RGBA) so downstream feature code
+        # sees the same shapes the alpha color types produce
+        alpha = np.where(tmask, 0, 255).astype(np.uint8)
+        return np.dstack([img, alpha])
     return img
 
 
 def _decode_pass(raw: bytes, off: int, span: int, w: int, h: int,
-                 depth: int, nch: int, scale: bool = True) -> np.ndarray:
+                 depth: int, nch: int, scale: bool = True,
+                 trns_vals: tuple[int, ...] | None = None,
+                 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Unfilter + unpack one (sub-)image: ``span`` bytes of filtered
-    scanlines starting at ``off``. Returns (h, w, nch) uint8."""
+    scanlines starting at ``off``. Returns ``(img, mask)`` where img is
+    (h, w, nch) uint8 and mask is the (h, w) bool transparency mask for
+    gray/truecolor tRNS (matched at the NATIVE sample depth, before any
+    8-bit reduction), or None when ``trns_vals`` is not given."""
     row_bytes = (w * depth * nch + 7) // 8
     if span != h * (1 + row_bytes) or off + span > len(raw):
         raise ValueError("IDAT too short for image geometry")
@@ -214,22 +251,34 @@ def _decode_pass(raw: bytes, off: int, span: int, w: int, h: int,
         out[y] = _unfilter_row(int(ftypes[y]), flt[y, 1:], prev, bpp)
         prev = out[y].astype(np.int32)
 
+    mask: np.ndarray | None = None
     if depth == 8:
         a = out.reshape(h, row_bytes)[:, : w * nch]
+        if trns_vals is not None:
+            full = a.reshape(h, w, nch).astype(np.int32)
+            mask = (full == np.asarray(trns_vals)).all(axis=2)
     elif depth == 16:
         # high byte = the spec's 16→8 rescale truncated (v >> 8)
         a = out.reshape(h, row_bytes)[:, : w * nch * 2 : 2]
+        if trns_vals is not None:
+            hi = a.astype(np.int32)
+            lo = out.reshape(h, row_bytes)[:, 1 : w * nch * 2 : 2]
+            full = ((hi << 8) | lo).reshape(h, w, nch)
+            mask = (full == np.asarray(trns_vals)).all(axis=2)
     else:
         # 1/2/4-bit: unpack each row MSB-first, regroup to samples
         bits = np.unpackbits(out, axis=1)[:, : w * nch * depth]
         bits = bits.reshape(h, w * nch, depth)
         weights = 1 << np.arange(depth - 1, -1, -1)
         samples = (bits * weights).sum(axis=2).astype(np.uint8)
+        if trns_vals is not None:
+            full = samples.reshape(h, w, nch).astype(np.int32)
+            mask = (full == np.asarray(trns_vals)).all(axis=2)
         if scale:
             # full 8-bit range (255/(2^d -1) is integral for 1/2/4)
             samples = samples * np.uint8(255 // ((1 << depth) - 1))
         a = samples
-    return a.reshape(h, w, nch)
+    return a.reshape(h, w, nch), mask
 
 
 def _unfilter_row(ftype: int, raw: np.ndarray, prev: np.ndarray,

@@ -132,6 +132,63 @@ def test_hand_built_palette_with_trns():
     assert a2[0, 2].tolist() == [0, 0, 255, 255]
 
 
+def test_hand_built_gray_and_truecolor_trns():
+    # 8-bit gray, 3 px [7, 8, 7], tRNS gray value 7 → alpha 0,255,0
+    trns = _chunk(b"tRNS", struct.pack(">H", 7))
+    a = decode_png(_png(3, 1, 8, 0, bytes([0, 7, 8, 7]), extra=trns))
+    assert a.shape == (1, 3, 2)
+    assert a[0, :, 1].tolist() == [0, 255, 0]
+    assert a[0, :, 0].tolist() == [7, 8, 7]
+    # 16-bit gray: tRNS 0x1234 must match ONLY the exact 16-bit sample,
+    # not its high-byte neighbor 0x1235 (native-depth matching)
+    trns16 = _chunk(b"tRNS", struct.pack(">H", 0x1234))
+    scan = bytes([0]) + struct.pack(">HH", 0x1234, 0x1235)
+    a16 = decode_png(_png(2, 1, 16, 0, scan, extra=trns16))
+    assert a16.shape == (1, 2, 2)
+    assert a16[0, :, 0].tolist() == [0x12, 0x12]
+    assert a16[0, :, 1].tolist() == [0, 255]
+    # 1-bit gray: spec keeps only the depth's least-significant bits of
+    # the 2-byte value — 0xFF01 & 1 == 1 → the set pixels go transparent
+    trns1 = _chunk(b"tRNS", struct.pack(">H", 0xFF01))
+    a1 = decode_png(_png(10, 1, 1, 0, bytes([0, 0b10101010, 0b11000000]),
+                         extra=trns1))
+    assert a1[0, :, 0].tolist() == [255, 0] * 4 + [255, 255]
+    assert a1[0, :, 1].tolist() == [0, 255] * 4 + [0, 0]
+    # truecolor: 2 px, only the exact (1,2,3) triple is transparent
+    trns_rgb = _chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+    scan_rgb = bytes([0, 1, 2, 3, 1, 2, 4])
+    argb = decode_png(_png(2, 1, 8, 2, scan_rgb, extra=trns_rgb))
+    assert argb.shape == (1, 2, 4)
+    assert argb[0, 0].tolist() == [1, 2, 3, 0]
+    assert argb[0, 1].tolist() == [1, 2, 4, 255]
+
+
+def test_gray_trns_through_adam7_interlace():
+    # splice a tRNS chunk into an encoder-produced Adam7 gray stream:
+    # the mask must land on the SAME pixels the de-interlace puts them
+    img = _gradient(9, 11, 1) % 32  # plenty of repeats of each value
+    data = encode_png(img, interlace=True)
+    ihdr_end = 8 + 12 + 13  # signature + IHDR chunk
+    trns = _chunk(b"tRNS", struct.pack(">H", 13))
+    a = decode_png(data[:ihdr_end] + trns + data[ihdr_end:])
+    assert a.shape == (9, 11, 2)
+    assert np.array_equal(a[:, :, 0], img[:, :, 0])
+    assert np.array_equal(a[:, :, 1] == 0, img[:, :, 0] == 13)
+    assert (img[:, :, 0] == 13).any()  # the test actually bites
+
+
+def test_trns_rejected_for_alpha_color_types():
+    # gray+alpha (type 4) with a tRNS chunk is a spec violation
+    trns = _chunk(b"tRNS", struct.pack(">H", 0))
+    scan = bytes([0, 10, 20, 30, 40])
+    with pytest.raises(ValueError):
+        decode_png(_png(2, 1, 8, 4, scan, extra=trns))
+    # and a wrong-length gray tRNS is rejected too
+    bad = _chunk(b"tRNS", b"\x01")
+    with pytest.raises(ValueError):
+        decode_png(_png(1, 1, 8, 0, bytes([0, 5]), extra=bad))
+
+
 def test_decoder_rejects_malformed():
     img = _gradient(8, 8)
     good = encode_png(img)
