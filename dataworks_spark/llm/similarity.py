@@ -426,6 +426,11 @@ def ivf_build_centroids_distributed(
 #: errors now; beyond it they get the same actionable error as before.
 IVF_LITERAL_MAX = 8
 _IVF_LITERAL_FALLBACK_MAX = 256
+#: centroid matrices at or above this many bytes ride a torrent
+#: broadcast instead of the UDF closure (Spark warns at 1 MB closures;
+#: 4 MB ≈ c=8k at dim 64 — below it the closure copy is cheaper than
+#: a broadcast's bookkeeping)
+_IVF_BROADCAST_MIN_BYTES = 4 << 20
 
 
 def ivf_assign(
@@ -487,10 +492,17 @@ def ivf_assign(
 def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
     """Large-c assignment kernel: Arrow-batched numpy argmax over
     unit-normalized centroids ``cn`` (c×dim, already normalized by the
-    caller). The centroid matrix ships in the UDF closure — c×dim
-    doubles, serialized once per executor with the task binary (at
-    c=10⁴, dim=64 that is ~5 MB — broadcast-scale metadata, the same
-    sidecar IvfIndex.save persists).
+    caller). The centroid matrix rides a torrent BROADCAST once it
+    crosses :data:`_IVF_BROADCAST_MIN_BYTES` (r12 VERDICT watch item:
+    at c=10⁵, dim=64 the matrix is ~51 MB — in the closure it
+    re-serialized with every task binary, e.g. once per epoch per
+    executor in ``_sample_lloyd_distributed``; as a broadcast it is
+    torrent-distributed once and cached in the executor block manager,
+    and the closure carries only the handle). Below the threshold it
+    stays in the closure — c×dim doubles, serialized once per executor
+    with the task binary (at c=10⁴, dim=64 that is ~5 MB —
+    broadcast-scale metadata, the same sidecar IvfIndex.save
+    persists).
 
     Semantics mirror the literal kernel bit-for-bit where it matters:
     numpy argmax returns the FIRST maximal index (= array_position of
@@ -521,13 +533,22 @@ def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
         ensure_package_shipped(active)
 
     dim = int(cn.shape[1])
+    n_cents = int(cn.shape[0])
     cnT = np.ascontiguousarray(cn.T)  # dim×c, contiguous for row @ cnT
+    if active is not None and cnT.nbytes >= _IVF_BROADCAST_MIN_BYTES:
+        # the closure must reference ONLY the broadcast handle — naming
+        # cnT anywhere inside _assign would make cloudpickle ship the
+        # full matrix alongside the handle
+        payload = active.sparkContext.broadcast(cnT)
+    else:
+        payload = cnT
 
     @pandas_udf("int")
     def _assign(batch: pd.Series) -> pd.Series:
         from dataworks_spark.functions.blasctl import limit_blas_threads
 
         limit_blas_threads()  # once per worker: task slots ARE the parallelism
+        mat_t = payload.value if hasattr(payload, "value") else payload
         n = len(batch)
         out = np.zeros(n, dtype=np.int32)
         if n == 0:
@@ -547,11 +568,11 @@ def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
             # score matrix PER WORKER — 32 concurrent workers then
             # thrash allocation/bandwidth instead of computing
             # (measured 252 s → ~8 s for the same job, r12)
-            step = max(1, (64 << 20) // (8 * cnT.shape[1]))
+            step = max(1, (64 << 20) // (8 * n_cents))
             res = np.empty(len(mat), dtype=np.int32)
             for s in range(0, len(mat), step):
                 res[s : s + step] = np.argmax(
-                    mat[s : s + step] @ cnT, axis=1
+                    mat[s : s + step] @ mat_t, axis=1
                 ).astype(np.int32)
             out[ok] = res
         return pd.Series(out)
@@ -916,6 +937,7 @@ def semantic_dedup_pairs(
     n_clusters: int = 16,
     sample: int | None = None,
     seed: int = 42,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     public): k-means-cluster the embeddings, then compare cosine only
@@ -946,7 +968,22 @@ def semantic_dedup_pairs(
     Vectors are L2-NORMALIZED once per ROW in the assignment
     projection, so the per-pair score is a single dot product instead
     of dot + two norms — n normalizations replace 2·(pair count) norm
-    evaluations (measured 4× on the pair stage)."""
+    evaluations (measured 4× on the pair stage).
+
+    ``max_cluster`` is the hard per-cluster guard (r12 gave the LSH
+    bucket joins one; this is the cluster-keyed analog — the last
+    quadratic pair space): clusters larger than the cap are SPLIT into
+    ``ceil(|cluster| / max_cluster)`` sub-shards by a secondary hash of
+    the id, and pairs are only compared within a sub-shard. One
+    pathological hot cluster (a boilerplate family that survived exact
+    dedup) then emits ~|cluster|·max_cluster pairs instead of
+    |cluster|², at the cost of missing pairs split across sub-shards —
+    a graceful recall trade (unlike dropping the bucket outright, every
+    doc still dedups against ~max_cluster of its neighbors, and
+    near-dup families far smaller than the cap are usually intact).
+    Deterministic and partitioning-invariant (xxhash64 on the id; the
+    per-cluster size fold is map-side combined, |clusters| rows,
+    broadcast back). ``None`` = no guard, bit-identical history."""
     cents = ivf_train(df, vec_col, n_centroids=n_clusters, sample=sample, seed=seed)
     unit = unit_vector(F.col(vec_col))
     # checkpoint-materialize the assigned relation: the self-join's two
@@ -961,14 +998,29 @@ def semantic_dedup_pairs(
         unit.alias("__nv"),
         ivf_assign(F.col(vec_col), cents).alias("__c"),
     ).localCheckpoint(eager=False)
+    keys = ["__c"]
+    if max_cluster is not None:
+        if max_cluster < 1:
+            raise ValueError(f"max_cluster must be >= 1, got {max_cluster}")
+        # sub-shard count per cluster: one small map-side-combined fold
+        # (|clusters| rows) broadcast back onto the assigned relation
+        shards = (
+            assigned.groupBy("__c")
+            .agg(F.ceil(F.count(F.lit(1)) / F.lit(max_cluster))
+                 .cast("int").alias("__s"))
+        )
+        assigned = assigned.join(F.broadcast(shards), "__c").withColumn(
+            "__b", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+        )
+        keys = ["__c", "__b"]
     left = assigned.select(
-        "__c", F.col(id_col).alias("id_a"), F.col("__nv").alias("v_a")
+        *keys, F.col(id_col).alias("id_a"), F.col("__nv").alias("v_a")
     )
     right = assigned.select(
-        "__c", F.col(id_col).alias("id_b"), F.col("__nv").alias("v_b")
+        *keys, F.col(id_col).alias("id_b"), F.col("__nv").alias("v_b")
     )
     return (
-        left.join(right, "__c")
+        left.join(right, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", dot(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos_sim") >= threshold)
@@ -984,6 +1036,7 @@ def semantic_dedup_keepers(
     n_clusters: int = 16,
     sample: int | None = None,
     seed: int = 42,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """Full SemDeDup decision: semantic pairs → connected components →
     one deterministic survivor (min id) per component. Returns
@@ -995,6 +1048,6 @@ def semantic_dedup_keepers(
     from dataworks_spark.llm.dedup import near_dup_clusters
 
     pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, threshold, n_clusters, sample, seed
+        df, id_col, vec_col, threshold, n_clusters, sample, seed, max_cluster
     )
     return near_dup_clusters(pairs, id_a="id_a", id_b="id_b")

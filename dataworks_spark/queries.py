@@ -1380,7 +1380,11 @@ def q_dedup_sketch(spark, sf_dir):
     q_dedup_simhash. Both are xxhash64-based, engine-specific → rows
     -only; the exact-Jaccard twin q_dedup_ngram is the hash-matched
     oracle. 'minhash' score = estimated Jaccard; 'simhash' score =
-    Hamming distance."""
+    Hamming distance; 'minhash_capped' re-runs the minhash branch with
+    the 100 TB hot-bucket guard ACTIVE (max_bucket=8 over a bounded id
+    range) so the capped semi-join plan — count fold + left-semi before
+    the bucket self-join — executes under the driver every round, not
+    just in units (r12 VERDICT #6)."""
     from dataworks_spark.llm.dedup import minhash_near_dup_pairs, simhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -1398,7 +1402,14 @@ def q_dedup_sketch(spark, sf_dir):
             F.col("hamming").cast("double").alias("score"),
         )
     )
-    return mh.unionByName(sh)
+    mc = minhash_near_dup_pairs(
+        d.filter(F.col("doc_id") < 500), "doc_id", "text",
+        n_hashes=64, bands=16, threshold=0.3, max_bucket=8,
+    ).select(
+        F.lit("minhash_capped").alias("tag"), "doc_a", "doc_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(mc)
 
 
 def q_embed_neardup(spark, sf_dir):

@@ -1371,6 +1371,61 @@ def test_semantic_dedup_precision_recall_and_invariance(spark, emb):
     assert again == set(sem)
 
 
+def test_max_cluster_bounds_hot_semantic_cluster(spark):
+    """r13 100 TB guard, cluster-keyed analog of
+    test_max_bucket_caps_hot_lsh_buckets: a boilerplate family of 40
+    near-identical embeddings lands in ONE k-means cluster and emits
+    40·39/2 pairs — max_cluster splits the cluster into hash sub-shards
+    so the pair space is bounded, while a small true-pair cluster is
+    untouched. Capped output stays a subset of uncapped with identical
+    cosines, and is invariant under repartitioning."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16)
+    other = rng.normal(size=16)
+    rows = [(i, (base + 0.01 * rng.normal(size=16)).tolist()) for i in range(40)]
+    rows += [(100, other.tolist()), (101, (other + 0.01 * rng.normal(size=16)).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.9, n_clusters=2, seed=7)
+    un = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in semantic_dedup_pairs(df, "vec_id", "embedding", **kw).collect()
+    }
+    cp = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", max_cluster=10, **kw
+        ).collect()
+    }
+    assert len(un) == 40 * 39 // 2 + 1  # family blowup + the true pair
+    assert (100, 101) in un and (100, 101) in cp  # small cluster intact
+    assert set(cp) <= set(un) and all(un[p] == c for p, c in cp.items())
+    fam = [p for p in cp if p[0] < 100]
+    # 4 hash sub-shards of ~10: pair space collapses toward |c|·cap/2
+    assert 0 < len(fam) < 400
+    # a cap >= every cluster size is the identity
+    assert {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df, "vec_id", "embedding", max_cluster=1000, **kw
+        ).collect()
+    } == set(un)
+    # deterministic under repartitioning
+    again = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df.repartition(16), "vec_id", "embedding", max_cluster=10, **kw
+        ).collect()
+    }
+    assert again == set(cp)
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup_pairs(df, "vec_id", "embedding", max_cluster=0, **kw)
+
+
 def test_semantic_dedup_keepers_min_label(spark, emb):
     """Keeper labeling: every component's label is its min member id,
     and membership matches the pair graph's connectivity."""
@@ -2174,6 +2229,48 @@ def test_ivf_assign_arrow_equals_literal_kernel(spark):
         ivf_assign(F.col("embedding"), cents, max_literal=0).alias("arrow_c"),
     ).collect()
     assert all(r.lit_c == r.arrow_c for r in fboth)
+
+
+def test_ivf_assign_arrow_broadcast_path_equals_closure_path(spark, monkeypatch):
+    """r13 (r12 VERDICT #7): above _IVF_BROADCAST_MIN_BYTES the
+    centroid matrix rides a sparkContext.broadcast instead of the UDF
+    closure. Force the broadcast path with a zero threshold and pin it
+    row-for-row against the closure path AND the literal kernel —
+    including the sentinel rows. Also assert a broadcast was actually
+    created and the closure does not capture the matrix."""
+    import numpy as np
+
+    import dataworks_spark.llm.similarity as sim
+    from dataworks_spark.llm.similarity import ivf_assign
+
+    rng = np.random.default_rng(23)
+    cents = rng.normal(size=(8, 12))
+    rows = [(i, [float(x) for x in rng.normal(size=12)]) for i in range(100)]
+    rows.append((900, None))
+    rows.append((901, [float("nan")] * 12))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    made = []
+    sc = spark.sparkContext
+    real_broadcast = sc.broadcast
+    monkeypatch.setattr(
+        type(sc), "broadcast",
+        lambda self, v: made.append(v) or real_broadcast(v),
+    )
+    monkeypatch.setattr(sim, "_IVF_BROADCAST_MIN_BYTES", 0)
+    bc_col = ivf_assign(F.col("embedding"), cents, max_literal=0)
+    assert len(made) == 1 and made[0].shape == (12, 8)
+    monkeypatch.setattr(sim, "_IVF_BROADCAST_MIN_BYTES", 1 << 60)
+    both = df.select(
+        "vec_id",
+        ivf_assign(F.col("embedding"), cents, max_literal=256).alias("lit_c"),
+        ivf_assign(F.col("embedding"), cents, max_literal=0).alias("closure_c"),
+        bc_col.alias("bc_c"),
+    ).collect()
+    for r in both:
+        assert r.lit_c == r.closure_c == r.bc_c, r
+    sentinel = {r.vec_id: r.bc_c for r in both if r.vec_id >= 900}
+    assert sentinel == {900: 0, 901: 0}
 
 
 def test_ivf_assign_arrow_ships_package(spark, monkeypatch):

@@ -34,6 +34,34 @@ def test_minhash_pairs_partition_invariant(spark, sf_dir):
     assert _rows(a) == _rows(b)
 
 
+def test_minhash_capped_pairs_partition_invariant(spark, sf_dir):
+    """The capped plan (max_bucket semi-join, the q_dedup_sketch
+    'minhash_capped' branch) must drop the SAME buckets under any
+    layout: bucket sizes are map-side-combined counts, a pure function
+    of the input set."""
+    a = minhash_near_dup_pairs(
+        _docs(spark, sf_dir, 1), "doc_id", "text", threshold=0.3, max_bucket=8
+    )
+    b = minhash_near_dup_pairs(
+        _docs(spark, sf_dir, 7), "doc_id", "text", threshold=0.3, max_bucket=8
+    )
+    assert _rows(a) == _rows(b)
+
+
+def test_semantic_dedup_capped_partition_invariant(spark, sf_dir):
+    """max_cluster sub-sharding hashes ids, never partitions: the
+    capped semantic pair set is layout-independent too."""
+    from dataworks_spark.llm.similarity import semantic_dedup_pairs
+
+    def run(n_parts):
+        return semantic_dedup_pairs(
+            _emb(spark, sf_dir, n_parts), "vec_id", "embedding",
+            threshold=0.35, n_clusters=8, max_cluster=40,
+        )
+
+    assert _rows(run(1)) == _rows(run(7))
+
+
 def test_simhash_pairs_partition_invariant(spark, sf_dir):
     a = simhash_near_dup_pairs(_docs(spark, sf_dir, 1), "doc_id", "text")
     b = simhash_near_dup_pairs(_docs(spark, sf_dir, 7), "doc_id", "text")
