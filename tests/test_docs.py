@@ -113,17 +113,25 @@ def test_durable_compaction_prunes_partitions(spark, tmp_path):
     s3 = s2.compact(path)  # durable rewrite; mutable facade keeps working
     assert {r.id: r.body for r in s3.latest().collect()} == {"u/1": "v2", "app/9": "w1"}
 
+    from tests.test_plans import _partition_filters
+
     served = DocumentStore.open_partitioned(spark, path)
     snap = as_of_snapshot(served, T0)
     plan = snap._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "valid_date" in plan.split("PartitionFilters")[1][:200]
+    # depth-aware bracket parse (r13): a bare substring check would
+    # false-pass on `PartitionFilters: []` + valid_date in PushedFilters
+    assert any(
+        pf and "valid_date" in pf for pf in _partition_filters(plan)
+    ), plan
     got = {r.id: r.body for r in snap.collect()}
     assert got == {r.id: r.body for r in s2.as_of(T0).collect()}
     # namespace is a partition column too: an entity-namespace filter
     # prunes as well
     ns = served.filter(F.col("namespace") == "app")
     nplan = ns._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in nplan and "namespace" in nplan.split("PartitionFilters")[1][:200]
+    assert any(
+        pf and "namespace" in pf for pf in _partition_filters(nplan)
+    ), nplan
     assert [r.id for r in ns.select("id").distinct().collect()] == ["app/9"]
 
 
