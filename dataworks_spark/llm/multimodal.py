@@ -19,6 +19,28 @@ NotImplementedError (strict mode), yields NULL rows, or applies a
 clearly-labeled deterministic fake decoder (extract_features' test
 mode) with the same signature/schema as a real one.
 
+SCOPE DECISION (r13, closing r12 VERDICT #2 — recorded in BASELINE.md
+"Codec scope decision"): MP3 and compressed video stay GATED, by
+decision rather than TODO. The line the from-spec codecs (JPEG, PNG)
+could cross and these cannot: their correctness-critical tables either
+ship IN the stream (JPEG DHT/DQT), are analytically defined (DCT
+basis, CRC-32 polynomial, zigzag order), or both — so a clean-room
+implementation is verifiable here by construction + foreign-fixture
+anchors. MP3 Layer III instead requires ~2k lines of tabulated ISO
+11172-3 constants (34 fixed Huffman code tables, the 512-tap synthesis
+window D, per-samplerate scalefactor-band partitions) that are neither
+derivable from first principles nor recoverable from the bitstream,
+and this environment carries no spec text or reference decoder to
+transcribe/diff them against — a from-memory transcription risks
+SILENTLY WRONG AUDIO, strictly worse than the honest gate. Compressed
+video (H.26x/VP9/AV1) is that problem times fifty. Production recipe
+(the llm/jpeg.py PIL-swap pattern): in ``audio_features.parse``,
+branch on the MP3 sync/ID3 magic and decode with ``pydub``/``librosa``
+(ffmpeg-backed) into the same (rate, n_samples, rms, zero-crossings)
+feature row WAV takes; in ``sample_video_frames``, replace the Y4M
+branch's frame walk with ``av`` (PyAV) keyframe iteration — schema,
+batching, and partition sizing are already the real ones.
+
 Scale notes: binary payloads dominate row size, so media tables set a
 small files.maxPartitionBytes and never participate in wide shuffles —
 derive features first (projection), then join features (narrow) back to
@@ -523,8 +545,14 @@ def decode_audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
         def parse(payload):
             if payload is None or payload[:4] != b"RIFF":
                 if strict:
+                    # scoped-out by decision, not TODO: see the module
+                    # docstring's r13 "SCOPE DECISION" and BASELINE.md
+                    # "Codec scope decision" for the rationale and the
+                    # pydub/librosa swap recipe
                     raise NotImplementedError(
-                        "non-WAV audio payload requires codec libraries"
+                        "non-WAV audio payload (e.g. MP3) requires codec "
+                        "libraries — scoped out by the recorded r13 "
+                        "decision (module docstring / BASELINE.md)"
                     )
                 return None
             try:
@@ -624,8 +652,13 @@ def sample_video_frames(df: DataFrame, every_n: int = 4, strict: bool = False) -
         def frames(payload):
             if payload is None or not bytes(payload).startswith(b"YUV4MPEG2"):
                 if strict:
+                    # scoped-out by decision, not TODO: see the module
+                    # docstring's r13 "SCOPE DECISION" / BASELINE.md
+                    # (PyAV swap recipe)
                     raise NotImplementedError(
-                        "non-y4m video payload requires codec libraries"
+                        "non-y4m (compressed) video payload requires codec "
+                        "libraries — scoped out by the recorded r13 "
+                        "decision (module docstring / BASELINE.md)"
                     )
                 return []
             data = bytes(payload)
