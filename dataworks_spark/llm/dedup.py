@@ -577,24 +577,34 @@ def minhash_near_dup_pairs(
     over-cap family identical in EVERY band is, by construction, a
     mass-duplicate family that near_dup_clusters over exact-hash edges
     (L1) handles more cheaply than k² pair rows would. Default None
-    preserves exact historical results."""
-    if not 1 <= bands <= n_hashes:
-        # bands=0 would ZeroDivisionError out of the modulo below, and
-        # a negative divisor of n_hashes (e.g. 128 / -16) would pass it
-        # while producing r < 0 — nonsense band slices (r9 ADVICE)
-        raise ValueError(
-            f"bands must satisfy 1 <= bands <= n_hashes: "
-            f"n_hashes={n_hashes}, bands={bands}"
-        )
-    if n_hashes % bands:
-        # bands > n_hashes would make r = 0 (every band hashes the
-        # empty slice -> all docs collide in all buckets = full O(n²)
-        # self-join); a non-dividing split silently drops the tail
-        # hashes from banding. Both are misconfigurations.
-        raise ValueError(
-            f"bands must divide n_hashes: n_hashes={n_hashes}, bands={bands}"
-        )
-    r = n_hashes // bands
+    preserves exact historical results.
+
+    Composition (r13): this is exactly
+    ``minhash_pairs_from_signatures(minhash_signatures(...))`` — use
+    the two pieces directly to run SEVERAL banding analyses off ONE
+    sketch pass (the persist-the-sketch prescription above;
+    q_dedup_sketch's capped and uncapped branches share one signature
+    checkpoint this way)."""
+    return minhash_pairs_from_signatures(
+        minhash_signatures(df, id_col, text_col, n_hashes, shingle_n),
+        n_hashes=n_hashes, bands=bands, threshold=threshold,
+        max_bucket=max_bucket,
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The sketch half of :func:`minhash_near_dup_pairs`: (doc, sig)
+    with sig a length-``n_hashes`` minhash over word ``shingle_n``-
+    grams, checkpoint-materialized. At 100 TB this relation is the one
+    you PERSIST (partitioned however downstream banding shuffles) and
+    re-band at will — banding over a stored signature column is linear
+    and cheap next to the shingle→hash pass."""
     # the shingle-less exclusion filters on RAW TOKEN COUNT, not on
     # size(hs): Catalyst pushes a filter below the shingle projection by
     # duplicating the referenced expression into the predicate, so
@@ -630,9 +640,40 @@ def minhash_near_dup_pairs(
         )
         .localCheckpoint(eager=False)
     )
-    sig = hs_rel.select(
+    return hs_rel.select(
         "doc", minhash_from_hashes(F.col("hs"), n_hashes).alias("sig")
     ).localCheckpoint(eager=False)
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The banding half of :func:`minhash_near_dup_pairs`: band an
+    already-computed (doc, sig) relation, bucket-join, verify with the
+    exact signature agreement fraction. ``sig`` should be materialized
+    (:func:`minhash_signatures` checkpoints; a persisted table
+    qualifies by construction) — both self-join sides read it."""
+    if not 1 <= bands <= n_hashes:
+        # bands=0 would ZeroDivisionError out of the modulo below, and
+        # a negative divisor of n_hashes (e.g. 128 / -16) would pass it
+        # while producing r < 0 — nonsense band slices (r9 ADVICE)
+        raise ValueError(
+            f"bands must satisfy 1 <= bands <= n_hashes: "
+            f"n_hashes={n_hashes}, bands={bands}"
+        )
+    if n_hashes % bands:
+        # bands > n_hashes would make r = 0 (every band hashes the
+        # empty slice -> all docs collide in all buckets = full O(n²)
+        # self-join); a non-dividing split silently drops the tail
+        # hashes from banding. Both are misconfigurations.
+        raise ValueError(
+            f"bands must divide n_hashes: n_hashes={n_hashes}, bands={bands}"
+        )
+    r = n_hashes // bands
     banded = sig.select(
         "doc",
         "sig",

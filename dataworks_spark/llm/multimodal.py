@@ -290,7 +290,8 @@ AUDIO_FEATURE_SCHEMA = (
 
 def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
                             n_jpeg: int = 12, n_png: int = 12,
-                            n_prog: int = 6, root: str | None = None) -> str:
+                            n_prog: int = 6, n_trns: int = 4,
+                            root: str | None = None) -> str:
     """Generate a deterministic directory of REAL decodable media:
     16×16 P6 PPM images (smooth per-index gradients; every 8th image
     is a NEAR-DUPLICATE of its predecessor — one pixel perturbed — so
@@ -305,7 +306,11 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
     encoder; filter strategy rotates none/sub/up/avg/paeth/adaptive
     and every 3rd file is Adam7-interlaced, so the driver-gated pass
     exercises every unfilter path — png 20000+i decodes PIXEL-EXACT to
-    ppm i, a planted cross-format EXACT perceptual dup). Idempotent."""
+    ppm i, a planted cross-format EXACT perceptual dup), plus — since
+    r13 — ``n_trns`` hand-assembled PNGs with the single-transparent-
+    color tRNS form (ids offset by 40000; alternating gray/type-0 and
+    truecolor/type-2), so the gray/truecolor tRNS→alpha decode path
+    executes under the driver, not just in units. Idempotent."""
     import math
     import os
     import struct
@@ -315,7 +320,9 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
     base = root or os.path.join(repo_root, ".media_fixtures")
     out = os.path.join(base, f"{name}_decodable")
     done = os.path.join(out, ".complete")
-    if _fixture_ready(out, done, f"{n_images},{n_audio},{n_jpeg},{n_png},{n_prog}"):
+    if _fixture_ready(
+        out, done, f"{n_images},{n_audio},{n_jpeg},{n_png},{n_prog},{n_trns}"
+    ):
         return out
     os.makedirs(out, exist_ok=True)
     w = h = 16
@@ -372,6 +379,43 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
                         interlace=(i % 3 == 2),
                     )
                 )
+    if n_trns:
+        # hand-assembled tRNS PNGs (the encoder never emits tRNS):
+        # filter-0 scanlines + a gray (type 0) or truecolor (type 2)
+        # tRNS chunk naming one transparent sample value that the
+        # image provably contains
+        import zlib as _zlib
+
+        def _chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        for i in range(n_trns):
+            gray = i % 2 == 0
+            if gray:
+                rows = b"".join(
+                    b"\x00" + bytes(((x * 16 + y * 7 + i) % 256) for x in range(w))
+                    for y in range(h)
+                )
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                trns = _chunk(b"tRNS", struct.pack(">H", (7 + i) % 256))
+            else:
+                rows = b"".join(
+                    b"\x00" + pixel_arrays[i][y * w * 3 : (y + 1) * w * 3]
+                    for y in range(h)
+                )
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                # the exact (r,g,b) of pixel (0,0) of source image i
+                p0 = pixel_arrays[i][:3]
+                trns = _chunk(b"tRNS", struct.pack(">HHH", p0[0], p0[1], p0[2]))
+            data = (
+                b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + trns
+                + _chunk(b"IDAT", _zlib.compress(rows)) + _chunk(b"IEND", b"")
+            )
+            with open(os.path.join(out, f"png_{40000 + i:05d}.png"), "wb") as f:
+                f.write(data)
     rate = 8000
     for i in range(n_audio):
         src = i - 1 if (i % 8 == 7) else i
@@ -386,7 +430,9 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
             f.setframerate(rate)
             f.writeframes(bytes(frames))
     with open(done, "w") as f:
-        f.write(f"{n_images},{n_audio},{n_jpeg},{n_png},{n_prog}")
+        # EXACTLY the signature _fixture_ready compares (r11 gotcha:
+        # a field-count mismatch silently regenerates every call)
+        f.write(f"{n_images},{n_audio},{n_jpeg},{n_png},{n_prog},{n_trns}")
     return out
 
 

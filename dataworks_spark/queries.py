@@ -822,14 +822,31 @@ def q_semantic_dedup(spark, sf_dir):
     scales with corpus size (SemDeDup's own prescription): pair space
     is Σ|cluster|² ≈ n²/c and each pair's score is an interpreted
     lambda evaluation, so c ∝ n keeps per-row work constant as data
-    grows."""
+    grows.
+
+    Tagged (§8): 'pairs' = the production plan; 'pairs_capped' re-runs
+    a bounded id range with the r13 ``max_cluster`` hard guard ACTIVE
+    (the per-cluster size fold + broadcast sub-shard split) so the
+    guard's plan executes under the driver every round — the same
+    treatment r13 gave the sketch kernels' ``max_bucket``."""
     from dataworks_spark.llm.similarity import semantic_dedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     n_clusters = max(8, _table_count(spark, sf_dir, "embeddings") // 128)
-    return semantic_dedup_pairs(
+    pairs = semantic_dedup_pairs(
         e, "vec_id", "embedding", threshold=0.35, n_clusters=n_clusters
-    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    ).select(
+        F.lit("pairs").alias("tag"),
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"),
+    )
+    capped = semantic_dedup_pairs(
+        e.filter(F.col("vec_id") < 200), "vec_id", "embedding",
+        threshold=0.35, n_clusters=4, max_cluster=32,
+    ).select(
+        F.lit("pairs_capped").alias("tag"),
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"),
+    )
+    return pairs.unionByName(capped)
 
 
 def q_cosine_knn(spark, sf_dir):
@@ -1380,16 +1397,24 @@ def q_dedup_sketch(spark, sf_dir):
     q_dedup_simhash. Both are xxhash64-based, engine-specific → rows
     -only; the exact-Jaccard twin q_dedup_ngram is the hash-matched
     oracle. 'minhash' score = estimated Jaccard; 'simhash' score =
-    Hamming distance; 'minhash_capped' re-runs the minhash branch with
-    the 100 TB hot-bucket guard ACTIVE (max_bucket=8 over a bounded id
-    range) so the capped semi-join plan — count fold + left-semi before
-    the bucket self-join — executes under the driver every round, not
-    just in units (r12 VERDICT #6)."""
-    from dataworks_spark.llm.dedup import minhash_near_dup_pairs, simhash_near_dup_pairs
+    Hamming distance; 'minhash_capped' re-bands a bounded id range of
+    the SAME signature relation with the 100 TB hot-bucket guard
+    ACTIVE (max_bucket=8) so the capped semi-join plan — count fold +
+    left-semi before the bucket self-join — executes under the driver
+    every round, not just in units (r12 VERDICT #6). Both minhash
+    branches read ONE signature checkpoint (the persist-the-sketch
+    shape minhash_signatures documents): the shingle→minhash pass —
+    the query's dominant CPU — runs once."""
+    from dataworks_spark.llm.dedup import (
+        minhash_pairs_from_signatures,
+        minhash_signatures,
+        simhash_near_dup_pairs,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    mh = minhash_near_dup_pairs(
-        d, "doc_id", "text", n_hashes=64, bands=16, threshold=0.3
+    sig = minhash_signatures(d, "doc_id", "text", n_hashes=64)
+    mh = minhash_pairs_from_signatures(
+        sig, n_hashes=64, bands=16, threshold=0.3
     ).select(
         F.lit("minhash").alias("tag"), "doc_a", "doc_b",
         F.col("est_jaccard").alias("score"),
@@ -1402,8 +1427,8 @@ def q_dedup_sketch(spark, sf_dir):
             F.col("hamming").cast("double").alias("score"),
         )
     )
-    mc = minhash_near_dup_pairs(
-        d.filter(F.col("doc_id") < 500), "doc_id", "text",
+    mc = minhash_pairs_from_signatures(
+        sig.filter(F.col("doc") < 500),
         n_hashes=64, bands=16, threshold=0.3, max_bucket=8,
     ).select(
         F.lit("minhash_capped").alias("tag"), "doc_a", "doc_b",

@@ -313,14 +313,25 @@ def test_fixture_pngs_pair_exactly_with_their_ppm_sources(spark):
     pngs = read_binary_dir(spark, path, id_pattern=r"png_(\d+)\.", glob="*.png")
     feats = decode_image_features(ppms.unionByName(pngs))
     rows = {r.media_id: r for r in feats.collect()}
-    assert sum(1 for r in rows.values() if r.format == "PNG") == 12
+    assert sum(1 for r in rows.values() if r.format == "PNG") == 16
     for i in range(12):
         g, p = rows[20000 + i], rows[i]
         assert (g.width, g.height) == (16, 16)
         assert g.mean_r == pytest.approx(p.mean_r)
         assert g.ahash == p.ahash  # lossless: identical perceptual hash
+    # r13 tRNS fixtures (+40000): gray/type-0 on even ids decode through
+    # the gray+alpha branch; truecolor/type-2 on odd ids carry the SAME
+    # pixels as ppm i (alpha dropped for features) → exact feature twin
+    for i in range(4):
+        t = rows[40000 + i]
+        assert (t.width, t.height) == (16, 16) and t.format == "PNG"
+        if i % 2 == 1:
+            p = rows[i]
+            assert t.ahash == p.ahash and t.mean_g == pytest.approx(p.mean_g)
+        else:
+            assert t.mean_r == pytest.approx(t.mean_b)  # gray: channels equal
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in image_near_dup_pairs(feats).collect()}
-    planted = {(i, 20000 + i) for i in range(12)}
+    planted = {(i, 20000 + i) for i in range(12)} | {(i, 40000 + i) for i in (1, 3)}
     found = planted & set(pairs)
     assert found == planted, f"missing exact cross-format pairs: {planted - found}"
     assert all(pairs[p] == 0 for p in planted)
