@@ -835,6 +835,10 @@ def _cap_buckets(
         .agg(F.count(F.lit(1)).alias("__bn"))
         .filter(F.col("__bn") <= max_bucket)
         .drop("__bn")
+        # both sides of the downstream self-join read the capped
+        # relation — materialize the survivor keys once (|buckets|
+        # rows) so the size fold doesn't run once per side (r13)
+        .localCheckpoint(eager=False)
     )
     return rel.join(small, keys, "left_semi")
 

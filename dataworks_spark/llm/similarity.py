@@ -1011,7 +1011,10 @@ def semantic_dedup_pairs(
         )
         assigned = assigned.join(F.broadcast(shards), "__c").withColumn(
             "__b", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
-        )
+        ).localCheckpoint(eager=False)
+        # ^ without this barrier both self-join sides re-run the size
+        # fold + broadcast (plans differing only by expr ids don't
+        # reuse exchanges); with it the fold runs once
         keys = ["__c", "__b"]
     left = assigned.select(
         *keys, F.col(id_col).alias("id_a"), F.col("__nv").alias("v_a")
