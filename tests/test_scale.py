@@ -168,7 +168,9 @@ def test_lsh_index_save_load_partition_prunes(spark, sf_dir, tmp_path):
     # plan-level: the bucket filter reaches the scan as a PartitionFilter
     probed = loaded.df.filter(F.col("lsh_bucket").isin([1, 2]))
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "lsh_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    from tests.test_plans import _partition_filters
+
+    assert any(pf and "lsh_bucket" in pf for pf in _partition_filters(plan)), plan
 
 
 def test_ivf_index_save_load_round_trip(spark, sf_dir, tmp_path):
@@ -190,7 +192,9 @@ def test_ivf_index_save_load_round_trip(spark, sf_dir, tmp_path):
     )
     probed = loaded.df.filter(F.col("__ivf").isin([0, 1]))
     plan = probed._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "__ivf" in plan.split("PartitionFilters", 1)[1][:200]
+    from tests.test_plans import _partition_filters
+
+    assert any(pf and "__ivf" in pf for pf in _partition_filters(plan)), plan
 
 
 def test_ivf_assign_large_c_is_arrow_vectorized(spark, sf_dir):
