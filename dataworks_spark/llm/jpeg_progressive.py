@@ -202,28 +202,36 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
 
 def _entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
     """De-stuff one scan's entropy data into restart-delimited
-    segments; returns (segments, offset of the terminating marker)."""
+    segments; returns (segments, offset of the terminating marker).
+
+    r13: hops FF positions with ``bytes.find`` and slices the spans
+    between them (the previous per-byte bytearray walk appended ~every
+    byte of every scan — with ~10 scans per image it profiled at ~12%
+    of decode; C-speed find/slice removes it)."""
     segments: list[bytes] = []
-    cur = bytearray()
+    parts: list[bytes] = []
     i = start
     n = len(payload)
-    while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0:
+            parts.append(payload[i:n])
+            i = n
+            break
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            parts.append(payload[i : j + 1])  # keep the FF, drop the 00
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            parts.append(payload[i:j])
+            segments.append(b"".join(parts))
+            parts = []
+            i = j + 2
+        else:
+            parts.append(payload[i:j])
+            i = j
             break  # next true marker ends the scan
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
+    segments.append(b"".join(parts))
     return segments, min(i, n)
 
 
@@ -303,27 +311,76 @@ def huff_get(huff, cls, tid):
 
 def _ac_first(reader, tbl, blk, ss, se, al, state):
     """G.1.2.2: first scan for an AC band — baseline-style (run, size)
-    with EOBn symbols whose runs span BLOCKS."""
+    with EOBn symbols whose runs span BLOCKS.
+
+    r13: symbol/value decode inlined on LOCAL ints, reader state
+    written back once per block — the same measured trade as the
+    baseline _decode_block (attribute access and call overhead were
+    the cost after the r12 peek-16 LUT). Semantics bit-for-bit:
+    same refills, same T.81 tail padding, same truncation errors."""
     if state["eobrun"] > 0:
         state["eobrun"] -= 1
         return
+    data = reader.data
+    ndata = len(data)
+    pos = reader.pos
+    acc = reader.acc
+    nbits = reader.nbits
+    sym_l, len_l = tbl.lut
     k = ss
     while k <= se:
-        rs = reader.read_symbol(tbl)
+        while nbits < 16 and pos < ndata:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits >= 16:
+            idx = (acc >> (nbits - 16)) & 0xFFFF
+        else:
+            pad = 16 - nbits
+            idx = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        length = len_l[idx]
+        if length == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        if length > nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        nbits -= length
+        acc &= (1 << nbits) - 1
+        rs = sym_l[idx]
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r < 15:  # EOBn
-                state["eobrun"] = (1 << r) - 1
+                eob = (1 << r) - 1
                 if r:
-                    state["eobrun"] += reader.read_bits(r)
-                return
+                    while nbits < r:
+                        if pos >= ndata:
+                            raise ValueError("truncated JPEG entropy stream")
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    nbits -= r
+                    eob += (acc >> nbits) & ((1 << r) - 1)
+                    acc &= (1 << nbits) - 1
+                state["eobrun"] = eob
+                break
             k += 16  # ZRL
             continue
         k += r
         if k > se:
             raise ValueError("AC run past spectral band")
-        blk[k] = _extend(reader.read_bits(s), s) << al
+        while nbits < s:
+            if pos >= ndata:
+                raise ValueError("truncated JPEG entropy stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= s
+        v = (acc >> nbits) & ((1 << s) - 1)
+        acc &= (1 << nbits) - 1
+        blk[k] = (v - (1 << s) + 1 if v < (1 << (s - 1)) else v) << al
         k += 1
+    reader.pos = pos
+    reader.acc = acc
+    reader.nbits = nbits
 
 
 def _refine_correct_span(reader, blk, lo, hi, p1, m1):
@@ -361,29 +418,80 @@ def _ac_refine(reader, tbl, blk, ss, se, al, state):
         state["eobrun"] -= 1
         return
 
+    # symbol/bit decode inlined on LOCAL ints (r13, same trade as
+    # _decode_block/_ac_first): this walk is the dense-image hot path —
+    # one symbol per (run, value) plus one raw bit per nonzero passed
+    data = reader.data
+    ndata = len(data)
+    pos = reader.pos
+    acc = reader.acc
+    nbits = reader.nbits
+    sym_l, len_l = tbl.lut
     vals = blk[ss : se + 1].tolist()
     n = se - ss + 1
     k = 0
     while k < n:
-        rs = reader.read_symbol(tbl)
+        while nbits < 16 and pos < ndata:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits >= 16:
+            idx = (acc >> (nbits - 16)) & 0xFFFF
+        else:
+            pad = 16 - nbits
+            idx = ((acc << pad) | ((1 << pad) - 1)) & 0xFFFF
+        length = len_l[idx]
+        if length == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        if length > nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        nbits -= length
+        acc &= (1 << nbits) - 1
+        rs = sym_l[idx]
         r, s = rs >> 4, rs & 15
         val = 0
         if s:
             if s != 1:
                 raise ValueError("refinement scan size code must be 1")
-            val = p1 if reader.read_bit() else m1
+            if nbits == 0:
+                if pos >= ndata:
+                    raise ValueError("truncated JPEG entropy stream")
+                acc = data[pos]
+                pos += 1
+                nbits = 8
+            nbits -= 1
+            val = p1 if (acc >> nbits) & 1 else m1
+            acc &= (1 << nbits) - 1
         else:
             if r != 15:  # EOBn: corrections continue below
-                state["eobrun"] = 1 << r
+                eob = 1 << r
                 if r:
-                    state["eobrun"] += reader.read_bits(r)
+                    while nbits < r:
+                        if pos >= ndata:
+                            raise ValueError("truncated JPEG entropy stream")
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    nbits -= r
+                    eob += (acc >> nbits) & ((1 << r) - 1)
+                    acc &= (1 << nbits) - 1
+                state["eobrun"] = eob
                 break
             # ZRL: skip 16 zero-history positions (with corrections)
         while k < n:
             v = vals[k]
             if v != 0:
                 # one appended bit per nonzero coefficient passed
-                if reader.read_bit() and (v & p1) == 0:
+                if nbits == 0:
+                    if pos >= ndata:
+                        raise ValueError("truncated JPEG entropy stream")
+                    acc = data[pos]
+                    pos += 1
+                    nbits = 8
+                nbits -= 1
+                b = (acc >> nbits) & 1
+                acc &= (1 << nbits) - 1
+                if b and (v & p1) == 0:
                     vals[k] = v + (p1 if v > 0 else m1)
             else:
                 if r == 0:
@@ -398,11 +506,24 @@ def _ac_refine(reader, tbl, blk, ss, se, al, state):
         i = k
         while i < n:
             v = vals[i]
-            if v != 0 and reader.read_bit() and (v & p1) == 0:
-                vals[i] = v + (p1 if v > 0 else m1)
+            if v != 0:
+                if nbits == 0:
+                    if pos >= ndata:
+                        raise ValueError("truncated JPEG entropy stream")
+                    acc = data[pos]
+                    pos += 1
+                    nbits = 8
+                nbits -= 1
+                b = (acc >> nbits) & 1
+                acc &= (1 << nbits) - 1
+                if b and (v & p1) == 0:
+                    vals[i] = v + (p1 if v > 0 else m1)
             i += 1
         state["eobrun"] -= 1
     blk[ss : se + 1] = vals
+    reader.pos = pos
+    reader.acc = acc
+    reader.nbits = nbits
 
 
 def _reconstruct(frame, coeff, qt):
