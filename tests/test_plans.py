@@ -246,3 +246,15 @@ def test_docs_asof_read_prunes_partitions(spark, tmp_path):
     # and the as-of answer matches the unpartitioned store's
     got = {r.id: r.body for r in snap.filter(~F.col("deleted")).collect()}
     assert got == {rid: body for rid, body in rows}
+
+
+def test_capped_guard_plans_execute_under_driver(spark):
+    """r13: the two 100 TB pair-space guards are not unit-only — their
+    physical shapes appear in the driver-checked queries' executed
+    plans. q_dedup_sketch's 'minhash_capped' branch plans the
+    max_bucket survivor SEMI-join; q_semantic_dedup's 'pairs_capped'
+    branch joins on the sub-shard key __b (the max_cluster split)."""
+    plan = _plan(spark, "q_dedup_sketch")
+    assert "LeftSemi" in plan, f"no survivor semi-join in plan:\n{plan[:2000]}"
+    plan2 = _plan(spark, "q_semantic_dedup")
+    assert "__b" in plan2, f"no sub-shard key in pair join:\n{plan2[:2000]}"
