@@ -938,6 +938,7 @@ def semantic_dedup_pairs(
     sample: int | None = None,
     seed: int = 42,
     max_cluster: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     public): k-means-cluster the embeddings, then compare cosine only
@@ -983,8 +984,22 @@ def semantic_dedup_pairs(
     near-dup families far smaller than the cap are usually intact).
     Deterministic and partitioning-invariant (xxhash64 on the id; the
     per-cluster size fold is map-side combined, |clusters| rows,
-    broadcast back). ``None`` = no guard, bit-identical history."""
-    cents = ivf_train(df, vec_col, n_centroids=n_clusters, sample=sample, seed=seed)
+    broadcast back). ``None`` = no guard, bit-identical history.
+
+    ``centroids`` (r13): pass an already-trained quantizer (a c×dim
+    array — ``ivf_train``'s return, or ``IvfIndex.centroids``) to skip
+    the training pass entirely. The quantizer is a TRAIN-ONCE artifact
+    exactly like the ANN indexes: at 100 TB you train it on one
+    bounded sample job, persist the c×dim sidecar, and every dedup run
+    (and every parameter re-run) assigns against it — re-training per
+    run re-pays the sample collect + Lloyd jobs for an identical
+    result (same seed) or, worse, a DIFFERENT clustering (new data
+    order) that makes runs incomparable."""
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else ivf_train(df, vec_col, n_centroids=n_clusters, sample=sample, seed=seed)
+    )
     unit = unit_vector(F.col(vec_col))
     # checkpoint-materialize the assigned relation: the self-join's two
     # sides differ by projection, so without it ivf_assign (the
@@ -1040,6 +1055,7 @@ def semantic_dedup_keepers(
     sample: int | None = None,
     seed: int = 42,
     max_cluster: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Full SemDeDup decision: semantic pairs → connected components →
     one deterministic survivor (min id) per component. Returns
@@ -1051,6 +1067,7 @@ def semantic_dedup_keepers(
     from dataworks_spark.llm.dedup import near_dup_clusters
 
     pairs = semantic_dedup_pairs(
-        df, id_col, vec_col, threshold, n_clusters, sample, seed, max_cluster
+        df, id_col, vec_col, threshold, n_clusters, sample, seed,
+        max_cluster, centroids,
     )
     return near_dup_clusters(pairs, id_a="id_a", id_b="id_b")

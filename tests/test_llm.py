@@ -1426,6 +1426,38 @@ def test_max_cluster_bounds_hot_semantic_cluster(spark):
         semantic_dedup_pairs(df, "vec_id", "embedding", max_cluster=0, **kw)
 
 
+def test_semantic_dedup_accepts_pretrained_quantizer(spark, emb):
+    """r13: passing ivf_train's own output as ``centroids`` must give
+    the IDENTICAL pair set as internal training (same params/seed) —
+    the train-once reuse shape q_semantic_dedup runs on — and a
+    DIFFERENT quantizer is honored (not silently retrained)."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import ivf_train, semantic_dedup_pairs
+
+    e = emb.filter(F.col("vec_id") < 200)
+    internal = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in semantic_dedup_pairs(
+            e, "vec_id", "embedding", 0.35, n_clusters=4
+        ).collect()
+    }
+    cents = ivf_train(e, "embedding", n_centroids=4)
+    external = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in semantic_dedup_pairs(
+            e, "vec_id", "embedding", 0.35, n_clusters=4, centroids=cents
+        ).collect()
+    }
+    assert external == internal and internal
+    # one centroid = the exhaustive kernel: every pair lands together
+    one = semantic_dedup_pairs(
+        e, "vec_id", "embedding", 0.35,
+        centroids=np.ones((1, len(e.first()["embedding"]))),
+    )
+    assert one.count() >= len(internal)
+
+
 def test_semantic_dedup_keepers_min_label(spark, emb):
     """Keeper labeling: every component's label is its min member id,
     and membership matches the pair graph's connectivity."""
