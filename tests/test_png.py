@@ -233,6 +233,36 @@ def test_roundtrip_property_random_shapes():
         assert np.array_equal(got, img), (h, w, c, ft, il)
 
 
+def test_trns_property_random_images():
+    """Property (r13): for ANY 8-bit gray or truecolor image and any
+    transparent value, the decoded alpha is exactly the equality mask
+    and the color planes are untouched — both interlace methods."""
+    rng = np.random.default_rng(99)
+    for trial in range(20):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        gray = bool(rng.integers(0, 2))
+        il = bool(rng.integers(0, 2))
+        c = 1 if gray else 3
+        # small value range so matches actually occur
+        img = rng.integers(0, 6, size=(h, w, c), dtype=np.uint8)
+        data = encode_png(img, interlace=il)
+        ihdr_end = 8 + 12 + 13
+        if gray:
+            v = int(rng.integers(0, 6))
+            trns = _chunk(b"tRNS", struct.pack(">H", v))
+            mask = img[:, :, 0] == v
+        else:
+            vr, vg, vb = (int(rng.integers(0, 6)) for _ in range(3))
+            trns = _chunk(b"tRNS", struct.pack(">HHH", vr, vg, vb))
+            mask = (img == np.array([vr, vg, vb])).all(axis=2)
+        got = decode_png(data[:ihdr_end] + trns + data[ihdr_end:])
+        assert got.shape == (h, w, c + 1), (trial, h, w, gray, il)
+        assert np.array_equal(got[:, :, :c], img), (trial, gray, il)
+        assert np.array_equal(got[:, :, c] == 0, mask), (trial, gray, il)
+        assert set(np.unique(got[:, :, c])) <= {0, 255}
+
+
 # ---------------------------------------------------------------------------
 # Spark-side wiring
 # ---------------------------------------------------------------------------
