@@ -316,6 +316,15 @@ def write_decodable_fixture(name: str, n_images: int = 48, n_audio: int = 24,
     import struct
     import wave as _wave
 
+    if n_trns > n_images:
+        # each truecolor tRNS file reuses pixel_arrays[i] as its
+        # scanline source (it must be an exact twin of ppm i), so the
+        # generator cannot mint more tRNS files than source images
+        raise ValueError(
+            f"n_trns ({n_trns}) must be <= n_images ({n_images}): every "
+            "truecolor tRNS fixture is built from the pixel data of the "
+            "PPM image with the same index"
+        )
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     base = root or os.path.join(repo_root, ".media_fixtures")
     out = os.path.join(base, f"{name}_decodable")

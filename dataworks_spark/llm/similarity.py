@@ -266,6 +266,16 @@ def _minibatch_kmeans(
     return cents
 
 
+def _destroy_broadcasts(bcs: list) -> None:
+    """Best-effort destroy of Broadcast handles a finished (eager)
+    assignment action created — the context may already be stopped."""
+    for bc in bcs:
+        try:
+            bc.destroy()
+        except Exception:  # noqa: BLE001 — stopped context
+            pass
+
+
 def _sample_lloyd_distributed(
     spark, x: np.ndarray, cents: np.ndarray, epochs: int = 2,
 ) -> np.ndarray:
@@ -301,9 +311,17 @@ def _sample_lloyd_distributed(
     cents = cents.astype(np.float64, copy=True)
     try:
         for _ in range(epochs):
+            bcs: list = []
             got = sdf.select(
-                "idx", ivf_assign(F.col("v"), cents, max_literal=0).alias("c")
+                "idx",
+                ivf_assign(
+                    F.col("v"), cents, max_literal=0, bc_out=bcs
+                ).alias("c"),
             ).collect()
+            # the epoch's assignment relation is fully consumed — free
+            # its centroid broadcast now instead of leaking one
+            # block-manager copy per epoch (r13 ADVICE)
+            _destroy_broadcasts(bcs)
             assign = np.zeros(n, dtype=np.int64)
             for r in got:
                 assign[r["idx"]] = r["c"]
@@ -389,8 +407,9 @@ def ivf_build_centroids_distributed(
     # identical to assigning on the raw vectors
     vecs = df.select(unit_vector(F.col(vec_col)).alias("__v"))
     for _ in range(max(iterations, 0)):
+        bcs: list = []
         rows = (
-            vecs.withColumn("__c", ivf_assign(F.col("__v"), cents))
+            vecs.withColumn("__c", ivf_assign(F.col("__v"), cents, bc_out=bcs))
             .groupBy("__c")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
@@ -401,6 +420,10 @@ def ivf_build_centroids_distributed(
             )
             .collect()
         )
+        # per-round assignment column is consumed by this collect —
+        # free its centroid broadcast (r13 ADVICE: one copy per round
+        # otherwise accumulates until driver GC)
+        _destroy_broadcasts(bcs)
         new = cents.copy()
         for r in rows:
             c = r["__c"]
@@ -434,7 +457,10 @@ _IVF_BROADCAST_MIN_BYTES = 4 << 20
 
 
 def ivf_assign(
-    vec: Column, centroids: np.ndarray, max_literal: int = IVF_LITERAL_MAX
+    vec: Column,
+    centroids: np.ndarray,
+    max_literal: int = IVF_LITERAL_MAX,
+    bc_out: list | None = None,
 ) -> Column:
     """Nearest-centroid id (argmax of cosine). At scale the table is
     written partitioned by this column → the query probes
@@ -464,7 +490,15 @@ def ivf_assign(
     (the literal kernel's greatest(·,1) not-found sentinel). Centroids
     are unit-normalized driver-side and the row-norm factor is dropped:
     dividing every score by the same positive ‖vec‖ cannot change the
-    argmax, so per-centroid work is a single dot."""
+    argmax, so per-centroid work is a single dot.
+
+    ``bc_out``: optional list that receives any Broadcast handle the
+    Arrow kernel creates, so EAGER callers (the training loops, which
+    build a fresh assignment column per epoch) can destroy it right
+    after their action instead of leaking one block-manager copy per
+    epoch (r13 ADVICE). Lazy callers leave it None — their relation
+    may re-execute, and an unpersisted torrent broadcast re-replicates
+    from the driver on demand."""
     from dataworks_spark.functions.arrays import dot as _dot
 
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -476,7 +510,7 @@ def ivf_assign(
             # used to work
             pass
         else:
-            return _ivf_assign_arrow(vec, cn)
+            return _ivf_assign_arrow(vec, cn, bc_out=bc_out)
     scores = F.array(
         *[
             _dot(vec, F.lit([float(v) for v in cent]).cast("array<double>"))
@@ -489,7 +523,9 @@ def ivf_assign(
     ).cast("int")
 
 
-def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
+def _ivf_assign_arrow(
+    vec: Column, cn: np.ndarray, bc_out: list | None = None
+) -> Column:
     """Large-c assignment kernel: Arrow-batched numpy argmax over
     unit-normalized centroids ``cn`` (c×dim, already normalized by the
     caller). The centroid matrix rides a torrent BROADCAST once it
@@ -540,6 +576,8 @@ def _ivf_assign_arrow(vec: Column, cn: np.ndarray) -> Column:
         # cnT anywhere inside _assign would make cloudpickle ship the
         # full matrix alongside the handle
         payload = active.sparkContext.broadcast(cnT)
+        if bc_out is not None:
+            bc_out.append(payload)
     else:
         payload = cnT
 
@@ -596,6 +634,28 @@ def ivf_cosine_topk(
     return idx.topk(query_vec, k, n_probe, id_cols)
 
 
+def _check_sidecar_fingerprint(
+    meta: dict, expect: str | None, path: str
+) -> None:
+    """Shared load-time guard (r13 VERDICT #1): when the caller states
+    the CURRENT source-table fingerprint, the sidecar must have been
+    saved with the same one. Both mismatch and absence refuse — an
+    unverifiable index is treated as stale, because the failure it
+    guards (centroids/planes over rows that no longer exist) is
+    silent. Callers that keep the legacy trust-the-path behavior pass
+    ``expect=None``."""
+    if expect is None:
+        return
+    stored = meta.get("source_fingerprint")
+    if stored != expect:
+        raise ValueError(
+            f"stale index at {path}: sidecar source_fingerprint "
+            f"{stored!r} != current corpus fingerprint {expect!r} — the "
+            "source table changed since this index was trained; rebuild "
+            "the index (or re-save with the current fingerprint)"
+        )
+
+
 class LshIndex:
     """Prebuilt random-hyperplane LSH index.
 
@@ -616,14 +676,20 @@ class LshIndex:
         if cache:
             self.df = self.df.cache()
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, source_fingerprint: str | None = None) -> None:
         """Persist the index the way the docstring prescribes for
         100 TB: the assigned table written PARTITIONED BY the bucket —
         so a probe's ``lsh_bucket IN (...)`` filter becomes directory-
         level partition pruning at the scan (plan-asserted in
         tests/test_scale.py) — plus the hyperplanes as a JSON sidecar
         (n_planes × dim floats: driver-scale metadata, like the
-        centroid sidecar of a FAISS-style index)."""
+        centroid sidecar of a FAISS-style index).
+
+        ``source_fingerprint`` (r13 VERDICT #1): the corpus fingerprint
+        the index was built from (session.table_fingerprint, or a
+        Delta/Iceberg snapshot id). Stored in the sidecar so a later
+        :meth:`load` can refuse an index whose source table has moved
+        on — pass it in any deployment where the table can mutate."""
         import json
         import os
 
@@ -632,20 +698,33 @@ class LshIndex:
         )
         with open(os.path.join(path, "planes.json"), "w") as f:
             json.dump(
-                {"vec_col": self.vec_col, "planes": self.planes.tolist()}, f
+                {
+                    "vec_col": self.vec_col,
+                    "planes": self.planes.tolist(),
+                    "source_fingerprint": source_fingerprint,
+                },
+                f,
             )
 
     @classmethod
-    def load(cls, spark, path: str) -> "LshIndex":
+    def load(cls, spark, path: str,
+             expect_fingerprint: str | None = None) -> "LshIndex":
         """Reopen a saved index WITHOUT re-paying assignment: buckets
         come back as partition values, hyperplanes from the sidecar.
-        Probes on the loaded index read only the probed directories."""
+        Probes on the loaded index read only the probed directories.
+
+        ``expect_fingerprint``: the CURRENT fingerprint of the source
+        table. When given, the sidecar must carry a matching
+        ``source_fingerprint`` or the load raises — serving an index
+        over rows it was not built from silently corrupts every
+        downstream answer, so mismatch means retrain, by contract."""
         import json
         import os
 
         idx = cls.__new__(cls)
         with open(os.path.join(path, "planes.json")) as f:
             meta = json.load(f)
+        _check_sidecar_fingerprint(meta, expect_fingerprint, path)
         idx.vec_col = meta["vec_col"]
         idx.planes = np.asarray(meta["planes"], dtype=np.float64)
         idx.df = spark.read.parquet(os.path.join(path, "data"))
@@ -692,11 +771,13 @@ class IvfIndex:
         if cache:
             self.df = self.df.cache()
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, source_fingerprint: str | None = None) -> None:
         """Persist as an inverted-list layout: the assigned table
         partitioned by ``__ivf`` (a probe's list filter prunes at the
         directory level) + centroids as a JSON sidecar (n_centroids ×
-        dim floats — driver-scale)."""
+        dim floats — driver-scale). ``source_fingerprint``: see
+        :meth:`LshIndex.save` — the corpus fingerprint a later load
+        verifies against, making the persisted sidecar stale-proof."""
         import json
         import os
 
@@ -705,19 +786,29 @@ class IvfIndex:
         )
         with open(os.path.join(path, "centroids.json"), "w") as f:
             json.dump(
-                {"vec_col": self.vec_col, "centroids": self.centroids.tolist()}, f
+                {
+                    "vec_col": self.vec_col,
+                    "centroids": self.centroids.tolist(),
+                    "source_fingerprint": source_fingerprint,
+                },
+                f,
             )
 
     @classmethod
-    def load(cls, spark, path: str) -> "IvfIndex":
+    def load(cls, spark, path: str,
+             expect_fingerprint: str | None = None) -> "IvfIndex":
         """Reopen without re-assigning or re-training: inverted lists
-        are partition directories, centroids come from the sidecar."""
+        are partition directories, centroids come from the sidecar.
+        ``expect_fingerprint``: see :meth:`LshIndex.load` — mismatch
+        (or a fingerprint-less sidecar) raises instead of serving
+        centroids trained on rows that no longer exist."""
         import json
         import os
 
         idx = cls.__new__(cls)
         with open(os.path.join(path, "centroids.json")) as f:
             meta = json.load(f)
+        _check_sidecar_fingerprint(meta, expect_fingerprint, path)
         idx.vec_col = meta["vec_col"]
         idx.centroids = np.asarray(meta["centroids"], dtype=np.float64)
         idx.df = spark.read.parquet(os.path.join(path, "data"))

@@ -215,6 +215,47 @@ def _ts_is_nanos(path: str, spark: SparkSession | None = None) -> bool:
         return False
 
 
+def table_fingerprint(spark: SparkSession, path: str) -> str:
+    """Cheap content fingerprint of a table path — the cache/sidecar
+    key that makes every train-once artifact stale-proof by
+    construction (r13 VERDICT #1): an MD5 fold of every data file's
+    (relative path, length, modification time) under ``path``.
+
+    Scale shape: this is a FileSystem LISTING, the same metadata op
+    scan planning already performs — O(#files) namenode/object-store
+    RPCs, zero data reads — routed through the Hadoop FS API so
+    s3a://, hdfs://, … resolve like the other durable-path probes in
+    this repo (streaming/rollup.py:_fs, docs/sink.py). Hidden/underscore
+    entries (_SUCCESS, .crc) are skipped: rewrites toggle them without
+    changing data. Including mtime is deliberately CONSERVATIVE — a
+    byte-identical rewrite changes the fingerprint and forces a
+    retrain, which costs a bounded training job; the inverse failure
+    (serving centroids trained on rows that no longer exist) corrupts
+    every downstream dedup/ANN answer silently. Deployments on
+    transactional tables (Delta/Iceberg) should key by the snapshot /
+    version id instead — same contract, cheaper probe."""
+    import hashlib
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise FileNotFoundError(f"cannot fingerprint missing table path: {path}")
+    base = fs.getFileStatus(p).getPath().toString()
+    entries = []
+    it = fs.listFiles(p, True)  # recursive: parquet dirs nest partitions
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith((".", "_")):
+            continue
+        rel = st.getPath().toString()
+        rel = rel[len(base):] if rel.startswith(base) else rel
+        entries.append(f"{rel}\x00{st.getLen()}\x00{st.getModificationTime()}")
+    entries.sort()  # listing order is FS-dependent; the fold must not be
+    return hashlib.md5("\x01".join(entries).encode()).hexdigest()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan (SURVEY §2 A8): Catalyst pushes filters and
     prunes columns, so callers should express predicates declaratively

@@ -2305,6 +2305,57 @@ def test_ivf_assign_arrow_broadcast_path_equals_closure_path(spark, monkeypatch)
     assert sentinel == {900: 0, 901: 0}
 
 
+def test_training_loops_destroy_per_epoch_broadcasts(spark, monkeypatch):
+    """r14 (r13 ADVICE): each large-c assignment used to leave its
+    centroid broadcast alive until driver GC — one block-manager copy
+    per Lloyd epoch. The eager training loops now thread ``bc_out``
+    through ivf_assign and destroy the epoch's broadcast right after
+    its collect. Force the broadcast path (threshold 0) and assert
+    every broadcast either loop creates is destroyed before return."""
+    import numpy as np
+    from pyspark.broadcast import Broadcast
+
+    import dataworks_spark.llm.similarity as sim
+
+    monkeypatch.setattr(sim, "_IVF_BROADCAST_MIN_BYTES", 0)
+    made, destroyed = [], []
+    sc = spark.sparkContext
+    real_broadcast = sc.broadcast
+    real_destroy = Broadcast.destroy
+
+    def _spy_broadcast(self, v):
+        bc = real_broadcast(v)
+        made.append(bc)
+        return bc
+
+    monkeypatch.setattr(type(sc), "broadcast", _spy_broadcast)
+    monkeypatch.setattr(
+        Broadcast, "destroy",
+        lambda self, blocking=False: (
+            destroyed.append(id(self)), real_destroy(self, blocking))[0],
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(64, 8))
+    sim._sample_lloyd_distributed(spark, x, x[:4].copy(), epochs=2)
+    assert len(made) == 2  # one broadcast per epoch, none reused
+    assert {id(b) for b in made} == set(destroyed)
+
+    made.clear()
+    destroyed.clear()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    sim.ivf_build_centroids_distributed(
+        df, "embedding", n_centroids=16, iterations=2
+    )
+    # every arrow-path broadcast any stage created must be destroyed
+    # by return (the init stage may route through the sample loop too)
+    assert made, "expected the c=16 > IVF_LITERAL_MAX arrow path to fire"
+    assert {id(b) for b in made} == set(destroyed)
+
+
 def test_ivf_assign_arrow_ships_package(spark, monkeypatch):
     """r12 (ADVICE medium): the Arrow IVF kernel's task body imports
     dataworks_spark.functions.blasctl by name, so building the kernel

@@ -197,6 +197,95 @@ def test_ivf_index_save_load_round_trip(spark, sf_dir, tmp_path):
     assert any(pf and "__ivf" in pf for pf in _partition_filters(plan)), plan
 
 
+def test_table_fingerprint_tracks_mutation(spark, tmp_path):
+    """r14 (r13 VERDICT #1): the corpus fingerprint is stable while the
+    table is untouched, changes when the table is rewritten under the
+    SAME path, and ignores hidden/underscore bookkeeping files."""
+    from dataworks_spark.session import table_fingerprint
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(10).write.mode("overwrite").parquet(p)
+    fp1 = table_fingerprint(spark, p)
+    assert fp1 == table_fingerprint(spark, p)
+    (tmp_path / "t.parquet" / "_extra_marker").write_text("x")
+    (tmp_path / "t.parquet" / ".hidden").write_text("x")
+    assert table_fingerprint(spark, p) == fp1
+    spark.range(20).write.mode("overwrite").parquet(p)
+    assert table_fingerprint(spark, p) != fp1
+
+
+def test_ann_cache_retrains_on_table_mutation(spark, tmp_path):
+    """r14 (r13 VERDICT #1 done-criterion): mutate the table under the
+    cache's path and observe a RETRAIN — stale centroids are impossible
+    by construction. Also: the stale entry is evicted, not retained."""
+    import numpy as np
+
+    from dataworks_spark import queries as Q
+
+    rng = np.random.default_rng(7)
+    sfd = str(tmp_path)
+
+    def write(n):
+        rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(n)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).write.mode("overwrite").parquet(f"{sfd}/embeddings.parquet")
+
+    write(32)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return np.ones((2, 8)) * len(calls)
+
+    a = Q._ann_cached(spark, sfd, "fp-test", build)
+    b = Q._ann_cached(spark, sfd, "fp-test", build)
+    assert len(calls) == 1 and a is b  # memo hit while data unchanged
+    write(40)  # the mutation the path-keyed r13 cache would have missed
+    c = Q._ann_cached(spark, sfd, "fp-test", build)
+    assert len(calls) == 2 and c is not a
+    live = [k for k in Q._ANN_INDEX_CACHE if k[1] == sfd and k[2] == "fp-test"]
+    assert len(live) == 1  # stale-fingerprint key evicted
+
+
+def test_index_sidecar_fingerprint_guard(spark, sf_dir, tmp_path):
+    """r14 (r13 VERDICT #1): a sidecar saved with a source fingerprint
+    refuses to load against a different (or absent) expectation; a
+    matching expectation or a None (legacy trust-the-path) load works.
+    Covers both index kinds — they share the guard."""
+    import pytest
+
+    from dataworks_spark.llm.similarity import IvfIndex, LshIndex
+    from dataworks_spark.session import table_fingerprint, table_path
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    fp = table_fingerprint(spark, table_path(sf_dir, "embeddings"))
+    dim = len(emb.first()["embedding"])
+
+    ivf = IvfIndex(emb, "embedding", n_centroids=4, cache=False)
+    p1 = str(tmp_path / "ivf_fp")
+    ivf.save(p1, source_fingerprint=fp)
+    loaded = IvfIndex.load(spark, p1, expect_fingerprint=fp)
+    assert (loaded.centroids == ivf.centroids).all()
+    with pytest.raises(ValueError, match="stale index"):
+        IvfIndex.load(spark, p1, expect_fingerprint="0" * 32)
+
+    lsh = LshIndex(emb, "embedding", dim=dim, n_planes=4, cache=False)
+    p2 = str(tmp_path / "lsh_fp")
+    lsh.save(p2, source_fingerprint=fp)
+    assert LshIndex.load(spark, p2, expect_fingerprint=fp).planes.shape == (4, dim)
+    with pytest.raises(ValueError, match="stale index"):
+        LshIndex.load(spark, p2, expect_fingerprint="0" * 32)
+
+    # legacy sidecar (saved without a fingerprint): None loads, an
+    # expectation refuses — unverifiable counts as stale
+    p3 = str(tmp_path / "ivf_nofp")
+    ivf.save(p3)
+    IvfIndex.load(spark, p3)
+    with pytest.raises(ValueError, match="stale index"):
+        IvfIndex.load(spark, p3, expect_fingerprint=fp)
+
+
 def test_ivf_assign_large_c_is_arrow_vectorized(spark, sf_dir):
     """r10: above IVF_LITERAL_MAX the assignment must plan as an
     Arrow-batched pandas UDF (ArrowEvalPython — one numpy matmul per

@@ -57,6 +57,13 @@ def _metrics(exact: dict, got: dict, k: int) -> dict:
         if ex_mean > 0:
             ratios.append(g_mean / ex_mean)
     n = len(exact)
+    if n == 0:
+        # n_queries=0 or an empty embeddings table gives nothing to
+        # score — a descriptive error beats a ZeroDivisionError here
+        raise ValueError(
+            "no exact top-k results to compare against: the query set is "
+            "empty (n_queries=0, or the embeddings table has no rows)"
+        )
     return {
         "recall": round(sum(r_k) / n, 4),
         "recall1": round(sum(r_1) / n, 4),
