@@ -57,9 +57,29 @@ def _sf(sf_dir: str) -> float:
         return -1.0
 
 
+def _floor_probe_ms(spark, n: int = 7) -> float:
+    """Median wall-clock of ONE trivial cached-count action — the
+    per-action floor BASELINE §5b pins (tools/floor_probe.py), read
+    inside the bench session so it shares the run's host state. At
+    sf0.1 the floor is most of every query's cost, so this single
+    number classifies a drifted run: floor up ⇒ host throttling /
+    scheduler contention, floor flat but queries up ⇒ look at the
+    code (r13's close-out burned seven re-runs making that call
+    without it — r13 VERDICT #5)."""
+    one = spark.range(1).cache()
+    one.count()  # materialize + JIT, off the probe
+    ts = []
+    for _ in range(max(n, 1)):
+        t0 = time.perf_counter()
+        one.count()
+        ts.append(time.perf_counter() - t0)
+    one.unpersist()
+    return round(sorted(ts)[len(ts) // 2] * 1000, 2)
+
+
 def run_spark(
     warm: bool = True, passes: int = 4, duck_con=None
-) -> tuple[dict[str, float], dict[str, float], dict[str, str], dict[str, float]]:
+) -> tuple[dict[str, float], dict[str, float], dict[str, str], dict[str, float], dict]:
     """Run every query ``passes`` times; return (cold, steady, errors,
     duckdb) per-query seconds. Cold = first execution (includes Catalyst
     analysis + Java codegen compilation, the ~0.2-0.5 s/query floor an
@@ -123,7 +143,13 @@ def run_spark(
             pass
     errors: dict[str, str] = {}
     duck_times: dict[str, float] = {}
+    steady_all: dict[str, list[float]] = {}
     prepared: dict[str, object] = {}
+    host: dict = {
+        "cpus": os.cpu_count(),
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "floor_ms_start": _floor_probe_ms(spark),
+    }
     for rnd in range(max(passes, 1)):
         for name, fn in sorted(QUERIES.items()):
             if name in errors:
@@ -163,6 +189,7 @@ def run_spark(
                 cold[name] = dt
             else:
                 steady[name] = min(steady.get(name, dt), dt)
+                steady_all.setdefault(name, []).append(dt)
             if duck_con is not None and name in ORACLE_SQL:
                 # DuckDB immediately after this query's Spark pass:
                 # same round, same per-query contention window
@@ -175,7 +202,23 @@ def run_spark(
                 except Exception as exc:  # noqa: BLE001 — broken oracle row
                     errors[f"duckdb:{name}"] = f"{type(exc).__name__}: {exc}"[:500]
                     duck_times.pop(name, None)
-    return cold, steady, errors, duck_times
+    # host-state marker (r13 VERDICT #5): loadavg + per-action floor
+    # bracketing the run, plus the steady-pass spread (per-query
+    # max/min over the post-warm passes — a quiet host reads ~1.0-1.5,
+    # a contended window shows up as a fat p90 without any code
+    # change). Together these let a reader classify a drifted total
+    # as host-state vs regression WITHOUT re-running the bench.
+    spreads = sorted(
+        max(ts) / min(ts) for ts in steady_all.values() if min(ts) > 0 and len(ts) > 1
+    )
+    if spreads:
+        host["steady_spread_median"] = round(spreads[len(spreads) // 2], 3)
+        host["steady_spread_p90"] = round(
+            spreads[min(len(spreads) - 1, int(len(spreads) * 0.9))], 3
+        )
+    host["floor_ms_end"] = _floor_probe_ms(spark)
+    host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    return cold, steady, errors, duck_times, host
 
 
 def run_duckdb(passes: int = 2) -> dict[str, float]:
@@ -238,7 +281,7 @@ def main() -> None:
             duck_con = duckdb_conn(SF_DIR)
         except Exception:  # noqa: BLE001 — fall back to Spark-only
             duck_con = None
-    cold, steady, errors, duck = run_spark(duck_con=duck_con)
+    cold, steady, errors, duck, host = run_spark(duck_con=duck_con)
     ratio: dict = _ratio(steady, duck) if duck else {}
     out = {
         "metric": "total_query_wall_clock",
@@ -247,6 +290,7 @@ def main() -> None:
         "queries": steady,
         "sf": _sf(SF_DIR),
         "steady_total": round(sum(steady.values()), 4),
+        "host": host,
     }
     if errors:
         out["n_errors"] = len(errors)
