@@ -1015,8 +1015,103 @@ def cosine_pairs_above(
             pairs = left.join(right, "b").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos_sim", cosine_similarity(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cos_sim") >= threshold)
+        # drop-NaN, not bare >=: Spark orders NaN above every double,
+        # so a NaN-poisoned vector would otherwise pair with every
+        # bucket-mate (see semantic_dedup_pairs — same r14 fix)
+        .filter((F.col("cos_sim") >= threshold) & ~F.isnan("cos_sim"))
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _gram_pair_scorer(
+    assigned: DataFrame, keys: list[str], id_col: str, threshold: float
+) -> DataFrame:
+    """Per-group BLAS pair scorer (r13 VERDICT #2): for each cluster
+    (or sub-shard) group, ONE chunked ``X @ X.T`` gram matrix replaces
+    per-pair interpreted expression evaluations. Measured against the
+    expression kernel on identical pair sets (BASELINE r14): ~tie at
+    the fixture's ~170k scored pairs, 3.4× at 10M, 11.5× at 25M —
+    marginal cost is ~ns/pair of BLAS instead of ~0.27 µs/pair of
+    CodegenFallback interpretation, which is the regime a 100 TB
+    corpus lives in. It also ships each vector into Python ONCE PER
+    GROUP member, not once per pair: the join-riding Arrow scorer we
+    also measured loses at EVERY volume because Arrow transfers
+    2×dim×8 B of operands per pair for an 8-byte score (bandwidth-
+    bound, BASELINE r14 table).
+
+    Semantics pinned to the expression kernel (tests): same id pairs,
+    same cosines (both are float64 dots of the same unit vectors; the
+    fixture sweep shows 0 ulp drift), id_a < id_b by VALUE, and rows
+    whose vector is NULL / NaN-poisoned / length-mismatched within the
+    group pair with nothing — exactly how the interpreted
+    ``dot(zip_with(...))`` nulls out those scores. Score chunks are
+    bounded to ≤64 MB intermediates (the r12 Arrow-kernel rule);
+    memory per group is otherwise O(|group|·dim), and |group| is
+    bounded by ``max_cluster`` sub-sharding — the same guard that
+    bounds the pair count itself."""
+    if pd is None:
+        raise RuntimeError(
+            "the gram pair scorer needs pandas (Arrow batch transfer); "
+            "pass scorer='expr' to stay on the interpreted JVM kernel"
+        )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        from dataworks_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(active)
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+    id_name = id_col
+
+    def _score_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from dataworks_spark.functions.blasctl import limit_blas_threads
+
+        limit_blas_threads()
+        lens = pdf["__nv"].map(lambda v: -1 if v is None else len(v)).to_numpy()
+        out_a, out_b, out_s = [], [], []
+        # score only within same-length sub-blocks: the expression
+        # kernel's zip_with null-pads mismatched lengths → null score
+        # → dropped, and a NULL vector pairs with nothing
+        for dim in np.unique(lens):
+            if dim <= 0:
+                continue
+            sel = lens == dim
+            ids = pdf[id_name].to_numpy()[sel]
+            x = np.array(pdf["__nv"][sel].tolist(), dtype=np.float64)
+            m = len(ids)
+            if m < 2:
+                continue
+            step = max(1, (64 << 20) // (8 * m))
+            for s in range(0, m, step):
+                scores = x[s : s + step] @ x.T  # ≤64 MB intermediate
+                with np.errstate(invalid="ignore"):
+                    ii, jj = np.nonzero(scores >= thr)  # NaN compares False
+                keep = (ii + s) < jj  # strict upper triangle: each pair once
+                ii, jj = ii[keep], jj[keep]
+                ia, ib = ids[ii + s], ids[jj]
+                ne = ia != ib  # duplicate ids pair with nothing (id_a < id_b)
+                ia, ib, ii, jj = ia[ne], ib[ne], ii[ne], jj[ne]
+                flip = ib < ia
+                out_a.append(np.where(flip, ib, ia))
+                out_b.append(np.where(flip, ia, ib))
+                out_s.append(scores[ii, jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"cos_sim": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    return assigned.groupBy(*keys).applyInPandas(
+        _score_group, f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 
 
@@ -1030,6 +1125,7 @@ def semantic_dedup_pairs(
     seed: int = 42,
     max_cluster: int | None = None,
     centroids: np.ndarray | None = None,
+    scorer: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     public): k-means-cluster the embeddings, then compare cosine only
@@ -1085,7 +1181,17 @@ def semantic_dedup_pairs(
     (and every parameter re-run) assigns against it — re-training per
     run re-pays the sample collect + Lloyd jobs for an identical
     result (same seed) or, worse, a DIFFERENT clustering (new data
-    order) that makes runs incomparable."""
+    order) that makes runs incomparable.
+
+    ``scorer`` (r14, closing r13 VERDICT #2): how within-group pairs
+    are scored. ``'gram'`` = one chunked BLAS ``X @ X.T`` per group
+    via applyInPandas (:func:`_gram_pair_scorer` — measured 3.4-11.5×
+    faster from ~10M scored pairs up, ~tie below; the 100 TB regime
+    is the former). ``'expr'`` = the r9-r13 self-join + interpreted
+    ``dot`` expression (streams arbitrarily large groups; the
+    pandas-less fallback). ``'auto'`` (default) = gram when pandas is
+    installed, else expr. Both emit identical pairs and cosines
+    (pinned in tests)."""
     cents = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
@@ -1122,6 +1228,12 @@ def semantic_dedup_pairs(
         # fold + broadcast (plans differing only by expr ids don't
         # reuse exchanges); with it the fold runs once
         keys = ["__c", "__b"]
+    if scorer not in ("auto", "gram", "expr"):
+        raise ValueError(f"scorer must be 'auto', 'gram' or 'expr', got {scorer!r}")
+    if scorer == "auto":
+        scorer = "gram" if pd is not None else "expr"
+    if scorer == "gram":
+        return _gram_pair_scorer(assigned, keys, id_col, threshold)
     left = assigned.select(
         *keys, F.col(id_col).alias("id_a"), F.col("__nv").alias("v_a")
     )
@@ -1132,7 +1244,14 @@ def semantic_dedup_pairs(
         left.join(right, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", dot(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cos_sim") >= threshold)
+        # ~isnan matters: Spark ORDERS NaN ABOVE every double, so a
+        # NaN-poisoned vector's scores all PASS a bare >= filter — one
+        # corrupt embedding then pairs with its whole cluster and (in
+        # keepers) merges it into a single component. numpy's NaN
+        # compares False, so the gram scorer was already immune; this
+        # pins both kernels to drop-NaN (r14, found by the gram≡expr
+        # differential test).
+        .filter((F.col("cos_sim") >= threshold) & ~F.isnan("cos_sim"))
         .select("id_a", "id_b", "cos_sim")
     )
 
@@ -1147,6 +1266,7 @@ def semantic_dedup_keepers(
     seed: int = 42,
     max_cluster: int | None = None,
     centroids: np.ndarray | None = None,
+    scorer: str = "auto",
 ) -> DataFrame:
     """Full SemDeDup decision: semantic pairs → connected components →
     one deterministic survivor (min id) per component. Returns
@@ -1159,6 +1279,6 @@ def semantic_dedup_keepers(
 
     pairs = semantic_dedup_pairs(
         df, id_col, vec_col, threshold, n_clusters, sample, seed,
-        max_cluster, centroids,
+        max_cluster, centroids, scorer,
     )
     return near_dup_clusters(pairs, id_a="id_a", id_b="id_b")

@@ -1458,6 +1458,90 @@ def test_semantic_dedup_accepts_pretrained_quantizer(spark, emb):
     assert one.count() >= len(internal)
 
 
+def test_semantic_dedup_gram_scorer_pins_to_expression_kernel(spark, emb):
+    """r14 (r13 VERDICT #2): the BLAS gram pair scorer (now the
+    pandas-default) must be indistinguishable from the interpreted
+    expression kernel — same id pairs, same cosines (round-9 digits),
+    with and without max_cluster sub-sharding, under repartitioning,
+    and on every edge the expression kernel nulls out: NULL vector,
+    NaN-poisoned vector, length-mismatched vector, duplicate ids.
+    Also: string ids round-trip through the declared output schema."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import ivf_train, semantic_dedup_pairs
+
+    e = emb.filter(F.col("vec_id") < 300)
+    cents = ivf_train(e, "embedding", n_centroids=8)
+
+    def key(df_):
+        return sorted(
+            (r.id_a, r.id_b, round(r.cos_sim, 9)) for r in df_.collect()
+        )
+
+    kw = dict(threshold=0.35, n_clusters=8, centroids=cents)
+    expr = key(semantic_dedup_pairs(e, "vec_id", "embedding", scorer="expr", **kw))
+    gram = key(semantic_dedup_pairs(e, "vec_id", "embedding", scorer="gram", **kw))
+    assert gram == expr and expr
+    capped_e = key(semantic_dedup_pairs(
+        e, "vec_id", "embedding", scorer="expr", max_cluster=12, **kw))
+    capped_g = key(semantic_dedup_pairs(
+        e, "vec_id", "embedding", scorer="gram", max_cluster=12, **kw))
+    assert capped_g == capped_e
+    again = key(semantic_dedup_pairs(
+        e.repartition(16, "label"), "vec_id", "embedding", scorer="gram", **kw))
+    assert again == gram
+
+    # edge rows: the expression kernel scores all of these to
+    # null/NaN → dropped; gram must agree, not crash
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8).tolist()
+    twin = (np.asarray(base) + 0.001 * rng.normal(size=8)).tolist()
+    rows = [
+        (1, base), (2, twin),
+        (3, None),                      # NULL vector
+        (4, [float("nan")] * 8),        # NaN-poisoned
+        (5, base[:4]),                  # length mismatch
+        (6, base), (6, twin),           # duplicate id: pairs with nothing
+    ]
+    edge = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ek = dict(threshold=0.9, centroids=np.ones((1, 8)))
+    edge_expr = key(semantic_dedup_pairs(edge, "vec_id", "embedding",
+                                         scorer="expr", **ek))
+    edge_gram = key(semantic_dedup_pairs(edge, "vec_id", "embedding",
+                                         scorer="gram", **ek))
+    assert edge_gram == edge_expr
+    pair_ids = {(a, b) for a, b, _ in edge_gram}
+    assert (1, 2) in pair_ids
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pair_ids)
+    # duplicate id 6 still pairs with OTHER ids, never itself
+    assert (6, 6) not in pair_ids
+    # the exact kernel shares the drop-NaN fix (Spark orders NaN above
+    # every double — a bare >= filter passed NaN scores, pairing one
+    # corrupt embedding with everything)
+    from dataworks_spark.llm.similarity import cosine_pairs_above
+
+    exact_ids = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_above(
+            edge, "vec_id", "embedding", threshold=0.9, exact=True
+        ).collect()
+    }
+    assert all(3 not in p and 4 not in p and 5 not in p for p in exact_ids)
+    assert (1, 2) in exact_ids
+
+    # string ids: output schema follows the id column's type
+    s = spark.createDataFrame(
+        [("a", base), ("b", twin), ("c", (-np.asarray(base)).tolist())],
+        "doc string, embedding array<double>",
+    )
+    got = semantic_dedup_pairs(s, "doc", "embedding", scorer="gram", **ek)
+    assert got.schema["id_a"].dataType.simpleString() == "string"
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {("a", "b")}
+
+    with pytest.raises(ValueError, match="scorer"):
+        semantic_dedup_pairs(e, "vec_id", "embedding", 0.35, scorer="nope")
+
+
 def test_semantic_dedup_keepers_min_label(spark, emb):
     """Keeper labeling: every component's label is its min member id,
     and membership matches the pair graph's connectivity."""
@@ -1759,6 +1843,72 @@ def test_winnow_max_df_drops_boilerplate(spark):
     none = winnow_overlap_pairs(df, min_shared=1, max_df=3).count()
     assert allp == 15  # C(6,2): every pair shares the common run
     assert none == 0  # df=6 > max_df=3 → boilerplate dropped
+
+
+def test_winnow_max_df_bounds_hot_fingerprint_family(spark):
+    """r14 (r13 VERDICT #4) — the planted-skew anchor the dedup guards
+    got, for the winnowing pair kernel: a boilerplate family of 40
+    docs shares one paragraph, flooding its fingerprints (df=40 →
+    C(40,2)=780 pairs through the hub), while one genuine plagiarism
+    pair shares a rare passage (df=2). A df-cap below the family's df
+    bounds the pair kernel (SIGMOD'03's own boilerplate rule): family
+    pairs vanish, the true pair survives with its n_shared intact,
+    capped output is a subset of uncapped, and the selection is
+    partition-invariant."""
+    from dataworks_spark.llm.dedup import winnow_overlap_pairs
+
+    boiler = " ".join(f"b{j}" for j in range(16))
+    passage = " ".join(f"p{j}" for j in range(16))
+    rows = [(i, f"u{i}x u{i}y u{i}z " + boiler) for i in range(40)]
+    rows += [
+        (100, "aaa bbb ccc " + passage),
+        (101, "ddd eee fff " + passage + " ggg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    un = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_overlap_pairs(df, max_df=50).collect()
+    }
+    cp = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_overlap_pairs(df, max_df=10).collect()
+    }
+    assert len(un) >= 40 * 39 // 2  # the hub blowup, un-capped
+    assert (100, 101) in un and (100, 101) in cp
+    assert cp[(100, 101)] == un[(100, 101)]  # rare-passage fps untouched
+    assert all(p == (100, 101) for p in cp), cp  # family pairs gone
+    assert set(cp) <= set(un)
+    again = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_overlap_pairs(df.repartition(16), max_df=10).collect()
+    }
+    assert again == cp
+
+
+def test_contamination_report_bounded_under_hot_shingle(spark):
+    """r14 (r13 VERDICT #4), contamination side: a shingle present in
+    EVERY training doc (boilerplate flood) must not multiply the
+    report — matched (eval_id, shingle) pairs deduplicate before the
+    count, so n_hit counts DISTINCT eval shingles hit, never train
+    occurrences. The shuffle stays ≤ |eval shingles| whatever the
+    train-side df."""
+    from dataworks_spark.llm.pipeline import contamination_report
+
+    passage = " ".join(f"s{j}" for j in range(9))  # 5 distinct 5-grams
+    train = spark.createDataFrame(
+        [(1000 + i, f"t{i}a t{i}b " + passage) for i in range(200)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, passage + " q1 q2 q3 q4 q5")], "doc_id long, text string"
+    )
+    row = contamination_report(train, ev).first()
+    # eval text has 14 tokens → 10 distinct 5-grams; exactly the 5
+    # passage-internal grams appear in training (each in all 200 docs)
+    assert row.n_grams == 10
+    assert row.n_hit == 5  # not 5 × 200
+    assert row.contamination == 0.5
 
 
 def test_winnow_partition_invariance(docs):
