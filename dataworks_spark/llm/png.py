@@ -37,12 +37,16 @@ native codec libraries:
 Scale shape: identical to llm/jpeg.py — a PER-ROW kernel executed
 inside Arrow batches (`multimodal.decode_image_features`); payload
 bytes stay inside the executor batch, only feature rows leave. The
-deflate half runs at C speed (stdlib zlib); unfiltering is
-interpreter-bound only on Average/Paeth rows (a pure-python int loop —
-measured 12× faster than per-column numpy slicing at this
-granularity). MEASURED r12 on a 512×384 adaptive-filtered photo-like
-payload, single core: **4.1 MB/s of compressed bytes ≈ 2.0 Mpx/s ≈
-6.1 MB/s of decoded pixel data**; parallelizes linearly with cores. A
+deflate half runs at C speed (stdlib zlib); unfiltering routes through
+the optional compiled kernel in llm/native.py when a system C compiler
+exists (r14: 29× on the Average/Paeth recurrence — the loop libpng
+keeps in C; pixel-identical by differential test) and otherwise stays
+on the pure-python int loop (itself measured 12× faster than
+per-column numpy slicing at this granularity — the recurrence cannot
+vectorize). MEASURED r12 on a 512×384 adaptive-filtered photo-like
+payload, single core (python path): **4.1 MB/s of compressed bytes ≈
+2.0 Mpx/s ≈ 6.1 MB/s of decoded pixel data** — see BASELINE r14 for
+the native-path rerun; parallelizes linearly with cores. A
 production deployment with libpng available should prefer a PIL
 kernel — the same one-function swap documented in llm/jpeg.py (PIL's
 ``Image.open`` handles PNG through the identical branch shape).
@@ -245,11 +249,19 @@ def _decode_pass(raw: bytes, off: int, span: int, w: int, h: int,
     ftypes = flt[:, 0]
     if ftypes.max(initial=0) > 4:
         raise ValueError(f"unknown filter type {int(ftypes.max())}")
-    out = np.zeros((h, row_bytes), dtype=np.uint8)
-    prev = np.zeros(row_bytes, dtype=np.int32)
-    for y in range(h):
-        out[y] = _unfilter_row(int(ftypes[y]), flt[y, 1:], prev, bpp)
-        prev = out[y].astype(np.int32)
+    # native C unfilter when a system compiler is available (r14:
+    # measured 29× on the Average/Paeth recurrence — the loop every
+    # production PNG stack keeps in C); falls back to the pure-python
+    # row loop, pixel-identical by differential test (tests/test_png)
+    from dataworks_spark.llm.native import png_unfilter
+
+    out = png_unfilter(flt, h, row_bytes, bpp)
+    if out is None:
+        out = np.zeros((h, row_bytes), dtype=np.uint8)
+        prev = np.zeros(row_bytes, dtype=np.int32)
+        for y in range(h):
+            out[y] = _unfilter_row(int(ftypes[y]), flt[y, 1:], prev, bpp)
+            prev = out[y].astype(np.int32)
 
     mask: np.ndarray | None = None
     if depth == 8:

@@ -54,6 +54,56 @@ def _png(w, h, depth, ctype, scanlines: bytes, extra=b"") -> bytes:
 # pure-codec tests
 # ---------------------------------------------------------------------------
 
+
+def test_native_unfilter_matches_python_loop_exhaustively():
+    """r14 (r13 VERDICT #3): the compiled unfilter kernel must be
+    byte-identical to the pure-python row loop across every filter
+    type, byte stride, and a mixed-filter image — the differential
+    that licenses routing all decodes through it. Skips only when the
+    machine has no C compiler (the fallback IS the python loop)."""
+    from dataworks_spark.llm import native
+    from dataworks_spark.llm.png import _unfilter_row
+
+    rng = np.random.default_rng(17)
+    probe = native.png_unfilter(
+        np.zeros((1, 4), dtype=np.uint8), 1, 3, 1
+    )
+    if probe is None:
+        pytest.skip("no system C compiler: python loop is the only path")
+    for bpp in (1, 2, 3, 4, 6, 8):
+        for h, w in ((1, 5), (7, 31), (16, 64)):
+            row_bytes = w * bpp
+            flt = rng.integers(0, 256, (h, 1 + row_bytes)).astype(np.uint8)
+            for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+                flt[:, 0] = np.resize(ftypes, h)
+                via_c = native.png_unfilter(flt, h, row_bytes, bpp)
+                out = np.zeros((h, row_bytes), dtype=np.uint8)
+                prev = np.zeros(row_bytes, dtype=np.int32)
+                for y in range(h):
+                    out[y] = _unfilter_row(int(flt[y, 0]), flt[y, 1:], prev, bpp)
+                    prev = out[y].astype(np.int32)
+                assert (via_c == out).all(), (bpp, h, w, ftypes)
+
+
+def test_decode_png_native_and_python_paths_identical(monkeypatch):
+    """Whole-decode differential: the same bytes (adaptive filters,
+    Adam7, gray/RGB/RGBA) decode pixel-identically whether the native
+    kernel loads or the python fallback runs (native forced OFF via
+    the loader, not the env, so the test is hermetic)."""
+    from dataworks_spark.llm import native
+
+    payloads = []
+    for c in (1, 3, 4):
+        img = _gradient(12, 17, c)
+        for interlace in (False, True):
+            payloads.append(
+                encode_png(img, filter_type="adaptive", interlace=interlace)
+            )
+    decoded = [decode_png(p) for p in payloads]
+    monkeypatch.setattr(native, "_load", lambda src: None)
+    for p, d in zip(payloads, decoded):
+        assert (decode_png(p) == d).all()
+
 def test_roundtrip_all_filters_channels_and_interlace():
     rng = np.random.default_rng(7)
     for shape in [(1, 1, 1), (7, 5, 3), (16, 16, 4), (33, 17, 1), (8, 8, 2)]:
