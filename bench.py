@@ -39,6 +39,8 @@ _REBUILD_EACH_PASS = {
     "q_dedup_sketch",
     "q_dedup_clusters",  # localCheckpoint-holding fixpoint loop
     "q_quality_buckets",  # percentile-boundary job runs at plan build
+    "q_contamination_report",  # r14: both winnow branches band one
+    # checkpointed fingerprint relation — the returned frame holds it
     "q_semantic_dedup",  # r9: assigned relation localCheckpoints (one
     # ivf_assign pass instead of one per join side) — the returned
     # frame holds that state, so steady must rebuild. NOTE (r13): the

@@ -1098,6 +1098,36 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprint_relation(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """The exploded (doc, fp) winnowing-fingerprint relation — the
+    PERSISTABLE asset (r14, same split the MinHash kernels got in r13:
+    signatures are what a 100 TB deployment stores; banding/pairing is
+    the cheap re-runnable step). Callers comparing several ``max_df``
+    policies compute this once (checkpoint/persist it) and band each
+    policy off the shared relation instead of re-hashing the corpus."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(winnow_fingerprints(F.col(text_col), shingle_n, window)).alias("fp"),
+    )
+
+
+def winnow_pairs_from_fingerprints(
+    fps: DataFrame, min_shared: int = 2, max_df: int = 50
+) -> DataFrame:
+    """Pairing stage over a prebuilt (doc, fp) relation — see
+    :func:`winnow_overlap_pairs` for semantics and the df-cap."""
+    pairs = cooccurrence_pairs(fps, "doc", "fp", max_df=max_df)
+    return pairs.filter(F.col("inter") >= min_shared).select(
+        F.col("doc_a"), F.col("doc_b"), F.col("inter").alias("n_shared")
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1118,12 +1148,11 @@ def winnow_overlap_pairs(
     a fingerprint shared by k docs emits C(k,2) pairs, so the pair
     space is bounded by Σ C(df ≤ max_df, 2) instead of the hub blowup.
     Pairing reuses :func:`cooccurrence_pairs` with its ``max_df`` cap —
-    two shuffles, no self-join."""
-    fps = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(winnow_fingerprints(F.col(text_col), shingle_n, window)).alias("fp"),
-    )
-    pairs = cooccurrence_pairs(fps, "doc", "fp", max_df=max_df)
-    return pairs.filter(F.col("inter") >= min_shared).select(
-        F.col("doc_a"), F.col("doc_b"), F.col("inter").alias("n_shared")
+    two shuffles, no self-join. Composition of the two stages above;
+    multi-policy callers should build the fingerprint relation once
+    and band each policy off it."""
+    return winnow_pairs_from_fingerprints(
+        winnow_fingerprint_relation(df, text_col, id_col, shingle_n, window),
+        min_shared=min_shared,
+        max_df=max_df,
     )
