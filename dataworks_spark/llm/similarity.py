@@ -1070,6 +1070,13 @@ def _gram_pair_scorer(
         from dataworks_spark.functions.blasctl import limit_blas_threads
 
         limit_blas_threads()
+        # canonical row order: BLAS's blocked matmul sums in a
+        # position-dependent order, so the same pair's dot can differ
+        # in the last ulp when rows ARRIVE differently — sorting by id
+        # makes the group matrix (and every emitted bit) a function of
+        # the group's CONTENT, restoring the kernel's partition-
+        # invariance guarantee (caught by test_partition_invariance)
+        pdf = pdf.sort_values(id_name, kind="stable", ignore_index=True)
         lens = pdf["__nv"].map(lambda v: -1 if v is None else len(v)).to_numpy()
         out_a, out_b, out_s = [], [], []
         # score only within same-length sub-blocks: the expression
