@@ -29,15 +29,17 @@ can serve real JPEG corpora without native codec libraries:
 
 Scale shape: this is a PER-ROW kernel executed inside Arrow batches
 (`multimodal.decode_image_features`) — payload bytes stay inside the
-executor batch; only feature rows leave. Throughput is interpreter-
-bound: MEASURED r12 on a 512×384 quality-85 4:2:0 photo-like payload,
-single core: **0.44 MB/s of compressed bytes ≈ 1.7 Mpx/s ≈ 5.2 MB/s
-of decoded pixel data** (after the r12 peek-16 Huffman LUT and the
-batched per-component IDCT — 2.5× over the per-bit/per-block form;
-the per-symbol python loop is what remains). That suits
-test/CI and modest corpora and parallelizes linearly with cores; a
-production deployment with libjpeg available should prefer a PIL
-kernel.
+executor batch; only feature rows leave. Entropy decode routes through
+the optional compiled segment kernel in llm/native.py when a system C
+compiler exists (r14 — same pattern as the PNG unfilter: bit-for-bit
+pinned, python block loop as the fallback, nothing binary ships with
+the job); de-stuffing is the shared find/slice `_entropy_segments`,
+and the peek-16 LUTs build directly as int32 arrays. MEASURED on the
+512×384 q85 4:2:0 A/B methodology, single core: python path
+1.06 Mpx/s/core, native path **6.19 Mpx/s/core (5.9×)** — what
+remains is the batched numpy dequant/IDCT/color pipeline. A
+production deployment with libjpeg available should still prefer a
+PIL kernel (arithmetic-coded coverage).
 
 PIL swap recipe (verbatim): in ``multimodal.decode_image_features``
 and ``multimodal.resize_images``, replace the body of the FFD8 branch
@@ -163,11 +165,12 @@ class _HuffTable(dict):
     r12). Subclasses dict so the encoder's inverse map and every
     existing ``.get``/``.items`` call keep working."""
 
-    __slots__ = ("_lut",)
+    __slots__ = ("_lut", "_lut_np")
 
     def __init__(self, *a):
         super().__init__(*a)
         self._lut = None
+        self._lut_np = None
 
     @property
     def lut(self):
@@ -181,6 +184,27 @@ class _HuffTable(dict):
                 ln[start : start + span] = [length] * span
             self._lut = (sym, ln)
         return self._lut
+
+    @property
+    def lut_np(self):
+        """The peek-16 LUT as int32 arrays — the layout the native
+        entropy kernel consumes (llm/native.py). Built directly with
+        numpy slice assignments (one per code), NOT from the python
+        list form: converting two 65536-element lists cost ~17 ms per
+        image (tables are parsed fresh from each stream's DHT), which
+        was a third of native-path decode wall. The python-list
+        ``lut`` stays lazy and is only built when the python block
+        loop actually runs."""
+        if self._lut_np is None:
+            sym = np.zeros(65536, dtype=np.int32)
+            ln = np.zeros(65536, dtype=np.int32)
+            for (length, code), s in self.items():
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                sym[start : start + span] = s
+                ln[start : start + span] = length
+            self._lut_np = (sym, ln)
+        return self._lut_np
 
 
 def _huff_decode_map(bits: list[int], vals: list[int]) -> "_HuffTable":
@@ -404,6 +428,107 @@ def _decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     raise ValueError("no SOS in JPEG stream")
 
 
+def _entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """De-stuff one scan's entropy data into restart-delimited
+    segments; returns (segments, offset of the terminating marker).
+
+    r13: hops FF positions with ``bytes.find`` and slices the spans
+    between them (the previous per-byte bytearray walk appended ~every
+    byte of every scan — with ~10 scans per image it profiled at ~12%
+    of decode; C-speed find/slice removes it)."""
+    segments: list[bytes] = []
+    parts: list[bytes] = []
+    i = start
+    n = len(payload)
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0:
+            parts.append(payload[i:n])
+            i = n
+            break
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            parts.append(payload[i : j + 1])  # keep the FF, drop the 00
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            parts.append(payload[i:j])
+            segments.append(b"".join(parts))
+            parts = []
+            i = j + 2
+        else:
+            parts.append(payload[i:j])
+            i = j
+            break  # next true marker ends the scan
+    segments.append(b"".join(parts))
+    return segments, min(i, n)
+
+
+def _decode_scan_native(segments, scan, huff, qt, total_mcus, per_seg):
+    """Entropy decode through the compiled segment kernel
+    (llm/native.py jpeg_decode_segment), or ``None`` when no native
+    path exists (the caller runs the python block loop). Matches the
+    python loop exactly: same append order (MCU-major, scan order,
+    v×h blocks per component — single-component scans use one block
+    per MCU), DC predictors reset per restart segment, the same
+    missing-segment / undefined-table / truncation / invalid-code /
+    run-overflow ValueErrors. Returns {component id: (n_blocks, 64)
+    int32 zigzag coefficients}."""
+    from dataworks_spark.llm import native
+
+    if native._load(native._JPEG_SEGMENT_SRC) is None:
+        return None
+    interleaved = len(scan) > 1
+    for comp, dct, act in scan:
+        if (
+            huff.get((0, dct)) is None
+            or huff.get((1, act)) is None
+            or qt.get(comp["q"]) is None
+        ):
+            raise ValueError("JPEG scan references an undefined table")
+    tables: list = []
+
+    def _pool(tbl):
+        for i, t in enumerate(tables):
+            if t is tbl:
+                return i
+        tables.append(tbl)
+        return len(tables) - 1
+
+    dc_idx = np.array([_pool(huff[(0, dct)]) for _, dct, _ in scan], np.int32)
+    ac_idx = np.array([_pool(huff[(1, act)]) for _, _, act in scan], np.int32)
+    pool_sym = np.concatenate([t.lut_np[0] for t in tables])
+    pool_len = np.concatenate([t.lut_np[1] for t in tables])
+    nblk = np.array(
+        [c["v"] * c["h"] if interleaved else 1 for c, _, _ in scan], np.int32
+    )
+    sum_blk = int(nblk.sum())
+    parts: dict = {c["id"]: [] for c, _, _ in scan}
+    mcu_done = 0
+    seg_idx = 0
+    while mcu_done < total_mcus:
+        if seg_idx >= len(segments):
+            raise ValueError("missing restart segment in JPEG stream")
+        n_mcus = min(per_seg, total_mcus - mcu_done)
+        preds = np.zeros(len(scan), np.int32)  # reset per restart segment
+        out = np.zeros((n_mcus * sum_blk, 64), np.int32)
+        rc = native.jpeg_decode_segment(
+            segments[seg_idx], n_mcus, nblk, dc_idx, ac_idx,
+            pool_sym, pool_len, preds, out,
+        )
+        if rc is None:  # pragma: no cover — loader raced to unavailable
+            return None
+        if rc != 0:
+            raise ValueError(native.JPEG_SEGMENT_ERRORS[rc])
+        blocks = out.reshape(n_mcus, sum_blk, 64)
+        off = 0
+        for (comp, _, _), nb in zip(scan, nblk.tolist()):
+            parts[comp["id"]].append(blocks[:, off : off + nb, :].reshape(-1, 64))
+            off += nb
+        mcu_done += n_mcus
+        seg_idx += 1
+    return {cid: np.concatenate(p) for cid, p in parts.items()}
+
+
 def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
     h, w, comps = frame
     hmax = max(c["h"] for c in comps)
@@ -425,28 +550,11 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
         mcux = -(-cw // 8)
         mcuy = -(-chh // 8)
 
-    # de-stuff the entropy segment, recording restart boundaries
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = start
-    n = len(payload)
-    while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # any other marker ends the scan (EOI normally)
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
+    # de-stuff the entropy segment, recording restart boundaries —
+    # the find/slice form shared with the progressive decoder (r14:
+    # the per-byte bytearray walk was 824k appends on a 512×384 q85
+    # image and profiled as HALF of native-path decode wall)
+    segments, _ = _entropy_segments(payload, start)
 
     # per-component zigzag coefficient stores (block-major): the
     # entropy loop only APPENDS 64-vectors; dequantization and the
@@ -456,30 +564,35 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
         c["id"]: ((mcuy * c["v"], mcux * c["h"]) if len(scan) > 1 else (mcuy, mcux))
         for c, _, _ in scan
     }
-    coeffs = {c["id"]: [] for c, _, _ in scan}
-    pred = {c["id"]: 0 for c, _, _ in scan}
     total_mcus = mcux * mcuy
     per_seg = restart_interval if restart_interval else total_mcus
-    mcu = 0
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    while mcu < total_mcus:
-        if restart_interval and mcu and mcu % per_seg == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("missing restart segment in JPEG stream")
-            reader = _BitReader(segments[seg_idx])
-            pred = {k: 0 for k in pred}
-        for comp, dct, act in scan:
-            ch, cv = (comp["h"], comp["v"]) if len(scan) > 1 else (1, 1)
-            for _ in range(cv * ch):
-                coeffs[comp["id"]].append(
-                    _decode_block(
-                        reader, huff.get((0, dct)), huff.get((1, act)),
-                        qt.get(comp["q"]), pred, comp["id"],
+    # native C entropy kernel when a system compiler is available
+    # (r14, the llm/native.py pattern's second consumer) — identical
+    # bit semantics and errors, pinned by the differential tests
+    coeffs = _decode_scan_native(segments, scan, huff, qt, total_mcus, per_seg)
+    if coeffs is None:
+        coeffs = {c["id"]: [] for c, _, _ in scan}
+        pred = {c["id"]: 0 for c, _, _ in scan}
+        mcu = 0
+        seg_idx = 0
+        reader = _BitReader(segments[0])
+        while mcu < total_mcus:
+            if restart_interval and mcu and mcu % per_seg == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment in JPEG stream")
+                reader = _BitReader(segments[seg_idx])
+                pred = {k: 0 for k in pred}
+            for comp, dct, act in scan:
+                ch, cv = (comp["h"], comp["v"]) if len(scan) > 1 else (1, 1)
+                for _ in range(cv * ch):
+                    coeffs[comp["id"]].append(
+                        _decode_block(
+                            reader, huff.get((0, dct)), huff.get((1, act)),
+                            qt.get(comp["q"]), pred, comp["id"],
+                        )
                     )
-                )
-        mcu += 1
+            mcu += 1
 
     # batched dequantize → inverse zigzag → IDCT → plane assembly,
     # then replicate chroma up to (h, w)

@@ -56,6 +56,7 @@ from dataworks_spark.llm.jpeg import (
     _Q_CHROMA,
     _Q_LUMA,
     _scaled_q,
+    _entropy_segments,
     _size_of,
 )
 
@@ -198,41 +199,6 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     if frame is None or not saw_scan:
         raise ValueError("no SOF2/SOS in progressive JPEG stream")
     return _reconstruct(frame, coeff, qt)
-
-
-def _entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
-    """De-stuff one scan's entropy data into restart-delimited
-    segments; returns (segments, offset of the terminating marker).
-
-    r13: hops FF positions with ``bytes.find`` and slices the spans
-    between them (the previous per-byte bytearray walk appended ~every
-    byte of every scan — with ~10 scans per image it profiled at ~12%
-    of decode; C-speed find/slice removes it)."""
-    segments: list[bytes] = []
-    parts: list[bytes] = []
-    i = start
-    n = len(payload)
-    while True:
-        j = payload.find(b"\xff", i)
-        if j < 0:
-            parts.append(payload[i:n])
-            i = n
-            break
-        nxt = payload[j + 1] if j + 1 < n else 0xD9
-        if nxt == 0x00:
-            parts.append(payload[i : j + 1])  # keep the FF, drop the 00
-            i = j + 2
-        elif 0xD0 <= nxt <= 0xD7:
-            parts.append(payload[i:j])
-            segments.append(b"".join(parts))
-            parts = []
-            i = j + 2
-        else:
-            parts.append(payload[i:j])
-            i = j
-            break  # next true marker ends the scan
-    segments.append(b"".join(parts))
-    return segments, min(i, n)
 
 
 def _decode_one_scan(payload, start, frame, scomps, band, huff, coeff,

