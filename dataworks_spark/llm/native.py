@@ -242,6 +242,287 @@ JPEG_SEGMENT_ERRORS = {
     -3: "JPEG AC run past end of block",
 }
 
+_JPEG_PROG_SRC = r"""
+#include <stdint.h>
+/* Progressive-JPEG scan decode of ONE de-stuffed restart segment
+   (ITU-T T.81 G.1.2): the four spectral-selection / successive-
+   approximation walks of llm/jpeg_progressive.py (_decode_one_scan,
+   _ac_first, _ac_refine, _refine_correct_span), bit-for-bit — same
+   refills, peek-16 tail padding, EOB-run bookkeeping, correction-bit
+   sweeps, and errors. Coefficients are written IN PLACE into the
+   caller's per-component (bh, bw, 64) int32 zigzag grids, addressed
+   via the blocks_addr table. Returns 0, or -1 truncated / -2 invalid
+   code / -4 AC run past spectral band / -5 refinement size != 1. */
+typedef struct {
+    const uint8_t *d; long n; long pos; uint64_t acc; int nbits;
+} br_t;
+
+static int rd_sym(br_t *r, const int32_t *sym, const int32_t *len,
+                  int32_t *out_sym) {
+    while (r->nbits < 16 && r->pos < r->n) {
+        r->acc = (r->acc << 8) | r->d[r->pos++];
+        r->nbits += 8;
+    }
+    uint32_t idx;
+    if (r->nbits >= 16) {
+        idx = (uint32_t)((r->acc >> (r->nbits - 16)) & 0xFFFF);
+    } else {
+        int pad = 16 - r->nbits;
+        idx = (uint32_t)(((r->acc << pad) | ((1u << pad) - 1)) & 0xFFFF);
+    }
+    int l = len[idx];
+    if (l == 0) return -2;
+    if (l > r->nbits) return -1;
+    r->nbits -= l;
+    r->acc &= (((uint64_t)1 << r->nbits) - 1);
+    *out_sym = sym[idx];
+    return 0;
+}
+
+static int rd_bits(br_t *r, int n, int32_t *out) {
+    if (n == 0) { *out = 0; return 0; }
+    while (r->nbits < n) {
+        if (r->pos >= r->n) return -1;
+        r->acc = (r->acc << 8) | r->d[r->pos++];
+        r->nbits += 8;
+    }
+    r->nbits -= n;
+    *out = (int32_t)((r->acc >> r->nbits) & (((uint64_t)1 << n) - 1));
+    r->acc &= (((uint64_t)1 << r->nbits) - 1);
+    return 0;
+}
+
+static int rd_bit(br_t *r, int *b) {
+    if (r->nbits == 0) {
+        if (r->pos >= r->n) return -1;
+        r->acc = r->d[r->pos++];
+        r->nbits = 8;
+    }
+    r->nbits -= 1;
+    *b = (int)((r->acc >> r->nbits) & 1);
+    r->acc &= (((uint64_t)1 << r->nbits) - 1);
+    return 0;
+}
+
+static int refine_span(br_t *r, int32_t *blk, int lo, int hi,
+                       int32_t p1, int32_t m1) {
+    for (int j = lo; j <= hi; j++) {
+        if (blk[j] != 0) {
+            int b; int rc = rd_bit(r, &b); if (rc) return rc;
+            if (b && (blk[j] & p1) == 0)
+                blk[j] += (blk[j] > 0) ? p1 : m1;
+        }
+    }
+    return 0;
+}
+
+static int ac_first(br_t *r, const int32_t *sym, const int32_t *len,
+                    int32_t *blk, int ss, int se, int al, long *eobrun) {
+    if (*eobrun > 0) { (*eobrun)--; return 0; }
+    int k = ss;
+    while (k <= se) {
+        int32_t rs; int rc = rd_sym(r, sym, len, &rs); if (rc) return rc;
+        int run = rs >> 4, s = rs & 15;
+        if (s == 0) {
+            if (run < 15) {
+                long eob = (1L << run) - 1;
+                if (run) {
+                    int32_t extra; rc = rd_bits(r, run, &extra);
+                    if (rc) return rc;
+                    eob += extra;
+                }
+                *eobrun = eob;
+                break;
+            }
+            k += 16;
+            continue;
+        }
+        k += run;
+        if (k > se) return -4;
+        int32_t v; rc = rd_bits(r, s, &v); if (rc) return rc;
+        blk[k] = (int32_t)(((v < (1 << (s - 1))) ? v - (1 << s) + 1 : v)
+                           * (1 << al));
+        k++;
+    }
+    return 0;
+}
+
+static int ac_refine(br_t *r, const int32_t *sym, const int32_t *len,
+                     int32_t *blk, int ss, int se, int al, long *eobrun) {
+    int32_t p1 = (int32_t)1 << al, m1 = -((int32_t)1 << al);
+    if (*eobrun > 0) {
+        int rc = refine_span(r, blk, ss, se, p1, m1); if (rc) return rc;
+        (*eobrun)--;
+        return 0;
+    }
+    int n = se - ss + 1;
+    int32_t *vals = blk + ss;
+    int k = 0;
+    while (k < n) {
+        int32_t rs; int rc = rd_sym(r, sym, len, &rs); if (rc) return rc;
+        int run = rs >> 4, s = rs & 15;
+        int32_t val = 0;
+        if (s) {
+            if (s != 1) return -5;
+            int b; rc = rd_bit(r, &b); if (rc) return rc;
+            val = b ? p1 : m1;
+        } else if (run != 15) {  /* EOBn: corrections continue below */
+            long eob = 1L << run;
+            if (run) {
+                int32_t extra; rc = rd_bits(r, run, &extra);
+                if (rc) return rc;
+                eob += extra;
+            }
+            *eobrun = eob;
+            break;
+        }   /* else ZRL: spend 16 zero-history positions below */
+        while (k < n) {
+            int32_t v = vals[k];
+            if (v != 0) {
+                int b; rc = rd_bit(r, &b); if (rc) return rc;
+                if (b && (v & p1) == 0)
+                    vals[k] = v + ((v > 0) ? p1 : m1);
+            } else {
+                if (run == 0) {
+                    if (val) vals[k] = val;
+                    k++;  /* the terminating position is consumed */
+                    break;
+                }
+                run--;
+            }
+            k++;
+        }
+    }
+    if (*eobrun > 0) {
+        int rc = refine_span(r, blk, ss + k, se, p1, m1); if (rc) return rc;
+        (*eobrun)--;
+    }
+    return 0;
+}
+
+int jpeg_prog_segment(
+    const uint8_t *data, long ndata,
+    long mcu_start, long n_mcus, long mcux,
+    int ss, int se, int ah, int al,
+    int nunits,
+    const int32_t *ch, const int32_t *cv, const int32_t *bw,
+    const uint64_t *blocks_addr,
+    const int32_t *dc_idx, const int32_t *ac_idx,
+    const int32_t *pool_sym, const int32_t *pool_len,
+    int32_t *preds, int64_t *eobrun_io
+) {
+    br_t r = { data, ndata, 0, 0, 0 };
+    long eobrun = *eobrun_io;
+    for (long m = 0; m < n_mcus; m++) {
+        long gm = mcu_start + m;
+        long my = gm / mcux, mx = gm % mcux;
+        for (int u = 0; u < nunits; u++) {
+            int32_t *base = (int32_t *)(uintptr_t)blocks_addr[u];
+            for (int by = 0; by < cv[u]; by++) {
+                for (int bx = 0; bx < ch[u]; bx++) {
+                    long ry = my * cv[u] + by, rx = mx * ch[u] + bx;
+                    int32_t *blk = base + (ry * (long)bw[u] + rx) * 64;
+                    int rc = 0;
+                    if (ss == 0) {
+                        if (ah == 0) {
+                            const int32_t *ds =
+                                pool_sym + (long)dc_idx[u] * 65536;
+                            const int32_t *dl =
+                                pool_len + (long)dc_idx[u] * 65536;
+                            int32_t t, v;
+                            rc = rd_sym(&r, ds, dl, &t);
+                            if (rc) return rc;
+                            if (t) {
+                                rc = rd_bits(&r, t, &v);
+                                if (rc) return rc;
+                                preds[u] += (v < (1 << (t - 1)))
+                                    ? v - (1 << t) + 1 : v;
+                            }
+                            blk[0] = (int32_t)(preds[u] * (1 << al));
+                        } else {
+                            int b; rc = rd_bit(&r, &b);
+                            if (rc) return rc;
+                            if (b) blk[0] |= (int32_t)1 << al;
+                        }
+                    } else {
+                        const int32_t *as = pool_sym + (long)ac_idx[u] * 65536;
+                        const int32_t *alen =
+                            pool_len + (long)ac_idx[u] * 65536;
+                        rc = (ah == 0)
+                            ? ac_first(&r, as, alen, blk, ss, se, al, &eobrun)
+                            : ac_refine(&r, as, alen, blk, ss, se, al,
+                                        &eobrun);
+                        if (rc) return rc;
+                    }
+                }
+            }
+        }
+    }
+    *eobrun_io = eobrun;
+    return 0;
+}
+"""
+
+#: progressive C error code → the python walks' exact messages
+JPEG_PROG_ERRORS = {
+    -1: "truncated JPEG entropy stream",
+    -2: "invalid Huffman code in JPEG stream",
+    -4: "AC run past spectral band",
+    -5: "refinement scan size code must be 1",
+}
+
+
+def jpeg_prog_segment(
+    data: bytes,
+    mcu_start: int,
+    n_mcus: int,
+    mcux: int,
+    band: tuple,
+    ch: np.ndarray,
+    cv: np.ndarray,
+    bw: np.ndarray,
+    blocks_addr: np.ndarray,
+    dc_idx: np.ndarray,
+    ac_idx: np.ndarray,
+    pool_sym: np.ndarray,
+    pool_len: np.ndarray,
+    preds: np.ndarray,
+    eobrun_io: np.ndarray,
+) -> int | None:
+    """One progressive restart segment through the C kernel, or
+    ``None`` when the native path is unavailable. Coefficient grids
+    are mutated in place via ``blocks_addr`` (the int32 arrays' data
+    addresses — the caller MUST keep those arrays alive and
+    C-contiguous). ``preds``/``eobrun_io`` are int32/int64 in-out."""
+    lib = _load(_JPEG_PROG_SRC)
+    if lib is None:
+        return None
+    fn = lib.jpeg_prog_segment
+    fn.restype = ctypes.c_int
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_long,
+                   ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                   ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                   ctypes.c_int, i32p, i32p, i32p, u64p, i32p, i32p,
+                   i32p, i32p, i32p, i64p]
+    ss, se, ah, al = band
+    arrs = [np.ascontiguousarray(a, dtype=np.int32)
+            for a in (ch, cv, bw, dc_idx, ac_idx, pool_sym, pool_len)]
+    addr = np.ascontiguousarray(blocks_addr, dtype=np.uint64)
+    assert preds.flags["C_CONTIGUOUS"] and preds.dtype == np.int32
+    assert eobrun_io.flags["C_CONTIGUOUS"] and eobrun_io.dtype == np.int64
+    return fn(
+        data, len(data), mcu_start, n_mcus, mcux, ss, se, ah, al,
+        len(arrs[0]),
+        arrs[0].ctypes.data_as(i32p), arrs[1].ctypes.data_as(i32p),
+        arrs[2].ctypes.data_as(i32p), addr.ctypes.data_as(u64p),
+        arrs[3].ctypes.data_as(i32p), arrs[4].ctypes.data_as(i32p),
+        arrs[5].ctypes.data_as(i32p), arrs[6].ctypes.data_as(i32p),
+        preds.ctypes.data_as(i32p), eobrun_io.ctypes.data_as(i64p),
+    )
+
 
 def jpeg_decode_segment(
     data: bytes,

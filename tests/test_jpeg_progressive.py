@@ -57,6 +57,43 @@ def test_progressive_decode_equals_baseline_decode_pixelwise():
     )
 
 
+def test_progressive_native_and_python_paths_identical(monkeypatch):
+    """r14: the compiled progressive scan kernel must be
+    indistinguishable from the python walks — identical pixels across
+    the dense/sparse/gray/subsampled matrix (every scan type: DC
+    first/refine, AC first/refine, EOB runs, restart segments) and
+    identical errors on truncated streams."""
+    from dataworks_spark.llm import native
+
+    if native._load(native._JPEG_PROG_SRC) is None:
+        pytest.skip("no system C compiler: python walks are the only path")
+
+    rng = np.random.default_rng(9)
+    payloads = []
+    for (h, w), sub in [((33, 47), False), ((35, 49), True)]:
+        noisy = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        sparse = np.full((h, w, 3), 128, np.uint8)
+        sparse[h // 2, w // 2] = [255, 0, 255]
+        for img in (noisy, _gradient(h, w), sparse):
+            payloads.append(encode_progressive_jpeg(img, quality=85, subsample=sub))
+    payloads.append(
+        encode_progressive_jpeg(
+            rng.integers(0, 256, size=(24, 40), dtype=np.uint8), quality=80
+        )
+    )
+    native_out = [decode_progressive_jpeg(p) for p in payloads]
+    truncated = payloads[0][: len(payloads[0]) - 60]
+    with pytest.raises(ValueError) as e_native:
+        decode_progressive_jpeg(truncated)
+
+    monkeypatch.setattr(native, "_load", lambda src: None)
+    for p, d in zip(payloads, native_out):
+        assert np.array_equal(decode_progressive_jpeg(p), d)
+    with pytest.raises(ValueError) as e_python:
+        decode_progressive_jpeg(truncated)
+    assert str(e_native.value) == str(e_python.value)
+
+
 def test_progressive_restart_markers_roundtrip():
     """RSTn inside progressive scans: entropy state (DC predictors,
     EOB runs, bit alignment) resets per segment and the result is
