@@ -619,6 +619,9 @@ class DocumentStore:
         to_write.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("namespace", "valid_date").parquet(path)
+        from dataworks_spark.session import write_table_meta
+
+        write_table_meta(spark, path, extra={"writer": "doc_store"})
         # re-root on the durable files with the EXPLICIT merged schema the
         # writer already holds — not mergeSchema, whose footer sweep over
         # every file in the dataset would make per-epoch read cost grow
@@ -642,6 +645,13 @@ class DocumentStore:
             df.write.mode("overwrite").partitionBy("namespace", "valid_date").parquet(path)
         else:
             df.write.mode("overwrite").parquet(path)
+        # stamp the post-write data fingerprint (r15 — the durable-state
+        # face of the ANN-sidecar contract): load()/open_partitioned()
+        # verify it, so a version log mutated OUTSIDE the engine can
+        # never silently serve as-of answers built on edited history
+        from dataworks_spark.session import write_table_meta
+
+        write_table_meta(df.sparkSession, path, extra={"writer": "doc_store"})
 
     @classmethod
     def open_partitioned(cls, spark, path: str) -> DataFrame:
@@ -651,13 +661,26 @@ class DocumentStore:
         source. ``mergeSchema`` because schemaless widening plus
         incremental compaction legitimately leaves older (narrower)
         parquet files in untouched partitions — a single-footer schema
-        would silently drop the widened columns."""
+        would silently drop the widened columns.
+
+        Fingerprint-gated (r15): the ``_dw_meta.json`` stamp written by
+        :meth:`save`/:meth:`compact_incremental` is verified against
+        the files' recomputed fingerprint — an out-of-band mutation of
+        the version log refuses instead of serving rewritten history as
+        bitemporal truth. Stampless (pre-r15/foreign) paths load."""
+        from dataworks_spark.session import verify_table_meta
+
+        verify_table_meta(spark, path, what="document store version log")
         return spark.read.option("mergeSchema", "true").parquet(path)
 
     @classmethod
     def load(cls, spark, path: str, now_fn=None) -> "DocumentStore":
         """Reopen as a mutable store: partition columns are dropped —
         they are derived storage layout, not document payload.
-        ``mergeSchema`` for the same reason as :meth:`open_partitioned`."""
+        ``mergeSchema`` for the same reason as :meth:`open_partitioned`;
+        fingerprint-gated the same way (r15)."""
+        from dataworks_spark.session import verify_table_meta
+
+        verify_table_meta(spark, path, what="document store version log")
         df = spark.read.option("mergeSchema", "true").parquet(path)
         return cls(df.drop("valid_date", "namespace"), now_fn)

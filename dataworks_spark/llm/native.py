@@ -117,7 +117,15 @@ def _load(src: str) -> ctypes.CDLL | None:
             raise RuntimeError("native cache dir owned by another uid")
         so = os.path.join(cache, f"{key}.so")
         if not os.path.exists(so):
-            c_path = os.path.join(cache, f"{key}.c")
+            # the .c must be pid-unique like the .so (r14 ADVICE): a
+            # fixed name opened with truncating 'w' while a sibling
+            # worker's cc is mid-read fails THAT compile and memoizes
+            # None — silently pinning the loser to the python path for
+            # its process lifetime. Compile from the private copy;
+            # publish it afterwards (atomic replace) as a debug
+            # reference only — nothing ever compiles from the shared
+            # name.
+            c_path = os.path.join(cache, f"{key}.{os.getpid()}.c.tmp")
             with open(c_path, "w") as f:
                 f.write(src)
             tmp_so = os.path.join(cache, f"{key}.{os.getpid()}.so.tmp")
@@ -126,6 +134,7 @@ def _load(src: str) -> ctypes.CDLL | None:
                 check=True, capture_output=True, timeout=60,
             )
             os.rename(tmp_so, so)
+            os.replace(c_path, os.path.join(cache, f"{key}.c"))
         lib = ctypes.CDLL(so)
     except Exception:  # noqa: BLE001 — no cc / sandbox / bad cache: python path
         lib = None

@@ -162,9 +162,26 @@ class ContinuousRollup:
         """Current rollup. ``estimated=True`` (default) converts
         approx_distinct sketch columns to their bigint estimates;
         ``estimated=False`` returns the raw mergeable sketches (what a
-        further downstream merge would consume)."""
+        further downstream merge would consume).
+
+        Read-back is FINGERPRINT-GATED (r15, extending the r14 ANN
+        sidecar contract to durable streaming state): every ``update``
+        stamps ``_dw_meta.json`` with the table's post-write data
+        fingerprint; a reopen whose recomputed fingerprint disagrees
+        refuses instead of merging over files mutated outside the
+        engine (a dropped/foreign/edited part file would silently
+        double-count or lose partials — the partial-merge algebra can't
+        detect it). A missing stamp (pre-r15 table) is accepted. A
+        crash BETWEEN the parquet write and the stamp also surfaces
+        here as a mismatch — correct, because a torn dynamic-overwrite
+        epoch is exactly the state that must not be merged over
+        silently; recovery is re-running the writer (idempotent epochs)
+        or re-baselining per the error text."""
         if not self._exists():
             return None
+        from dataworks_spark.session import verify_table_meta
+
+        verify_table_meta(self.spark, self.path, what="continuous rollup")
         df = self.spark.read.parquet(self.path)
         if estimated:
             for name, (kind, _c) in self.aggs.items():
@@ -214,6 +231,18 @@ class ContinuousRollup:
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket_date")
             .parquet(self.path)
+        )
+        # stamp BEFORE the epoch marker: a crash after the data write
+        # leaves either (no stamp update → read() flags the mismatch) or
+        # (stamp but no marker → the replayed epoch re-merges over a
+        # VERIFIED table and re-stamps). Both fail safe; neither serves
+        # silently-corrupt partials.
+        from dataworks_spark.session import write_table_meta
+
+        write_table_meta(
+            self.spark, self.path,
+            extra={"writer": "continuous_rollup",
+                   "epoch": epoch_id if epoch_id is not None else -1},
         )
         if marker is not None:
             mark_epoch_applied(fs, marker, epoch_id)

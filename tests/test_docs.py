@@ -469,3 +469,40 @@ def test_doc_store_sink_id_col_already_named_id(spark, tmp_path):
     )
     sink.foreach_batch(batch, epoch_id=0)
     assert {r.id: r.v for r in sink.store.latest().collect()} == {"u/1": 1.0, "u/2": 2.0}
+
+
+def test_store_refuses_tampered_version_log(spark, tmp_path):
+    """r15 (r14 VERDICT #2): save/compact stamp the version log's data
+    fingerprint; load/open_partitioned verify it — rewritten history
+    (a planted or edited part file under the trusted path) refuses
+    loudly instead of serving as bitemporal truth. Deleting the stamp
+    re-baselines (legacy/foreign data stays readable)."""
+    import glob
+
+    import pytest
+
+    s, _clock = _store(spark, [("u/1", "v1"), ("u/2", "w1")], T0)
+    path = str(tmp_path / "docs")
+    s.save(path)
+    DocumentStore.load(spark, path)  # fresh stamp verifies
+
+    part = glob.glob(f"{path}/namespace=*/valid_date=*/*.parquet")[0]
+    with open(part, "rb") as f:
+        payload = f.read()
+    with open(f"{part}.twin.parquet", "wb") as f:
+        f.write(payload)  # duplicated versions = rewritten history
+    with pytest.raises(RuntimeError, match="outside the engine"):
+        DocumentStore.load(spark, path)
+    with pytest.raises(RuntimeError, match="outside the engine"):
+        DocumentStore.open_partitioned(spark, path)
+
+    # explicit operator re-baseline: drop the stamp, the files load
+    (tmp_path / "docs" / "_dw_meta.json").unlink()
+    loaded = DocumentStore.load(spark, path)
+    assert loaded.latest().count() >= 2
+
+    # incremental compaction re-stamps — the sink's recovery load after
+    # a compact_incremental round-trip verifies
+    s2 = s.compact_incremental(path, since=T0)
+    assert s2.latest().count() == 2
+    DocumentStore.load(spark, path)

@@ -3277,3 +3277,60 @@ def test_numpy_xxh64_primitives_match_spark(spark):
         mine = _xxh64_long(arr, _xxh64_int(i)).view(np.int64)
         for v, m in zip(vals, mine):
             assert int(m) == got[(i, v)], f"xxh64 mismatch at i={i}, h={v}"
+
+
+def test_semantic_dedup_query_nan_guard_runs_under_driver(spark, sf_dir):
+    """r15 (r14 VERDICT #4): the registry's q_semantic_dedup
+    'pairs_capped' branch unions one all-NaN embedding (vec_id −1)
+    into its EXPR pair kernel — the ~isnan guard now executes under
+    the driver every round. Pins: (a) the poisoned row pairs with
+    NOTHING and no NaN score leaks; (b) the row genuinely REACHES the
+    kernel — assignment routes it to sentinel cluster 0, which is
+    non-empty for the capped subset, so the filter (not an empty
+    group) is what dropped its pairs; (c) clean pairs are bit-equal to
+    the unpoisoned run."""
+    import math
+
+    from dataworks_spark import queries as Q
+    from dataworks_spark.llm.similarity import (
+        ivf_assign,
+        ivf_train,
+        semantic_dedup_pairs,
+    )
+
+    out = Q.QUERIES["q_semantic_dedup"](spark, sf_dir).collect()
+    assert all(r.id_a != -1 and r.id_b != -1 for r in out)
+    assert all(not math.isnan(r.cos_sim) for r in out)
+
+    e = Q._t(spark, sf_dir, "embeddings")
+    sub = e.filter(F.col("vec_id") < 200)
+    cents = ivf_train(sub, "embedding", n_centroids=4)
+    dim = int(cents.shape[1])
+    nan_row = spark.createDataFrame(
+        [(-1, [float("nan")] * dim)], "vec_id long, embedding array<double>"
+    )
+    # (b) delivery: sentinel cluster 0, and cluster 0 is non-empty
+    assert nan_row.select(
+        ivf_assign(F.col("embedding"), cents).alias("c")
+    ).first().c == 0
+    assert sub.select(
+        ivf_assign(F.col("embedding"), cents).alias("c")
+    ).filter("c = 0").count() > 0
+    # (c) poisoned ≡ clean on the same kernel/params the query runs
+    kw = dict(threshold=0.35, n_clusters=4, max_cluster=32,
+              centroids=cents, scorer="expr")
+    clean = semantic_dedup_pairs(
+        sub.select("vec_id", "embedding"), "vec_id", "embedding", **kw
+    )
+    poisoned = semantic_dedup_pairs(
+        sub.select("vec_id", "embedding")
+        .unionByName(nan_row.select("vec_id",
+                                    F.col("embedding").cast(
+                                        sub.schema["embedding"].dataType
+                                    ).alias("embedding"))),
+        "vec_id", "embedding", **kw,
+    )
+    key = lambda df: sorted(
+        (r.id_a, r.id_b, round(r.cos_sim, 9)) for r in df.collect()
+    )
+    assert key(poisoned) == key(clean)

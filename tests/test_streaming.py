@@ -765,3 +765,62 @@ def test_rollup_epoch_replay_is_skipped(spark, tmp_path):
     roll.update(b2, epoch_id=1)
     got = {r.user_id: (r.n, r.sum_v) for r in roll.read().collect()}
     assert got == {1: (2, 15.0), 2: (1, 2.0)}
+
+
+def test_continuous_rollup_refuses_tampered_path(spark, tmp_path):
+    """r15 (r14 VERDICT #2): the rollup stamps its data fingerprint at
+    every write; a reopen over files mutated OUTSIDE the engine refuses
+    instead of merging over them (partial-merge algebra cannot detect a
+    planted/edited part file — it would silently double-count). A
+    legacy stampless table still reads."""
+    import datetime as dt
+    import glob
+
+    import pytest
+
+    from dataworks_spark.streaming.rollup import ContinuousRollup
+
+    t0 = dt.datetime(2024, 3, 1, 0, 10, 0)
+    schema = "event_id long, ts timestamp, value double"
+    path = tmp_path / "roll"
+    roll = ContinuousRollup(
+        spark, str(path), ts_col="ts", bucket="1 hour",
+        aggs={"n": ("count", None), "sum_v": ("sum", "value")},
+    )
+    roll.update(spark.createDataFrame([(1, t0, 10.0), (2, t0, 2.0)], schema))
+    assert roll.read().count() == 1  # stamped write verifies
+
+    # plant a foreign part file inside an existing date partition —
+    # exactly the mutation a path-trusting reader would merge over
+    part_dir = glob.glob(str(path / "bucket_date=*"))[0]
+    real = glob.glob(f"{part_dir}/*.parquet")[0]
+    with open(real, "rb") as f:
+        payload = f.read()
+    with open(f"{part_dir}/part-evil.parquet", "wb") as f:
+        f.write(payload)
+    with pytest.raises(RuntimeError, match="outside the engine"):
+        roll.read()
+    with pytest.raises(RuntimeError, match="outside the engine"):
+        roll.update(spark.createDataFrame([(3, t0, 1.0)], schema))
+
+    # the engine's own NEXT write re-baselines: remove the foreign file
+    # (operator remediation) and the table serves again
+    import os
+
+    os.remove(f"{part_dir}/part-evil.parquet")
+    roll.update(spark.createDataFrame([(3, t0, 1.0)], schema))
+    got = roll.read().collect()
+    assert [(r.n, r.sum_v) for r in got] == [(3, 13.0)]
+
+    # legacy table (no stamp): reads fine — tamper evidence is absent,
+    # not fabricated
+    legacy = tmp_path / "legacy"
+    spark.createDataFrame([(1, t0, 1.0)], schema).write.parquet(
+        str(legacy / "ignored")  # ensure parent exists via a write
+    )
+    old = ContinuousRollup(spark, str(legacy / "old"), ts_col="ts",
+                           aggs={"n": ("count", None)})
+    old.update(spark.createDataFrame([(1, t0, 1.0)], schema))
+    meta = legacy / "old" / "_dw_meta.json"
+    meta.unlink()  # simulate a pre-r15 table
+    assert old.read().count() == 1
