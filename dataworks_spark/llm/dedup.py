@@ -1117,15 +1117,115 @@ def winnow_fingerprint_relation(
     )
 
 
+def winnow_postings(fps: DataFrame) -> DataFrame:
+    """(doc, fp) → the POSTINGS relation ``(fp, ds)`` with ``ds`` the
+    sorted doc-id list per fingerprint — the materialized form of the
+    pair kernel's FIRST shuffle (groupBy fp), factored out so it is
+    paid once per corpus, not once per audit policy (r15; the policy
+    knobs — ``max_df``, ``min_shared`` — are all DOWNSTREAM of this
+    group: a df-cap is a filter on ``size(ds)``, so every policy bands
+    the same stored postings with zero re-shuffle of the corpus-sized
+    relation). Singleton postings (size 1 — most of natural text) are
+    KEPT here: they are what makes the stored asset reusable for
+    containment/df statistics; the pairing stage drops them for free.
+
+    This is the durable sibling of the MinHash signature checkpoint:
+    at 100 TB the deployment stores ``(fp, ds)`` at ingest
+    (:func:`save_winnow_postings`) and every contamination/overlap run
+    pays only the pair-side shuffle, which ``max_df`` bounds."""
+    return fps.groupBy("fp").agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+
+
+def winnow_pairs_from_postings(
+    postings: DataFrame, min_shared: int = 2, max_df: int = 50
+) -> DataFrame:
+    """Policy stage over prebuilt postings: df-cap filter (row-local —
+    no shuffle), C(k,2) pair emission with row-local array
+    combinatorics, one pair-keyed shuffle to count shared
+    fingerprints. Output identical to :func:`winnow_overlap_pairs`
+    (equivalence pinned in tests)."""
+    pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
+    return (
+        postings.filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: pair(x, y),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= min_shared)
+        .select(
+            F.col("doc_a"), F.col("doc_b"), F.col("inter").alias("n_shared")
+        )
+    )
+
+
 def winnow_pairs_from_fingerprints(
     fps: DataFrame, min_shared: int = 2, max_df: int = 50
 ) -> DataFrame:
     """Pairing stage over a prebuilt (doc, fp) relation — see
-    :func:`winnow_overlap_pairs` for semantics and the df-cap."""
-    pairs = cooccurrence_pairs(fps, "doc", "fp", max_df=max_df)
-    return pairs.filter(F.col("inter") >= min_shared).select(
-        F.col("doc_a"), F.col("doc_b"), F.col("inter").alias("n_shared")
+    :func:`winnow_overlap_pairs` for semantics and the df-cap.
+    Composition of the r15 postings split; callers comparing policies
+    should build :func:`winnow_postings` once and band it."""
+    return winnow_pairs_from_postings(
+        winnow_postings(fps), min_shared=min_shared, max_df=max_df
     )
+
+
+def save_winnow_postings(
+    postings: DataFrame, path: str, source_fingerprint: str | None = None
+) -> None:
+    """Persist the postings relation as the durable train-once sidecar
+    (r15 — the LshIndex/IvfIndex save/load contract applied to the
+    winnowing asset its own docstring promises): parquet at ``path``
+    plus a ``_dw_meta.json`` stamp carrying both the files' own
+    fingerprint (tamper evidence, like every engine-written table) and
+    ``source_fingerprint`` — the CORPUS fingerprint the postings were
+    built from (:func:`dataworks_spark.session.table_fingerprint` of
+    the documents table), so a load can refuse stale postings after
+    the corpus moved."""
+    spark = postings.sparkSession
+    postings.write.mode("overwrite").parquet(path)
+    from dataworks_spark.session import write_table_meta
+
+    extra = {"writer": "winnow_postings"}
+    if source_fingerprint is not None:
+        extra["source_fingerprint"] = source_fingerprint
+    write_table_meta(spark, path, extra=extra)
+
+
+def load_winnow_postings(
+    spark, path: str, expect_fingerprint: str | None = None
+) -> DataFrame:
+    """Reopen a saved postings sidecar. ``expect_fingerprint`` (the
+    CURRENT corpus fingerprint) enforces the staleness contract the
+    ANN sidecars use: a mismatch — or a sidecar with no recorded
+    source fingerprint at all — refuses, because unverifiable counts
+    as stale (contamination pairs computed from postings of a corpus
+    that no longer exists are silently wrong, the same failure mode as
+    stale centroids). ``None`` skips the check (legacy trust-the-path).
+    File-level tamper is always verified via the ``_dw_meta.json``
+    stamp the save wrote."""
+    from dataworks_spark.session import verify_table_meta
+
+    meta = verify_table_meta(spark, path, what="winnow postings sidecar") or {}
+    if expect_fingerprint is not None and meta.get("source_fingerprint") != expect_fingerprint:
+        raise ValueError(
+            f"stale index: winnow postings at {path} were built from corpus "
+            f"fingerprint {meta.get('source_fingerprint')}, caller expects "
+            f"{expect_fingerprint}; rebuild with winnow_postings + "
+            "save_winnow_postings (unverifiable sidecars count as stale)"
+        )
+    return spark.read.parquet(path)
 
 
 def winnow_overlap_pairs(

@@ -3334,3 +3334,59 @@ def test_semantic_dedup_query_nan_guard_runs_under_driver(spark, sf_dir):
         (r.id_a, r.id_b, round(r.cos_sim, 9)) for r in df.collect()
     )
     assert key(poisoned) == key(clean)
+
+
+def test_winnow_postings_split_and_sidecar(spark, sf_dir, tmp_path):
+    """r15: (a) the postings split is pair-exact vs the one-shot kernel
+    under BOTH df-cap policies the driver runs; (b) the durable sidecar
+    round-trips with the corpus-fingerprint guard — mismatched OR
+    unrecorded source fingerprints refuse (unverifiable = stale), and a
+    tampered sidecar refuses at the file level."""
+    import pytest
+
+    from dataworks_spark import queries as Q
+    from dataworks_spark.llm.dedup import (
+        load_winnow_postings,
+        save_winnow_postings,
+        winnow_fingerprint_relation,
+        winnow_pairs_from_fingerprints,
+        winnow_pairs_from_postings,
+        winnow_postings,
+    )
+    from dataworks_spark.session import table_fingerprint, table_path
+
+    d = Q._t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    fps = winnow_fingerprint_relation(d)
+    postings = winnow_postings(fps)
+
+    def key(df):
+        return sorted((r.doc_a, r.doc_b, r.n_shared) for r in df.collect())
+
+    for max_df in (50, 2):
+        assert key(winnow_pairs_from_postings(postings, max_df=max_df)) == key(
+            winnow_pairs_from_fingerprints(fps, max_df=max_df)
+        )
+
+    corpus_fp = table_fingerprint(spark, table_path(sf_dir, "documents"))
+    p = str(tmp_path / "postings")
+    save_winnow_postings(postings, p, source_fingerprint=corpus_fp)
+    loaded = load_winnow_postings(spark, p, expect_fingerprint=corpus_fp)
+    assert key(winnow_pairs_from_postings(loaded, max_df=50)) == key(
+        winnow_pairs_from_postings(postings, max_df=50)
+    )
+    with pytest.raises(ValueError, match="stale index"):
+        load_winnow_postings(spark, p, expect_fingerprint="0" * 32)
+    # sidecar saved WITHOUT a source fingerprint: an expectation refuses
+    p2 = str(tmp_path / "postings_nofp")
+    save_winnow_postings(postings, p2)
+    load_winnow_postings(spark, p2)  # legacy trust-the-path
+    with pytest.raises(ValueError, match="stale index"):
+        load_winnow_postings(spark, p2, expect_fingerprint=corpus_fp)
+    # file-level tamper always refuses
+    import glob as _glob
+
+    part = _glob.glob(f"{p}/*.parquet")[0]
+    with open(part, "ab") as f:
+        f.write(b"\x00")
+    with pytest.raises(RuntimeError, match="outside the engine"):
+        load_winnow_postings(spark, p, expect_fingerprint=corpus_fp)

@@ -415,7 +415,7 @@ def test_winnow_fps_asset_rebuilds_on_corpus_mutation(spark, tmp_path):
             for i in range(5)]
     write(uniq + [common * 2, common * 2, "something else entirely here now ok " * 3])
     n1 = Q.QUERIES["q_contamination_report"](spark, sfd).count()
-    keys1 = [k for k in Q._ANN_INDEX_CACHE if k[2] == "winnow-fps" and k[1] == sfd]
+    keys1 = [k for k in Q._ANN_INDEX_CACHE if k[2] == "winnow-postings" and k[1] == sfd]
     assert len(keys1) == 1
     rel1 = Q._ANN_INDEX_CACHE[keys1[0]]
     assert Q.QUERIES["q_contamination_report"](spark, sfd).count() == n1
@@ -424,6 +424,6 @@ def test_winnow_fps_asset_rebuilds_on_corpus_mutation(spark, tmp_path):
     # mutate: three identical docs now — more winnow pairs
     write(uniq + [common * 2, common * 2, common * 2])
     n2 = Q.QUERIES["q_contamination_report"](spark, sfd).count()
-    keys2 = [k for k in Q._ANN_INDEX_CACHE if k[2] == "winnow-fps" and k[1] == sfd]
+    keys2 = [k for k in Q._ANN_INDEX_CACHE if k[2] == "winnow-postings" and k[1] == sfd]
     assert len(keys2) == 1 and keys2[0] != keys1[0]  # stale key evicted
     assert n2 != n1  # the rebuilt relation reflects the new corpus
