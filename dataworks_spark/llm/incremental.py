@@ -144,7 +144,14 @@ class IncrementalCorpus:
         )
 
     def read(self) -> DataFrame | None:
-        return self.spark.read.parquet(self.path) if self._exists(self.path) else None
+        if not self._exists(self.path):
+            return None
+        from dataworks_spark.session import verify_table_meta
+
+        # fingerprint-gated (r15): refuse a corpus whose files changed
+        # outside (or mid-) engine write; stampless legacy dirs load
+        verify_table_meta(self.spark, self.path, what="incremental corpus")
+        return self.spark.read.parquet(self.path)
 
     def _sync_marker(self, cache_path: str) -> str:
         return os.path.join(cache_path, "_pending_sync")
@@ -238,6 +245,18 @@ class IncrementalCorpus:
                     open(m, "w").close()
                     markers.append(m)
             fresh.write.mode("append").parquet(self.path)
+            # stamp the corpus fingerprint right after the append (r15,
+            # same contract as rollup/doc-store): a crash INSIDE the
+            # append leaves partial part files that nothing else
+            # detects (the sync markers guard only the mirrors) — the
+            # next read() then refuses on fingerprint mismatch instead
+            # of silently serving a torn corpus; out-of-band edits
+            # refuse the same way
+            from dataworks_spark.session import write_table_meta
+
+            write_table_meta(
+                self.spark, self.path, extra={"writer": "incremental_corpus"}
+            )
             if self.hash_cache_path:
                 fresh.select(
                     F.xxhash64(F.col(self.text_col)).alias("content_hash")

@@ -1017,6 +1017,14 @@ def write_corpus_shards(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+    # stamp the shards' post-write fingerprint (r15): the trainer is a
+    # DIFFERENT system reading this path later — the stamp lets it (or
+    # session.verify_table_meta on its behalf) prove the shards are the
+    # bytes this job wrote, the same evidence every engine-managed
+    # durable table now carries
+    from dataworks_spark.session import write_table_meta
+
+    write_table_meta(df.sparkSession, path, extra={"writer": "corpus_shards"})
 
 
 def stratified_sample_by_hash(

@@ -2865,10 +2865,17 @@ def test_incremental_corpus_stale_mirror_bypassed_and_healed(spark, tmp_path):
     assert corpus.ingest(b1) == 2
 
     # simulate the crash window: corpus has a doc the mirror missed,
-    # with the sync marker still in place
+    # with the sync marker still in place. r15: ingest stamps the
+    # corpus fingerprint immediately after its append (before the
+    # mirror writes), so the faithful crash-point simulation re-stamps
+    # — a crash EARLIER (mid-append) is the torn-corpus case the stamp
+    # now catches, pinned in test_incremental_corpus_refuses_tampered_dir
     extra = spark.createDataFrame([(3, "delta epsilon")], "doc_id long, text string")
     open(corpus._sync_marker(cache), "w").close()
     extra.write.mode("append").parquet(corpus.path)
+    from dataworks_spark.session import write_table_meta
+
+    write_table_meta(spark, corpus.path, extra={"writer": "incremental_corpus"})
 
     # redelivery of the doc the mirror doesn't know: stale mirror must
     # be bypassed, so nothing is re-admitted
@@ -3390,3 +3397,63 @@ def test_winnow_postings_split_and_sidecar(spark, sf_dir, tmp_path):
         f.write(b"\x00")
     with pytest.raises(RuntimeError, match="outside the engine"):
         load_winnow_postings(spark, p, expect_fingerprint=corpus_fp)
+
+
+def test_incremental_corpus_refuses_tampered_dir(spark, tmp_path):
+    """r15: the incremental corpus stamps its fingerprint after every
+    append — a torn append (crash mid-write) or out-of-band edit
+    refuses at the next read instead of silently serving a partial
+    corpus; deleting the stamp is the explicit re-baseline."""
+    import glob
+
+    import pytest
+
+    from dataworks_spark.llm.incremental import IncrementalCorpus
+
+    corp = IncrementalCorpus(spark, str(tmp_path / "corpus"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    assert corp.ingest(b1) == 2
+    assert corp.read().count() == 2  # stamped append verifies
+
+    part = glob.glob(str(tmp_path / "corpus" / "*.parquet"))[0]
+    with open(part, "rb") as f:
+        data = f.read()
+    with open(part + ".torn.parquet", "wb") as f:
+        f.write(data[: len(data) // 2])  # the torn-append shape
+    with pytest.raises(RuntimeError, match="outside the engine"):
+        corp.read()
+    # and ingest's dedup pass reads the corpus (mirror-less config) —
+    # it must refuse too rather than dedup against torn files
+    with pytest.raises(RuntimeError, match="outside the engine"):
+        corp.ingest(b1)
+
+    import os
+
+    os.remove(part + ".torn.parquet")
+    assert corp.read().count() == 2
+    (tmp_path / "corpus" / "_dw_meta.json").unlink()
+    assert corp.read().count() == 2  # legacy/stampless still loads
+
+
+def test_corpus_shards_are_stamped(spark, tmp_path):
+    """r15: write_corpus_shards stamps the output; the downstream
+    trainer can verify the shards are the bytes this job wrote."""
+    from dataworks_spark.llm.pipeline import write_corpus_shards
+    from dataworks_spark.session import verify_table_meta
+
+    df = spark.createDataFrame(
+        [(i, "train" if i % 4 else "val", f"text {i}") for i in range(40)],
+        "doc_id long, split string, text string",
+    )
+    p = str(tmp_path / "shards")
+    write_corpus_shards(df, p, files_per_partition=2)
+    meta = verify_table_meta(spark, p, what="corpus shards")
+    assert meta and meta["writer"] == "corpus_shards"
+    (tmp_path / "shards" / "split=train" / "planted.parquet").write_bytes(b"x")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="outside the engine"):
+        verify_table_meta(spark, p, what="corpus shards")
