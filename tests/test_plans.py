@@ -258,3 +258,40 @@ def test_capped_guard_plans_execute_under_driver(spark):
     assert "LeftSemi" in plan, f"no survivor semi-join in plan:\n{plan[:2000]}"
     plan2 = _plan(spark, "q_semantic_dedup")
     assert "__b" in plan2, f"no sub-shard key in pair join:\n{plan2[:2000]}"
+
+
+def test_winnow_policy_stage_single_exchange_over_postings(spark):
+    """r15 postings split: a policy run over the STORED/cached postings
+    relation pays exactly ONE shuffle exchange (pair-keyed) — the df-cap
+    is a row-local size filter and the groupBy-fp shuffle lives in the
+    asset, not the query. This is the plan shape q_contamination_report's
+    branches execute against the fingerprint-keyed memo."""
+    from dataworks_spark.llm.dedup import (
+        winnow_fingerprint_relation,
+        winnow_pairs_from_postings,
+        winnow_postings,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 200)
+    postings = winnow_postings(winnow_fingerprint_relation(d)).persist()
+    postings.count()
+    try:
+        plan = (
+            winnow_pairs_from_postings(postings, max_df=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # count only the QUERY's exchanges: the printed InMemoryRelation
+        # embeds the asset's own build plan (its groupBy-fp exchange) —
+        # that shuffle was paid once at asset build, not per policy run
+        body = plan.split("AdaptiveSparkPlan")[1].split("InMemoryRelation")[0]
+        n_exchange = (
+            body.count("Exchange")
+            - body.count("BroadcastExchange")
+            - body.count("ReusedExchange")
+        )
+        assert n_exchange == 1, f"expected 1 shuffle exchange, plan:\n{plan}"
+        assert "InMemoryTableScan" in body  # reads the asset, not the corpus
+    finally:
+        postings.unpersist()
