@@ -1193,14 +1193,12 @@ def save_winnow_postings(
     built from (:func:`dataworks_spark.session.table_fingerprint` of
     the documents table), so a load can refuse stale postings after
     the corpus moved."""
-    spark = postings.sparkSession
-    postings.write.mode("overwrite").parquet(path)
-    from dataworks_spark.session import write_table_meta
+    from dataworks_spark.session import save_artifact_table
 
-    extra = {"writer": "winnow_postings"}
-    if source_fingerprint is not None:
-        extra["source_fingerprint"] = source_fingerprint
-    write_table_meta(spark, path, extra=extra)
+    save_artifact_table(
+        postings, path,
+        source_fingerprint=source_fingerprint, writer="winnow_postings",
+    )
 
 
 def load_winnow_postings(
@@ -1215,17 +1213,12 @@ def load_winnow_postings(
     stale centroids). ``None`` skips the check (legacy trust-the-path).
     File-level tamper is always verified via the ``_dw_meta.json``
     stamp the save wrote."""
-    from dataworks_spark.session import verify_table_meta
+    from dataworks_spark.session import load_artifact_table
 
-    meta = verify_table_meta(spark, path, what="winnow postings sidecar") or {}
-    if expect_fingerprint is not None and meta.get("source_fingerprint") != expect_fingerprint:
-        raise ValueError(
-            f"stale index: winnow postings at {path} were built from corpus "
-            f"fingerprint {meta.get('source_fingerprint')}, caller expects "
-            f"{expect_fingerprint}; rebuild with winnow_postings + "
-            "save_winnow_postings (unverifiable sidecars count as stale)"
-        )
-    return spark.read.parquet(path)
+    return load_artifact_table(
+        spark, path,
+        expect_fingerprint=expect_fingerprint, what="winnow postings sidecar",
+    )
 
 
 def winnow_overlap_pairs(

@@ -357,6 +357,52 @@ def read_table_meta(spark: SparkSession, path: str) -> dict | None:
     return json.loads(raw.decode())
 
 
+def save_artifact_table(
+    df: DataFrame,
+    path: str,
+    source_fingerprint: str | None = None,
+    writer: str = "artifact",
+) -> None:
+    """Persist a derived train-once relation (MinHash/SimHash sketch
+    table, winnow postings, any ingest-time asset) as a
+    fingerprint-guarded sidecar: parquet at ``path`` plus the
+    ``_dw_meta.json`` stamp carrying the files' own fingerprint
+    (tamper evidence) and ``source_fingerprint`` — the fingerprint of
+    the table the artifact was DERIVED from — so a later load can
+    refuse artifacts whose source moved (r15; the generic form of the
+    LshIndex/IvfIndex sidecar contract)."""
+    df.write.mode("overwrite").parquet(path)
+    extra = {"writer": writer}
+    if source_fingerprint is not None:
+        extra["source_fingerprint"] = source_fingerprint
+    write_table_meta(df.sparkSession, path, extra=extra)
+
+
+def load_artifact_table(
+    spark: SparkSession,
+    path: str,
+    expect_fingerprint: str | None = None,
+    what: str = "artifact table",
+) -> DataFrame:
+    """Reopen a :func:`save_artifact_table` sidecar. File-level tamper
+    always refuses (``_dw_meta.json`` check). ``expect_fingerprint``
+    (the CURRENT source-table fingerprint) additionally enforces the
+    staleness contract: a mismatch — or a sidecar with no recorded
+    source fingerprint — refuses, because unverifiable counts as stale
+    (an artifact derived from data that no longer exists silently
+    corrupts every downstream answer). ``None`` skips the staleness
+    check (legacy trust-the-path)."""
+    meta = verify_table_meta(spark, path, what=what) or {}
+    if expect_fingerprint is not None and meta.get("source_fingerprint") != expect_fingerprint:
+        raise ValueError(
+            f"stale index: {what} at {path} was built from source "
+            f"fingerprint {meta.get('source_fingerprint')}, caller expects "
+            f"{expect_fingerprint}; rebuild and re-save the artifact "
+            "(unverifiable sidecars count as stale)"
+        )
+    return spark.read.parquet(path)
+
+
 def verify_table_meta(spark: SparkSession, path: str, what: str = "table") -> dict | None:
     """Read-back gate for engine-managed durable tables: recompute the
     data fingerprint and compare against the ``_dw_meta.json`` stamp.

@@ -427,3 +427,44 @@ def test_winnow_fps_asset_rebuilds_on_corpus_mutation(spark, tmp_path):
     keys2 = [k for k in Q._ANN_INDEX_CACHE if k[2] == "winnow-postings" and k[1] == sfd]
     assert len(keys2) == 1 and keys2[0] != keys1[0]  # stale key evicted
     assert n2 != n1  # the rebuilt relation reflects the new corpus
+
+
+def test_generic_artifact_sidecar_for_sketches(spark, sf_dir, tmp_path):
+    """r15: save/load_artifact_table is the generic sidecar for sketch
+    relations — a MinHash signature table round-trips with the same
+    staleness/tamper contract, and banding a LOADED sidecar emits the
+    exact pair set of banding the fresh relation."""
+    import pytest
+
+    from dataworks_spark.llm.dedup import (
+        minhash_pairs_from_signatures,
+        minhash_signatures,
+    )
+    from dataworks_spark.session import (
+        load_artifact_table,
+        load_table,
+        save_artifact_table,
+        table_fingerprint,
+        table_path,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sig = minhash_signatures(d, "doc_id", "text", n_hashes=64)
+    fp = table_fingerprint(spark, table_path(sf_dir, "documents"))
+    p = str(tmp_path / "sigs")
+    save_artifact_table(sig, p, source_fingerprint=fp, writer="minhash_signatures")
+
+    loaded = load_artifact_table(spark, p, expect_fingerprint=fp)
+
+    def key(df):
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in df.collect()
+        )
+
+    assert key(
+        minhash_pairs_from_signatures(loaded, n_hashes=64, bands=16, threshold=0.3)
+    ) == key(
+        minhash_pairs_from_signatures(sig, n_hashes=64, bands=16, threshold=0.3)
+    )
+    with pytest.raises(ValueError, match="stale index"):
+        load_artifact_table(spark, p, expect_fingerprint="f" * 32)
