@@ -137,3 +137,32 @@ def test_load_table_reads_viewfs_parquet(spark, viewfs):
     ev = load_table(spark, viewfs, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() > 0
+
+
+def test_table_meta_and_fingerprint_on_viewfs(spark, viewfs, tmp_path):
+    """r15: the durable fingerprint stamp (session.write/verify_table_meta)
+    and the fingerprint fold itself run through the Hadoop FS API — on a
+    non-local scheme the stamp round-trips (atomic create+rename), the
+    stamp file is invisible to the fingerprint it records, and a tamper
+    planted THROUGH the local backing store is detected on the remote
+    scheme."""
+    import pytest as _pytest
+
+    from dataworks_spark.session import (
+        table_fingerprint,
+        verify_table_meta,
+        write_table_meta,
+    )
+
+    remote = f"{viewfs}/t.parquet"
+    spark.range(10).write.mode("overwrite").parquet(remote)
+    before = table_fingerprint(spark, remote)
+    fp = write_table_meta(spark, remote, extra={"writer": "viewfs-test"})
+    assert fp == before == table_fingerprint(spark, remote)
+    assert verify_table_meta(spark, remote)["writer"] == "viewfs-test"
+
+    # plant a foreign file via the LOCAL backing dir; detect via viewfs
+    local = tmp_path / "store" / "t.parquet"
+    (local / "part-evil.parquet").write_bytes(b"PAR1")
+    with _pytest.raises(RuntimeError, match="outside the engine"):
+        verify_table_meta(spark, remote)
