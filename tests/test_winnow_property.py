@@ -72,3 +72,46 @@ def test_winnow_matches_bruteforce(spark, texts):
         for r in winnow_overlap_pairs(df, min_shared=1, max_df=max_df).collect()
     }
     assert got_pairs == want_pairs
+
+
+# distinct vocabularies so the ONLY shared shingles are in the planted run
+_va = st.lists(st.sampled_from([f"a{i}" for i in range(8)]), min_size=0, max_size=6)
+_vb = st.lists(st.sampled_from([f"b{i}" for i in range(8)]), min_size=0, max_size=6)
+_run = st.lists(st.sampled_from([f"r{i}" for i in range(8)]),
+                min_size=W + K - 1, max_size=W + K + 4)
+
+
+@given(pre_a=_va, post_a=_va, pre_b=_vb, post_b=_vb, run=_run)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_winnow_guarantee_shared_run_is_caught(
+    spark, pre_a, post_a, pre_b, post_b, run
+):
+    """The paper's GUARANTEE (Schleimer et al. §2, the property that
+    makes winnowing better than sampling): any shared token run of
+    length ≥ w + k − 1 between two documents yields at least one
+    SHARED selected fingerprint — whatever surrounds the run. The two
+    documents here share ONLY the planted run (disjoint vocabularies
+    elsewhere), so the shared fingerprint must come from it; r15 pins
+    the guarantee end-to-end through the postings split the engine
+    actually runs."""
+    from dataworks_spark.llm.dedup import (
+        winnow_fingerprint_relation,
+        winnow_pairs_from_postings,
+        winnow_postings,
+    )
+
+    doc_a = " ".join(pre_a + run + post_a)
+    doc_b = " ".join(pre_b + run + post_b)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    pairs = winnow_pairs_from_postings(
+        winnow_postings(winnow_fingerprint_relation(df, shingle_n=K, window=W)),
+        min_shared=1,
+        max_df=50,
+    ).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(0, 1)], (
+        f"guarantee violated: run={run!r} a={doc_a!r} b={doc_b!r}"
+    )
+    # and the shared count is bounded by the run's own fingerprints
+    assert pairs[0].n_shared >= 1
