@@ -1122,6 +1122,26 @@ def _gram_pair_scorer(
     )
 
 
+def semantic_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """The ASSIGNED relation SemDeDup's pair stage consumes — (id_col,
+    __nv unit vector, __c cluster id) — factored out (r15) because it
+    is ingest-time state, not query work: at 100 TB the corpus is
+    WRITTEN partitioned by ``__c`` with vectors pre-normalized (the
+    claim :func:`semantic_dedup_pairs` has always made), so a dedup
+    run reads it rather than recomputing n·c assignment dots. Pass the
+    result (materialized: persist or checkpoint) to
+    ``semantic_dedup_pairs(assigned=...)``; the in-session face is a
+    fingerprint-keyed memo exactly like the quantizer it derives from."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    return df.select(
+        F.col(id_col),
+        unit_vector(F.col(vec_col)).alias("__nv"),
+        ivf_assign(F.col(vec_col), cents).alias("__c"),
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -1133,6 +1153,7 @@ def semantic_dedup_pairs(
     max_cluster: int | None = None,
     centroids: np.ndarray | None = None,
     scorer: str = "auto",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     public): k-means-cluster the embeddings, then compare cosine only
@@ -1190,6 +1211,14 @@ def semantic_dedup_pairs(
     result (same seed) or, worse, a DIFFERENT clustering (new data
     order) that makes runs incomparable.
 
+    ``assigned`` (r15): a prebuilt, MATERIALIZED assignment relation
+    from :func:`semantic_assign` (same centroids!) — skips the
+    normalization + assignment projection AND its checkpoint, because
+    the caller's relation is the stored ingest-time table (or its
+    memo). ``df``/``vec_col`` are ignored for the pair stage when
+    given; ``max_cluster`` still applies (the sub-shard fold is
+    per-run policy, so it is still checkpointed here).
+
     ``scorer`` (r14, closing r13 VERDICT #2): how within-group pairs
     are scored. ``'gram'`` = one chunked BLAS ``X @ X.T`` per group
     via applyInPandas (:func:`_gram_pair_scorer` — measured 3.4-11.5×
@@ -1199,24 +1228,24 @@ def semantic_dedup_pairs(
     pandas-less fallback). ``'auto'`` (default) = gram when pandas is
     installed, else expr. Both emit identical pairs and cosines
     (pinned in tests)."""
-    cents = (
-        np.asarray(centroids, dtype=np.float64)
-        if centroids is not None
-        else ivf_train(df, vec_col, n_centroids=n_clusters, sample=sample, seed=seed)
-    )
-    unit = unit_vector(F.col(vec_col))
-    # checkpoint-materialize the assigned relation: the self-join's two
-    # sides differ by projection, so without it ivf_assign (the
-    # interpreted per-centroid dot argmax — the dominant cost above)
-    # and the normalization run once PER SIDE (r9 review; the pattern
-    # minhash_near_dup_pairs documents, measured ~25% there).
-    # NOTE for bench: any query whose returned frame holds this
-    # checkpoint must sit in bench._REBUILD_EACH_PASS.
-    assigned = df.select(
-        F.col(id_col),
-        unit.alias("__nv"),
-        ivf_assign(F.col(vec_col), cents).alias("__c"),
-    ).localCheckpoint(eager=False)
+    if assigned is None:
+        cents = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else ivf_train(df, vec_col, n_centroids=n_clusters, sample=sample, seed=seed)
+        )
+        # checkpoint-materialize the assigned relation: the self-join's
+        # two sides differ by projection, so without it ivf_assign (the
+        # interpreted per-centroid dot argmax — the dominant cost above)
+        # and the normalization run once PER SIDE (r9 review; the pattern
+        # minhash_near_dup_pairs documents, measured ~25% there).
+        # NOTE for bench: any query whose returned frame holds this
+        # checkpoint must sit in bench._REBUILD_EACH_PASS. A
+        # caller-provided `assigned` is already materialized (the stored
+        # ingest-time table / memo) — no checkpoint, no rebuild-set pull.
+        assigned = semantic_assign(df, id_col, vec_col, cents).localCheckpoint(
+            eager=False
+        )
     keys = ["__c"]
     if max_cluster is not None:
         if max_cluster < 1:

@@ -3457,3 +3457,41 @@ def test_corpus_shards_are_stamped(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="outside the engine"):
         verify_table_meta(spark, p, what="corpus shards")
+
+
+def test_semantic_assigned_seam_matches_inline(spark, sf_dir):
+    """r15: semantic_dedup_pairs(assigned=) — the ingest-time assigned
+    relation seam — emits bit-equal pairs to the inline path on BOTH
+    scorers, with and without the max_cluster guard."""
+    from dataworks_spark import queries as Q
+    from dataworks_spark.llm.similarity import (
+        ivf_train,
+        semantic_assign,
+        semantic_dedup_pairs,
+    )
+
+    e = Q._t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    cents = ivf_train(e, "embedding", n_centroids=6)
+    asg = semantic_assign(e, "vec_id", "embedding", cents).persist()
+    asg.count()
+
+    def key(df):
+        return sorted(
+            (r.id_a, r.id_b, round(r.cos_sim, 9)) for r in df.collect()
+        )
+
+    try:
+        for scorer in ("gram", "expr"):
+            for mc in (None, 32):
+                inline = semantic_dedup_pairs(
+                    e, "vec_id", "embedding", threshold=0.35,
+                    centroids=cents, scorer=scorer, max_cluster=mc,
+                )
+                seamed = semantic_dedup_pairs(
+                    e, "vec_id", "embedding", threshold=0.35,
+                    centroids=cents, scorer=scorer, max_cluster=mc,
+                    assigned=asg,
+                )
+                assert key(seamed) == key(inline), (scorer, mc)
+    finally:
+        asg.unpersist()
