@@ -33,7 +33,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """dot/(‖a‖·‖b‖), NULL when either norm is zero (try_divide).
+
+    The engine runs under Spark 4's default ANSI mode, where a plain
+    ``/`` on a zero divisor ABORTS THE JOB — one zero-norm embedding in
+    a 100 TB corpus would kill every kNN/pair job that scans it. A
+    zero-norm vector has no direction, so its similarity is undefined:
+    NULL, which every ranking/threshold kernel drops (the r14/r15
+    undefined-similarity rule), never a crash and never a score."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def unit_vector(a: Column) -> Column:
@@ -44,10 +52,17 @@ def unit_vector(a: Column) -> Column:
     norm aggregate once PER ELEMENT — O(dim²) interpreted work per row.
     The single-element outer transform is the repo's let-binding idiom
     (see llm/dedup.shingle_hashes): it binds the norm scalar once and
-    the inner transform divides by the bound variable."""
+    the inner transform divides by the bound variable.
+
+    Zero-norm input → all-NULL elements (try_divide; a plain ``/``
+    would ANSI-abort the job): downstream dot/aggregate folds turn a
+    NULL element into a NULL score, numpy kernels see NaN — both are
+    dropped by the undefined-similarity guards, and Lloyd's ``avg``
+    refinement skips NULLs, so a zero vector can neither crash a scan
+    nor poison a centroid."""
     return F.flatten(
         F.transform(
             F.array(norm(a)),
-            lambda nv: F.transform(a, lambda x: x.cast("double") / nv),
+            lambda nv: F.transform(a, lambda x: F.try_divide(x.cast("double"), nv)),
         )
     )

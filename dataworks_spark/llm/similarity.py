@@ -38,7 +38,15 @@ def brute_force_cosine_topk(
     none are given, on every projected column — so equal-scoring
     vectors straddling rank k resolve by data, not partition order
     (the determinism rule knn_join/ivf_build_centroids already follow;
-    r9 review)."""
+    r9 review).
+
+    Undefined scores are DROPPED before ranking, the same rule as the
+    pair kernels (cosine_pairs_above / semantic_dedup_pairs, r14):
+    NULL cosines (zero-norm vectors under try_divide) would fill short
+    lists, and NaN cosines (NaN-poisoned embeddings) sort ABOVE every
+    double in Spark, so one poisoned row would otherwise occupy the
+    top of EVERY top-k list. An all-undefined scan (e.g. a zero-norm
+    QUERY vector) returns no rows rather than an arbitrary k."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         *(id_cols or df.columns),
@@ -46,7 +54,8 @@ def brute_force_cosine_topk(
     )
     tiebreak = id_cols if id_cols else df.columns
     order = [F.col("cos_sim").desc(), *(F.col(c) for c in tiebreak)]
-    return scored.orderBy(*order).limit(k)
+    defined = F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim")
+    return scored.filter(defined).orderBy(*order).limit(k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -873,9 +882,17 @@ def knn_join(
 
 
 def _rank_scored(scored: DataFrame, query_id: str, corpus_id: str, k: int) -> DataFrame:
-    """Shared two-window top-k over (__qid, __cid, __cos, __part)."""
+    """Shared two-window top-k over (__qid, __cid, __cos, __part).
+
+    Undefined scores (NULL = zero-norm under try_divide, NaN =
+    poisoned embedding) are dropped first, the same rule as
+    brute_force_cosine_topk and the r14 pair kernels: both windows
+    order ``__cos`` desc, and Spark ranks NaN above every double — one
+    NaN-poisoned corpus vector would otherwise take rank 1 in EVERY
+    query's list, and a NULL one would fill any list shorter than k."""
     from pyspark.sql import Window
 
+    scored = scored.filter(F.col("__cos").isNotNull() & ~F.isnan("__cos"))
     w_local = Window.partitionBy("__qid", "__part").orderBy(
         F.col("__cos").desc(), F.col("__cid")
     )

@@ -1247,6 +1247,52 @@ def test_knn_join_lsh_candidates_exact_scores(spark, emb):
     assert everything == exact
 
 
+def test_nan_and_zero_norm_vectors_never_rank(spark):
+    """r15 guard, same class as the r14 pair-kernel NaN fix: Spark
+    orders NaN ABOVE every double, so before the ~isnan filters a
+    zero-norm corpus vector (0/0 = NaN cosine) or a NaN-poisoned
+    embedding took rank 1 in EVERY query's top-k — in knn_join,
+    knn_join_lsh, and brute_force_cosine_topk (the kernel LshIndex/
+    IvfIndex.topk funnel through). Poisoned rows must rank NOWHERE,
+    ranks stay contiguous, and an all-NaN scan (zero-norm QUERY
+    vector) returns no rows rather than an arbitrary k."""
+    from dataworks_spark.llm.similarity import LshIndex, knn_join, knn_join_lsh
+
+    nan = float("nan")
+    clean = [(i, [float(i + 1), 1.0, 0.0, 0.0]) for i in range(6)]
+    poisoned = clean + [(90, [0.0] * 4), (91, [nan, nan, nan, nan])]
+    corpus = spark.createDataFrame(poisoned, "vec_id long, embedding array<double>")
+    clean_df = spark.createDataFrame(clean, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "q_id long, qvec array<double>",
+    )
+    got = knn_join(corpus, queries, "vec_id", "embedding", k=4).collect()
+    want = knn_join(clean_df, queries, "vec_id", "embedding", k=4).collect()
+    key = lambda r: (r.q_id, r.rank, r.vec_id, r.cos_sim)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert not {r.vec_id for r in got} & {90, 91}
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
+
+    top = brute_force_cosine_topk(
+        corpus, "embedding", [1.0, 0.0, 0.0, 0.0], k=4, id_cols=["vec_id"]
+    ).collect()
+    assert len(top) == 4 and not {r.vec_id for r in top} & {90, 91}
+    empty = brute_force_cosine_topk(
+        corpus, "embedding", [0.0] * 4, k=3, id_cols=["vec_id"]
+    )
+    assert empty.count() == 0
+
+    # probed join, same rule (a NaN vector lands in bucket 0 — NaN > 0
+    # is false for every hyperplane — and its NaN score is then dropped)
+    idx = LshIndex(corpus, "embedding", 4, n_planes=4, cache=False)
+    probed = knn_join_lsh(idx, queries, "vec_id", k=4, n_probe=16).collect()
+    assert probed and not {r.vec_id for r in probed} & {90, 91}
+
+
 def test_top_terms_vocabulary(spark):
     """top_terms: df-ordered, deterministic ties, min_df floor; feeds
     tfidf_vectors directly."""
