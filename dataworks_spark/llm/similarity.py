@@ -162,6 +162,28 @@ def _train_sample_size(n_centroids: int, sample: int | None) -> int:
     return min(max(2048, 32 * n_centroids), IVF_TRAIN_SAMPLE_CAP)
 
 
+def _defined_vector(vec: Column) -> Column:
+    """TRUE iff ``vec`` may train the quantizer: non-NULL, no NULL/NaN
+    element, nonzero norm. One poisoned row is catastrophic here, not
+    marginal: a NaN element survives ``avg`` (which skips only NULLs)
+    into a NaN centroid, and Spark and numpy both treat NaN as the
+    MAXIMUM score, so on the next epoch EVERY row assigns to the
+    poisoned cluster — the quantizer collapses to one cell and the
+    SemDeDup pair space degenerates toward n². A zero-norm row becomes
+    NaN at normalization (0/0) with the same outcome. Undefined rows
+    still ASSIGN at query time — to ivf_assign's sentinel cluster 0 —
+    they just don't vote on centroids. Note NaN > 0 is TRUE under
+    Spark's NaN-greatest comparison rule, so the norm check alone
+    cannot exclude NaN rows; the exists() element check must run."""
+    from dataworks_spark.functions.arrays import norm
+
+    return (
+        vec.isNotNull()
+        & ~F.exists(vec, lambda x: x.isNull() | F.isnan(x))
+        & (norm(vec) > 0)
+    )
+
+
 def ivf_build_centroids(
     df: DataFrame, vec_col: str, n_centroids: int = 16, sample: int | None = None,
     iterations: int = 5, seed: int = 42,
@@ -206,11 +228,27 @@ def ivf_build_centroids(
     sample = _train_sample_size(n_centroids, sample)
     rows = (
         df.select(vec_col)
+        .filter(_defined_vector(F.col(vec_col)))
         .orderBy(F.xxhash64(F.col(vec_col)).asc(), F.col(vec_col).asc())
         .limit(sample)
         .collect()
     )
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    # ragged rows can't be excluded in SQL (the corpus dim isn't known
+    # yet) — drop driver-side against the sample's majority length;
+    # np.array on a ragged list would otherwise die on inhomogeneous
+    # shapes, and one short row would crash the whole build
+    vals = [r[0] for r in rows]
+    if vals:
+        from collections import Counter
+
+        dim0 = Counter(len(v) for v in vals).most_common(1)[0][0]
+        vals = [v for v in vals if len(v) == dim0]
+    if not vals:
+        raise ValueError(
+            f"ivf_build_centroids: no defined {vec_col} vectors to train on "
+            "(every sampled row was NULL, NaN-poisoned, zero-norm, or ragged)"
+        )
+    x = np.array(vals, dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     if capped:
@@ -413,8 +451,14 @@ def ivf_build_centroids_distributed(
     # unit vectors computed ONCE per row — unit_vector let-binds the
     # norm so it is one O(dim) aggregate, not one per element; cosine
     # assignment is scale-invariant, so assigning on units is
-    # identical to assigning on the raw vectors
-    vecs = df.select(unit_vector(F.col(vec_col)).alias("__v"))
+    # identical to assigning on the raw vectors. Undefined rows are
+    # excluded from TRAINING (see _defined_vector: one NaN row
+    # collapses the quantizer; a ragged row would ANSI-abort the
+    # per-dimension getItem aggregates) — at query time they still
+    # assign to the sentinel cluster 0.
+    vecs = df.filter(
+        _defined_vector(F.col(vec_col)) & (F.size(F.col(vec_col)) == dim)
+    ).select(unit_vector(F.col(vec_col)).alias("__v"))
     for _ in range(max(iterations, 0)):
         bcs: list = []
         rows = (

@@ -710,7 +710,12 @@ def q_scalar_functions(spark, sf_dir):
         F.next_day(ts.cast("date"), "Mon").alias("next_monday"),
         # H4 JSON
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        # try_cast, not cast: under the session's ANSI mode a plain
+        # cast ABORTS THE JOB on the first non-numeric JSON value —
+        # extracted JSON is exactly the column type that carries junk
+        # at corpus scale; malformed values degrade to NULL (DuckDB's
+        # TRY_CAST matches when the oracle fixture ever grows junk)
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         # H9 maps
         F.element_at(m, F.col("event_type")).alias("mapped_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
@@ -2383,7 +2388,7 @@ ORACLE_SQL: dict[str, str] = {
                CAST(ts AS DATE)
                  + CAST(((1 - isodow(ts) + 6) % 7) + 1 AS INTEGER) AS next_monday,
                json_extract_string(props, '$.k') AS k_str,
-               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
                map([event_type], [value])[event_type][1] AS mapped_value,
                CAST(cardinality(map([event_type], [value])) AS INTEGER) AS n_keys,
                CAST(len([value, value * 2, value + 1.0]) AS INTEGER) AS arr_dim,

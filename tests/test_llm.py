@@ -1760,6 +1760,82 @@ def test_ivf_distributed_refinement_recovers_planted_clusters(spark):
     assert quantization(c1) > 0.88
 
 
+def test_undefined_vectors_never_train_the_quantizer(spark):
+    """r15 guard (same class as the r14/r15 NaN-ranking fixes):
+    undefined vectors — NULL, NaN-poisoned, zero-norm, ragged — must
+    not VOTE on centroids. Before the _defined_vector filters, one NaN
+    row turned a centroid mean NaN (avg skips only NULLs), and since
+    Spark/numpy treat NaN as the maximum score, the NEXT epoch
+    assigned every row to the poisoned cluster — total quantizer
+    collapse; a ragged row ANSI-aborted the per-dimension getItem
+    aggregates outright. Pins: poisoned-corpus training is BITWISE the
+    clean-corpus training (driver sample and distributed refinement),
+    and an all-poisoned corpus raises, never trains junk."""
+    import numpy as np
+
+    from dataworks_spark.llm.similarity import (
+        ivf_build_centroids,
+        ivf_build_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16)) * 10.0
+    clean = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(size=16)])
+        for i in range(400)
+    ]
+    nan = float("nan")
+    bad_sql = [
+        (900, None),                      # NULL vector
+        (901, [nan] * 16),                # NaN-poisoned
+        (902, [0.0] * 16),                # zero-norm → NaN at normalize
+    ]
+    bad_ragged = [
+        (903, [1.0, 2.0]),                # ragged (wrong dim)
+        (904, [1.0] * 16 + [5.0]),        # ragged (too long)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    df_clean = spark.createDataFrame(clean, schema)
+    df_poisoned = spark.createDataFrame(clean + bad_sql, schema)
+
+    # NULL/NaN/zero-norm are excluded IN SQL, before the hash-smallest
+    # sample — they don't even consume sample slots, so training is
+    # BITWISE the clean corpus's
+    want = ivf_build_centroids(df_clean, "embedding", n_centroids=4, sample=64, seed=1)
+    got = ivf_build_centroids(df_poisoned, "embedding", n_centroids=4, sample=64, seed=1)
+    assert np.array_equal(want, got) and np.isfinite(got).all()
+
+    want_d = ivf_build_centroids_distributed(
+        df_clean, "embedding", n_centroids=4, iterations=2, sample=64, seed=1
+    )
+    got_d = ivf_build_centroids_distributed(
+        df_poisoned, "embedding", n_centroids=4, iterations=2, sample=64, seed=1
+    )
+    assert np.array_equal(want_d, got_d) and np.isfinite(got_d).all()
+
+    # ragged rows can't be SQL-excluded before the dim is known (that
+    # would cost a full-scan aggregate); they may consume a sample slot
+    # but are dropped driver-side against the sample's majority length,
+    # so training still completes finite (a ragged row previously
+    # crashed np.array on inhomogeneous shapes, and the refinement's
+    # getItem aggregates under ANSI) — and the refinement rounds, where
+    # the dim IS known, exclude them in SQL
+    df_ragged = spark.createDataFrame(clean + bad_sql + bad_ragged, schema)
+    got_r = ivf_build_centroids(df_ragged, "embedding", n_centroids=4, sample=64, seed=1)
+    assert got_r.shape == want.shape and np.isfinite(got_r).all()
+    got_rd = ivf_build_centroids_distributed(
+        df_ragged, "embedding", n_centroids=4, iterations=2, sample=64, seed=1
+    )
+    assert got_rd.shape == want_d.shape and np.isfinite(got_rd).all()
+
+    # all-undefined corpus refuses (ragged rows are NOT in this frame:
+    # a corpus whose only defined rows are dim-2 vectors legitimately
+    # trains dim-2 centroids — raggedness is relative to the majority)
+    all_bad = spark.createDataFrame(bad_sql, schema)
+    with pytest.raises(ValueError, match="no defined"):
+        ivf_build_centroids(all_bad, "embedding", n_centroids=2, sample=8, seed=1)
+
+
 def test_chunk_and_span_null_text(spark):
     """NULL text behaves as '' in both operators: one empty chunk with
     an honest token count, and sep-mode keeps the document (posexplode
