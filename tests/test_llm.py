@@ -89,6 +89,76 @@ def test_max_bucket_caps_hot_lsh_buckets(spark):
         minhash_near_dup_pairs(df, "doc_id", "text", max_bucket=0)
 
 
+def test_prebuilt_survivors_and_checkpoint_free_parity(spark):
+    """r15 session 2 seams behind q_dedup_sketch leaving the bench
+    rebuild set: (a) a prebuilt minhash_band_survivors relation passed
+    as ``survivors=`` yields EXACTLY the inline ``max_bucket`` pair
+    set on planted hot-bucket skew — the bucket histogram is
+    ingest-time state; (b) hamming_near_dup_pairs with
+    ``checkpoint=False`` over a persisted fingerprint relation yields
+    exactly the checkpointed pairs."""
+    from dataworks_spark.llm.dedup import (
+        hamming_near_dup_pairs,
+        minhash_band_survivors,
+        minhash_pairs_from_signatures,
+        minhash_signatures,
+        simhash,
+    )
+
+    family = "license header boilerplate text repeated verbatim on every page forever"
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("today", "tomorrow")
+    rows = [(i, family) for i in range(40)] + [(100, a), (101, b)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sig = minhash_signatures(df, "doc_id", "text", n_hashes=64).persist()
+    sig.count()
+    try:
+        inline = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in minhash_pairs_from_signatures(
+                sig, 64, 16, threshold=0.3, max_bucket=10
+            ).collect()
+        }
+        sur = minhash_band_survivors(sig, 64, 16, max_bucket=10).persist()
+        sur.count()
+        try:
+            via_asset = {
+                (r.doc_a, r.doc_b): r.est_jaccard
+                for r in minhash_pairs_from_signatures(
+                    sig, 64, 16, threshold=0.3, survivors=sur
+                ).collect()
+            }
+        finally:
+            sur.unpersist()
+        assert via_asset == inline and (100, 101) in inline
+        assert not any(x < 100 and y < 100 for x, y in via_asset)
+
+        with pytest.raises(ValueError, match="max_bucket"):
+            minhash_band_survivors(sig, 64, 16, max_bucket=0)
+    finally:
+        sig.unpersist()
+
+    fps = df.select(
+        F.col("doc_id").alias("doc"), simhash(F.col("text")).alias("fp")
+    ).persist()
+    fps.count()
+    try:
+        with_cp = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in hamming_near_dup_pairs(fps, "doc", "fp").collect()
+        }
+        without_cp = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in hamming_near_dup_pairs(
+                fps, "doc", "fp", checkpoint=False
+            ).collect()
+        }
+    finally:
+        fps.unpersist()
+    assert without_cp == with_cp and with_cp
+
+
 def test_simhash_separates_dup_from_random(spark, docs):
     """Near-identical texts get near-identical simhash fingerprints."""
     a = "the quick brown fox jumps over the lazy dog again and again today"
