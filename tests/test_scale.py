@@ -429,6 +429,82 @@ def test_winnow_fps_asset_rebuilds_on_corpus_mutation(spark, tmp_path):
     assert n2 != n1  # the rebuilt relation reflects the new corpus
 
 
+def test_session2_assets_rebuild_on_mutation(spark, tmp_path):
+    """r15 session 2 memo kinds follow the same fingerprint-keyed
+    contract as the postings: the edit-distance pair graph
+    (q_dedup_clusters, table='customer') and the capped-branch bucket
+    survivors (q_dedup_sketch) memo-hit while the source is unchanged
+    and rebuild to reflect an under-the-path mutation."""
+    from dataworks_spark import queries as Q
+
+    sfd = str(tmp_path)
+
+    def write_customers(names):
+        spark.createDataFrame(
+            list(enumerate(names)), "c_custkey long, c_name string"
+        ).write.mode("overwrite").parquet(f"{sfd}/customer.parquet")
+        for k in [k for k in Q._TABLE_CACHE if k[1] == sfd]:
+            Q._TABLE_CACHE.pop(k)
+
+    write_customers(["alpha onex", "alpha oney", "gamma something else"])
+    out1 = {
+        (r.id, r.cluster)
+        for r in Q.QUERIES["q_dedup_clusters"](spark, sfd).collect()
+    }
+    assert out1 == {(0, 0), (1, 0)}  # the pair clusters; the loner is unpaired
+    keys1 = [k for k in Q._ANN_INDEX_CACHE if k[2] == "edit-pairs" and k[1] == sfd]
+    assert len(keys1) == 1
+    again = {
+        (r.id, r.cluster)
+        for r in Q.QUERIES["q_dedup_clusters"](spark, sfd).collect()
+    }
+    assert again == out1
+    assert [
+        k for k in Q._ANN_INDEX_CACHE if k[2] == "edit-pairs" and k[1] == sfd
+    ] == keys1  # memo hit, no rebuild
+    write_customers(["alpha onex", "alpha oney", "alpha onez"])
+    out2 = {
+        (r.id, r.cluster)
+        for r in Q.QUERIES["q_dedup_clusters"](spark, sfd).collect()
+    }
+    assert out2 == {(0, 0), (1, 0), (2, 0)}  # rebuilt graph joins the third
+    keys2 = [k for k in Q._ANN_INDEX_CACHE if k[2] == "edit-pairs" and k[1] == sfd]
+    assert len(keys2) == 1 and keys2[0] != keys1[0]  # stale key evicted
+
+    def write_docs(texts):
+        spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        ).write.mode("overwrite").parquet(f"{sfd}/documents.parquet")
+        for k in [k for k in Q._TABLE_CACHE if k[1] == sfd]:
+            Q._TABLE_CACHE.pop(k)
+
+    dup = "the quick brown fox jumps over the lazy dog again and again today "
+    other = "completely different words about spark shuffles and parquet footers here "
+    write_docs([dup * 2, dup * 2, other * 2])
+    n1 = Q.QUERIES["q_dedup_sketch"](spark, sfd).count()
+    skeys1 = [
+        k for k in Q._ANN_INDEX_CACHE
+        if k[2] == "minhash-capped-survivors" and k[1] == sfd
+    ]
+    assert len(skeys1) == 1
+    assert Q.QUERIES["q_dedup_sketch"](spark, sfd).count() == n1
+    assert [
+        k for k in Q._ANN_INDEX_CACHE
+        if k[2] == "minhash-capped-survivors" and k[1] == sfd
+    ] == skeys1  # memo hit
+    # three identical docs: their buckets exceed max_bucket=2, so the
+    # rebuilt survivor set DROPS them from the capped branch while the
+    # uncapped branch still pairs them — the count must change
+    write_docs([dup * 2, dup * 2, dup * 2])
+    n2 = Q.QUERIES["q_dedup_sketch"](spark, sfd).count()
+    skeys2 = [
+        k for k in Q._ANN_INDEX_CACHE
+        if k[2] == "minhash-capped-survivors" and k[1] == sfd
+    ]
+    assert len(skeys2) == 1 and skeys2[0] != skeys1[0]
+    assert n2 != n1
+
+
 def test_generic_artifact_sidecar_for_sketches(spark, sf_dir, tmp_path):
     """r15: save/load_artifact_table is the generic sidecar for sketch
     relations — a MinHash signature table round-trips with the same
