@@ -65,15 +65,6 @@ def _table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
 #: fixtures, not an artifact that outlives the data it was built from.)
 _ANN_INDEX_CACHE: dict[tuple[str, str, str, str], object] = {}
 
-#: per-(app, sf_dir, kind) memo of LAZY DataFrame plans feeding the
-#: fixpoint queries. Those queries rebuild every bench pass (their
-#: loops hold localCheckpoints, so the RETURNED frame must not be
-#: reused), but a checkpoint-free input plan is a prepared statement:
-#: caching it skips only py4j expression re-construction — every
-#: action still executes the full plan against the source data.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-
-
 def _release(val) -> None:
     """Best-effort unpersist of a cache value: DataFrames directly,
     index objects (LshIndex/IvfIndex) via their cached .df; plain
@@ -158,7 +149,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _evict_stale(_TABLE_CACHE, app_id)
     _evict_stale(_QVEC_CACHE, app_id)
     _evict_stale(_ANN_INDEX_CACHE, app_id)
-    _evict_stale(_PLAN_CACHE, app_id)
     _evict_stale(_COUNT_CACHE, app_id)
     key = (app_id, sf_dir, name)
     df = _TABLE_CACHE.get(key)
