@@ -1618,6 +1618,10 @@ def test_semantic_dedup_gram_scorer_pins_to_expression_kernel(spark, emb):
         (4, [float("nan")] * 8),        # NaN-poisoned
         (5, base[:4]),                  # length mismatch
         (6, base), (6, twin),           # duplicate id: pairs with nothing
+        (7, [0.0] * 8),                 # zero-norm: r15 s2 try_divide
+        # makes this row REACHABLE (it used to ANSI-abort at
+        # normalization) — its unit vector is all-NULL and both
+        # kernels must drop it, not crash on the None elements
     ]
     edge = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     ek = dict(threshold=0.9, centroids=np.ones((1, 8)))
@@ -1628,7 +1632,10 @@ def test_semantic_dedup_gram_scorer_pins_to_expression_kernel(spark, emb):
     assert edge_gram == edge_expr
     pair_ids = {(a, b) for a, b, _ in edge_gram}
     assert (1, 2) in pair_ids
-    assert all(3 not in p and 4 not in p and 5 not in p for p in pair_ids)
+    assert all(
+        3 not in p and 4 not in p and 5 not in p and 7 not in p
+        for p in pair_ids
+    )
     # duplicate id 6 still pairs with OTHER ids, never itself
     assert (6, 6) not in pair_ids
     # the exact kernel shares the drop-NaN fix (Spark orders NaN above
@@ -1642,7 +1649,10 @@ def test_semantic_dedup_gram_scorer_pins_to_expression_kernel(spark, emb):
             edge, "vec_id", "embedding", threshold=0.9, exact=True
         ).collect()
     }
-    assert all(3 not in p and 4 not in p and 5 not in p for p in exact_ids)
+    assert all(
+        3 not in p and 4 not in p and 5 not in p and 7 not in p
+        for p in exact_ids
+    )
     assert (1, 2) in exact_ids
 
     # string ids: output schema follows the id column's type
