@@ -924,9 +924,12 @@ def hamming_near_dup_pairs(
     ``checkpoint=False`` skips that one-shot materialization: correct
     and cheap when ``f`` is ALREADY materialized (a persisted memo
     asset, a stored table) — the per-side recompute is then just the
-    shift/mask quarter projection — and it leaves the returned frame
-    free of per-call state, so a caller may reuse it across actions
-    (bench rebuild-set rule, r15)."""
+    shift/mask quarter projection. The returned frame is then free of
+    per-call state so a caller may reuse it across actions (bench
+    rebuild-set rule, r15) — UNLESS ``max_bucket`` is also set: the
+    inline size fold checkpoints its survivor keys per call, so a
+    capped-and-reusable caller must instead prune with a prebuilt
+    survivor relation (the minhash_band_survivors pattern)."""
     f = f.select(F.col(id_col).alias("doc"), F.col(fp_col).alias("fp"))
     mask = (1 << band_bits) - 1
     quarters = f.select(
