@@ -930,6 +930,12 @@ def hamming_near_dup_pairs(
     inline size fold checkpoints its survivor keys per call, so a
     capped-and-reusable caller must instead prune with a prebuilt
     survivor relation (the minhash_band_survivors pattern)."""
+    if not 1 <= band_bits <= 64:
+        # band_bits=0 died with a bare ZeroDivisionError; band_bits>64
+        # built ZERO quarters and silently returned no candidates —
+        # the same silent-empty misconfiguration class as a
+        # non-dividing MinHash band split (r9 ADVICE)
+        raise ValueError(f"band_bits must satisfy 1 <= band_bits <= 64: {band_bits}")
     f = f.select(F.col(id_col).alias("doc"), F.col(fp_col).alias("fp"))
     mask = (1 << band_bits) - 1
     quarters = f.select(

@@ -158,6 +158,12 @@ def test_prebuilt_survivors_and_checkpoint_free_parity(spark):
         fps.unpersist()
     assert without_cp == with_cp and with_cp
 
+    # band-shape validation: 0 died with a bare ZeroDivisionError,
+    # >64 silently built zero quarters and returned no candidates
+    for bad in (0, -8, 65):
+        with pytest.raises(ValueError, match="band_bits"):
+            hamming_near_dup_pairs(fps, "doc", "fp", band_bits=bad)
+
 
 def test_simhash_separates_dup_from_random(spark, docs):
     """Near-identical texts get near-identical simhash fingerprints."""
