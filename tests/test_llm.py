@@ -36,6 +36,65 @@ def test_word_ngrams_short_text(spark):
     assert sorted(r.n for r in out) == [0, 2]  # shorter than n → empty
 
 
+def test_ngram_pigeonhole_matches_cooccurrence(spark, docs):
+    """r15: the pigeonhole candidate/verify execution of
+    ngram_jaccard_pairs must return BIT-IDENTICAL (pair, inter,
+    jaccard) rows to the pure-JVM co-occurrence twin — on the fixture
+    corpus, on a planted hot-shingle family (the saturated-vocabulary
+    regime the kernel exists for), and on an edge frame (empty / short
+    / NULL texts, exact twins, repeated-shingle text) — across parts
+    values bracketing the per-pair prune threshold from τ>1 down to
+    the degenerate τ=1 (parts larger than any doc's shingle count,
+    where candidates = all co-occurring pairs)."""
+
+    def rows(df_out):
+        return sorted(
+            (r.doc_a, r.doc_b, r.inter, r.jaccard) for r in df_out.collect()
+        )
+
+    # fixture corpus: real near-dup families
+    exact = rows(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3, method="cooccur"))
+    assert exact, "fixture should contain near-dups"
+    for parts in (1, 8):
+        got = rows(
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", 3, 0.3, method="pigeonhole", parts=parts
+            )
+        )
+        assert got == exact, f"parts={parts}"
+
+    # planted skew: a 12-doc boilerplate family sharing one hot
+    # paragraph + an unrelated rare pair + degenerate texts
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    edge = [(i, boiler + f" tail{i}") for i in range(12)]
+    edge += [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+        (200, ""),
+        (201, "one two"),
+        (202, None),
+        (203, "x y z x y z x y z"),
+        (204, "x y z x y z x y z"),
+    ]
+    df = spark.createDataFrame(edge, "doc_id long, text string")
+    for th in (0.2, 0.5):
+        want = rows(ngram_jaccard_pairs(df, "doc_id", "text", 3, th, method="cooccur"))
+        for parts in (1, 4, 64):
+            got = rows(
+                ngram_jaccard_pairs(
+                    df, "doc_id", "text", 3, th, method="pigeonhole", parts=parts
+                )
+            )
+            assert got == want, f"threshold={th} parts={parts}"
+    # schema parity (inter must stay long; ids keep the input dtype) —
+    # simpleString level: nullability metadata legitimately differs
+    # (count() is non-nullable, the verify-join size() is not), and the
+    # driver's oracle compare hashes pandas dtypes, not nullability
+    a = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.3, method="cooccur")
+    b = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.3, method="pigeonhole")
+    assert a.schema.simpleString() == b.schema.simpleString()
+
+
 def test_minhash_recalls_true_near_dups(docs):
     """MinHash banding (64 hashes / 16 bands) must recall the clearly
     near-duplicate pairs the exact n-gram kernel finds at jaccard≥0.5."""
