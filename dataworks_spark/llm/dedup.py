@@ -923,31 +923,70 @@ def minhash_pairs_from_signatures(
     (:func:`minhash_signatures` checkpoints; a persisted table
     qualifies by construction) — both self-join sides read it.
 
-    Hot-bucket guard, two forms: ``max_bucket`` folds bucket sizes
-    inline (one-shot checkpoint per call); ``survivors`` semi-joins a
-    prebuilt :func:`minhash_band_survivors` relation instead — the
-    plan then holds NO per-call state, so a caller may legitimately
-    reuse the returned frame (bench rebuild-set rule, r15). The two
-    forms produce identical pairs when the survivor relation was built
-    with the same (n_hashes, bands, max_bucket) over the same ``sig``
-    — the caller owns that consistency, exactly as with the postings."""
-    banded = _minhash_banded(sig, n_hashes, bands)
+    Hot-bucket guard, two forms: ``max_bucket`` filters bucket sizes
+    inline — since r15 as a ``size(ds) <= cap`` predicate on the same
+    bucket groupBy the pair emission reads, so it no longer runs a
+    separate checkpointed size fold; ``survivors`` semi-joins a
+    prebuilt :func:`minhash_band_survivors` relation instead. NEITHER
+    form holds per-call one-shot state anymore, so a caller may
+    legitimately reuse the returned frame (bench rebuild-set rule,
+    r15). The two forms produce identical pairs when the survivor
+    relation was built with the same (n_hashes, bands, max_bucket)
+    over the same ``sig`` — the caller owns that consistency, exactly
+    as with the postings."""
+    # r15 shape (guide-§8 + the cooccurrence trick this module already
+    # uses): candidates come from ONE banding pass grouped by bucket
+    # with row-local C(k,2) emission over the sorted doc list — the
+    # bucket SELF-JOIN is gone (it re-executed the banding projection
+    # once per side and paid join machinery for a tiny output; the
+    # r13 shared-subplan note), and the signature arrays (64 longs ≈
+    # 20× the key width) never ride the bucket exchange: they are
+    # attached to the DEDUPED candidates by two joins against the
+    # narrow sig relation the caller already materialized. The inline
+    # max_bucket guard rides the same groupBy (`size(ds) <= cap`), so
+    # this path no longer folds bucket sizes in a separate
+    # checkpointed pass — identical pairs, no per-call one-shot state.
+    if max_bucket is not None and max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    banded = _minhash_banded(sig, n_hashes, bands).drop("sig")
     if survivors is not None:
         banded = banded.join(survivors, ["band", "bhash"], "left_semi")
-    else:
-        banded = _cap_buckets(banded, ["band", "bhash"], max_bucket)
-    a = banded.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bhash")
-    b = banded.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bhash")
+    grouped = banded.groupBy("band", "bhash").agg(
+        F.array_sort(F.collect_list("doc")).alias("ds")
+    )
+    keep = F.size("ds") > 1
+    if survivors is None and max_bucket is not None:
+        keep = keep & (F.size("ds") <= max_bucket)
     cand = (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        grouped.filter(keep)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = cand.withColumn(
-        "est_jaccard",
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        / F.lit(n_hashes),
+    sig_a = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+            )
+            / F.lit(n_hashes),
+        )
     )
     return est.filter(F.col("est_jaccard") >= threshold).select("doc_a", "doc_b", "est_jaccard")
 
