@@ -124,17 +124,33 @@ def _load(src: str) -> ctypes.CDLL | None:
             # its process lifetime. Compile from the private copy;
             # publish it afterwards (atomic replace) as a debug
             # reference only — nothing ever compiles from the shared
-            # name.
-            c_path = os.path.join(cache, f"{key}.{os.getpid()}.c.tmp")
+            # name. The private name must still END IN ``.c`` — cc
+            # infers the language from the extension, and a ``.tmp``
+            # suffix is handed to the LINKER as a script ("file format
+            # not recognized"), which failed EVERY cold compile on a
+            # fresh host and silently pinned all kernels to the python
+            # fallback (r15 session 3; warm hosts masked it because
+            # the cached .so predated the rename).
+            c_path = os.path.join(cache, f"{key}.{os.getpid()}.c")
             with open(c_path, "w") as f:
                 f.write(src)
             tmp_so = os.path.join(cache, f"{key}.{os.getpid()}.so.tmp")
-            subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
-                check=True, capture_output=True, timeout=60,
-            )
-            os.rename(tmp_so, so)
-            os.replace(c_path, os.path.join(cache, f"{key}.c"))
+            try:
+                subprocess.run(
+                    ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
+                    check=True, capture_output=True, timeout=60,
+                )
+                os.rename(tmp_so, so)
+                os.replace(c_path, os.path.join(cache, f"{key}.c"))
+            finally:
+                # a failed compile must not strand pid-unique litter in
+                # the shared cache (observed: dozens of orphaned tmp
+                # sources from the linker-script era)
+                for p in (c_path, tmp_so):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
         lib = ctypes.CDLL(so)
     except Exception:  # noqa: BLE001 — no cc / sandbox / bad cache: python path
         lib = None
