@@ -43,6 +43,10 @@ _REBUILD_EACH_PASS = {
     # steady now measures banding + bucket joins + verify re-executed
     # in full per pass off the deliberately-cached sketch assets.
     "q_dedup_clusters",  # localCheckpoint-holding fixpoint loop
+    "q_dedup_ngram",  # the pigeonhole candidate relation is a one-shot
+    # localCheckpoint (it feeds both the touched-id broadcast and the
+    # verify stream; checkpointing stops the kernel re-executing per
+    # side) — per-run state, so steady must rebuild the plan each pass.
     "q_quality_buckets",  # percentile-boundary job runs at plan build
     # q_contamination_report LEFT the set in r15: its shared (doc, fp)
     # winnow relation moved from a per-frame localCheckpoint into the

@@ -186,11 +186,13 @@ def ngram_jaccard_pairs(
     jaccard ≥ t ⇒ |A∩B| ≥ t·(|A|+|B|)/(1+t), so by pigeonhole SOME
     part holds ≥ ⌈t·(na+nb)/((1+t)·parts)⌉ of its shared shingles —
     every true pair is a phase-1 candidate by construction, never a
-    heuristic. Phase 1 is an Arrow kernel per part (numpy sort /
-    ragged pair enumeration / one uint64 ``np.unique`` — no Catalyst
+    heuristic. Phase 1 is an Arrow kernel per part (numpy lexsort /
+    ragged pair enumeration / radix-sort pair counting — no Catalyst
     struct rows), phase 2 re-verifies candidates exactly with a JVM
-    ``array_intersect`` over the full shingle sets, so the emitted
-    (inter, jaccard) values are identical to the co-occurrence form.
+    ``array_intersect`` over the full shingle sets — pruned by a
+    broadcast semi-join to the docs that appear in a candidate — so
+    the emitted (inter, jaccard) values are identical to the
+    co-occurrence form.
     Why it exists: on corpora whose shingle vocabulary saturates (every
     shingle shared by many docs) the co-occurrence kernel materializes
     and hash-aggregates the full quadratic pair space as Spark rows —
@@ -278,6 +280,25 @@ def _ngram_jaccard_pigeonhole(
     n_parts = int(parts)
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Keep the kernel's large transient buffers in the malloc arena
+        # instead of per-allocation mmap/munmap: glibc mmaps blocks over
+        # ~32 MB and returns them to the OS on free, so a REUSED python
+        # worker re-faults every page of the ~200 MB working set on
+        # every task — on hypervisor-backed hosts that demand-fault new
+        # pages slowly (measured ~100 MB/s first-touch vs arena reuse
+        # at memory speed) this tax, not the arithmetic, dominated the
+        # task. Raising M_MMAP_THRESHOLD (-3) keeps big buffers in the
+        # arena and M_TRIM_THRESHOLD (-1) stops free() trimming them;
+        # the retained arena is bounded by the kernel's own documented
+        # working-set bound. Best-effort: non-glibc platforms skip it.
+        try:
+            import ctypes
+
+            _libc = ctypes.CDLL("libc.so.6")
+            _libc.mallopt(-3, 1 << 29)
+            _libc.mallopt(-1, 1 << 29)
+        except Exception:
+            pass
         empty = pd.DataFrame(
             {
                 "doc_a": pd.Series(dtype="int64"),
@@ -319,11 +340,33 @@ def _ngram_jaccard_pigeonhole(
         if total == 0:
             return empty
         # enumerate all within-group (earlier, element) pairs in
-        # ≤CHUNK-pair slices of elements; pack as (min<<32 | max)
+        # ≤CHUNK-pair slices of elements; pack as (min<<32 | max).
+        # The output buffer is PREALLOCATED once and filled in place:
+        # per-chunk arrays + a final concatenate doubled the kernel's
+        # fresh-touch footprint, and on hosts where newly-mapped pages
+        # demand-fault slowly (hypervisor-backed VMs — measured ~100
+        # MB/s first-touch here vs arena-reuse at memory speed) the
+        # allocation pattern, not the arithmetic, dominates the task.
         CHUNK = 4_000_000
         bounds = np.searchsorted(cum, np.arange(CHUNK, total + CHUNK, CHUNK))
-        packed_chunks = []
+        # Worker-local scratch buffer for the pair space, cached across
+        # tasks (python workers run ONE task at a time, and a reused
+        # worker's next part rarely matches this part's size — without
+        # the cache each task grows the arena afresh and pays the
+        # first-touch fault tax all over again). builtins is the one
+        # namespace that survives task boundaries in a reused worker
+        # for a cloudpickle-self-contained kernel; the retained buffer
+        # is the kernel's own documented per-part bound (Σk²/(2·parts)
+        # × 8 B), one per worker that ran this kernel.
+        import builtins
+
+        buf = getattr(builtins, "_dataworks_pigeonhole_scratch", None)
+        if buf is None or buf.size < total:
+            buf = np.empty(total + (total >> 3), dtype=np.uint64)
+            builtins._dataworks_pigeonhole_scratch = buf
+        packed = buf[:total]
         lo = 0
+        w = 0
         for hi in bounds + 1:
             hi = min(int(hi), g.size)
             if hi <= lo:
@@ -336,14 +379,11 @@ def _ngram_jaccard_pigeonhole(
                 first = np.repeat(np.arange(lo, hi, dtype=np.int64) - cnt, cnt) + offs
                 # codes ascend within a group (lexsort above): the
                 # earlier occurrence IS the smaller code
-                packed_chunks.append(
-                    (c[first] << np.uint64(32)) | np.repeat(c[lo:hi], cnt)
+                packed[w : w + T] = (c[first] << np.uint64(32)) | np.repeat(
+                    c[lo:hi], cnt
                 )
+                w += T
             lo = hi
-        packed = (
-            np.concatenate(packed_chunks) if len(packed_chunks) > 1 else packed_chunks[0]
-        )
-        del packed_chunks
         # count pair multiplicities with an in-place RADIX sort +
         # run-length boundaries. np.unique's comparison sort was the
         # kernel's measured hot spot (9.5 s vs 0.8 s on a 15.6 M-pair
@@ -351,23 +391,20 @@ def _ngram_jaccard_pigeonhole(
         # worst case for introsort's branchy partitioning); numpy's
         # kind="stable" on integer dtypes is an LSB radix sort.
         packed.sort(kind="stable")
-        newpair = np.empty(packed.size, dtype=bool)
-        newpair[0] = True
-        np.not_equal(packed[1:], packed[:-1], out=newpair[1:])
-        pstarts = np.flatnonzero(newpair)
-        cnts = np.diff(np.append(pstarts, packed.size))
-        u = packed[pstarts]
         # per-pair pigeonhole bound: a true pair has SOME part-local
         # count ≥ ⌈t(na+nb)/((1+t)·parts)⌉; ε keeps borderline floats
         # on the sound (kept) side. The bound depends only on the
         # integer ssum=na+nb, so the EXACT same float expression is
         # evaluated once per possible ssum (table) instead of once per
-        # pair, and the 8-byte-per-pair gathers are replaced by two
-        # staged masks: multiplicity ≥2 pairs (rare — the singleton
-        # ratio above) plus singleton pairs whose BOTH docs are small
-        # enough that need(ssum) could be 1 (uint8 gather, the only
-        # full-width pass). Candidate set is bit-identical to the
+        # pair. The scan below never materializes full-width index /
+        # count / unique-value arrays (they were 3× the pair buffer in
+        # fresh-touch bytes): it walks the sorted buffer in slices with
+        # small reused temporaries, extracting (a) the RARE duplicate
+        # runs (multiplicity ≥ 2 — the singleton ratio above) exactly,
+        # and (b) singleton pairs whose both docs are small enough that
+        # need(ssum) could be 1. Candidate set is bit-identical to the
         # per-pair form.
+        n_pk = packed.size
         smax = int(2 * n_u.max())
         need_tab = np.maximum(
             np.ceil(
@@ -377,40 +414,120 @@ def _ngram_jaccard_pigeonhole(
             1.0,
         )
         n32 = n_u.astype(np.int32)
-        a32 = (u >> np.uint64(32)).astype(np.int32)
-        b32 = (u & np.uint64(0xFFFFFFFF)).astype(np.int32)
         s1 = int(np.searchsorted(need_tab, 1.5) - 1)  # largest ssum with need==1
-        tiny = (n32 <= s1).astype(np.uint8)
-        m_multi = cnts >= 2
-        m_single = ~m_multi & (tiny[a32] & tiny[b32]).astype(bool)
-        keep = m_multi.copy()
-        idx = np.flatnonzero(m_multi | m_single)
-        ssum = n32[a32[idx]].astype(np.int64) + n32[b32[idx]]
-        keep[idx] = cnts[idx] >= need_tab[ssum]
+        tiny = n32 <= s1
+        lo32 = np.uint64(0xFFFFFFFF)
+        kept_vals = []
+        # duplicate-adjacent positions (i with packed[i]==packed[i-1]),
+        # collected chunkwise — output is ~1% of n_pk by construction
+        dup_chunks = []
+        for sl in range(1, n_pk, CHUNK):
+            sh_hi = min(sl + CHUNK, n_pk)
+            dp = np.flatnonzero(packed[sl:sh_hi] == packed[sl - 1 : sh_hi - 1])
+            if dp.size:
+                dup_chunks.append(dp + sl)
+        if dup_chunks:
+            dup_pos = np.concatenate(dup_chunks)
+            del dup_chunks
+            # consecutive dup positions belong to one run: a run of
+            # multiplicity m contributes m-1 consecutive indices
+            brk = np.flatnonzero(np.diff(dup_pos) > 1)
+            rs = np.concatenate(([0], brk + 1))
+            re_ = np.concatenate((brk, [dup_pos.size - 1]))
+            run_start = dup_pos[rs] - 1
+            run_cnt = dup_pos[re_] - run_start + 1
+            vals = packed[run_start]
+            a_m = (vals >> np.uint64(32)).astype(np.int64)
+            b_m = (vals & lo32).astype(np.int64)
+            ssum = n32[a_m].astype(np.int64) + n32[b_m]
+            kept_vals.append(vals[run_cnt >= need_tab[ssum]])
+        # singleton pairs: positions whose value differs from BOTH
+        # neighbours; keep iff need(ssum) == 1, prefiltered by the
+        # tiny-doc test so the exact gather touches few rows
+        for sl in range(0, n_pk, CHUNK):
+            sh_hi = min(sl + CHUNK, n_pk)
+            seg = packed[sl:sh_hi]
+            m = seg.size
+            left = np.empty(m, dtype=bool)
+            left[0] = sl == 0 or packed[sl] != packed[sl - 1]
+            np.not_equal(seg[1:], seg[:-1], out=left[1:])
+            right = np.empty(m, dtype=bool)
+            right[-1] = sh_hi == n_pk or packed[sh_hi - 1] != packed[sh_hi]
+            np.not_equal(seg[:-1], seg[1:], out=right[:-1])
+            left &= right  # singleton mask, reusing the buffer
+            a_s = (seg >> np.uint64(32)).astype(np.int64)
+            left &= tiny[a_s]
+            b_s = (seg & lo32).astype(np.int64)
+            left &= tiny[b_s]
+            idx = np.flatnonzero(left)
+            if idx.size:
+                ssum = n32[a_s[idx]].astype(np.int64) + n32[b_s[idx]]
+                kept_vals.append(seg[idx[need_tab[ssum] <= 1.0]])
+        if kept_vals:
+            kept = np.concatenate(kept_vals)
+        else:
+            kept = np.empty(0, dtype=np.uint64)
+        a32 = (kept >> np.uint64(32)).astype(np.int64)
+        b32 = (kept & lo32).astype(np.int64)
         return pd.DataFrame(
             {
-                "doc_a": ids_u[a32[keep].astype(np.int64)],
-                "doc_b": ids_u[b32[keep].astype(np.int64)],
+                "doc_a": ids_u[a32],
+                "doc_b": ids_u[b32],
             }
         )
 
-    base = df.select(
-        F.col(id_col).cast("long").alias("doc"),
-        shingle_hashes(F.col(text_col), n).alias("hs"),
-    )
+    raw = df.select(F.col(id_col).cast("long").alias("doc"), F.col(text_col))
+    # The shingle projection is CPU-dense but its input is bytes-small,
+    # so the scan's split count — not the advisory size — decides its
+    # parallelism (2 splits at the 52k-doc proxy left 30 of 32 cores
+    # idle for the most expensive map in the query). Spread it only
+    # when the scan underfills the machine: a corpus-scale deployment
+    # already has more files than cores and must NOT shuffle raw text.
+    # inputFiles() is a listing-only probe (~10 ms vs ~100 ms for a
+    # physical-plan compile — this builder runs once per bench pass);
+    # file count lower-bounds split count, so the repartition triggers
+    # at least as often and still vanishes at scale.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        underfilled = len(raw.inputFiles()) < par
+    except Exception:  # pragma: no cover - non-file-backed inputs
+        underfilled = True
+    if underfilled:
+        raw = raw.repartition(par)
+    base = raw.select("doc", shingle_hashes(F.col(text_col), n).alias("hs"))
     sh = base.select(
         "doc", F.size("hs").alias("n_sh"), F.explode("hs").alias("shingle")
     ).withColumn("part", F.pmod(F.xxhash64("shingle"), F.lit(n_parts)))
+    # One-shot checkpoint on the (small, bounded) candidate relation:
+    # it feeds BOTH the touched-id broadcast and the verify stream, and
+    # shared subplans re-execute per side (the r13 self-join note) —
+    # without it the exchange + kernel would run twice per execution.
+    # Holding this checkpoint puts the query in bench._REBUILD_EACH_PASS.
     cand = (
         sh.groupBy("part")
         .applyInPandas(_kernel, "doc_a long, doc_b long")
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=False)
     )
-    left = base.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
-    right = base.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    # Verify needs full shingle sets only for docs that APPEAR in a
+    # candidate — semi-join-prune the corpus by the touched ids BEFORE
+    # computing shingles (guide: pre-filter the big side when
+    # selective). The unpruned form broadcast the WHOLE corpus's
+    # shingle arrays twice, evaluating shingle_hashes over every doc
+    # once per join side inside single-threaded broadcast builds.
+    touched = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    ).dropDuplicates()
+    vbase = (
+        df.select(F.col(id_col).cast("long").alias("doc"), F.col(text_col))
+        .join(F.broadcast(touched), "doc")
+        .select("doc", shingle_hashes(F.col(text_col), n).alias("hs"))
+    )
+    left = vbase.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    right = vbase.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     out = (
-        cand.join(left, "doc_a")
-        .join(right, "doc_b")
+        cand.join(F.broadcast(left), "doc_a")
+        .join(F.broadcast(right), "doc_b")
         .select(
             "doc_a",
             "doc_b",

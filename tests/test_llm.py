@@ -95,6 +95,39 @@ def test_ngram_pigeonhole_matches_cooccurrence(spark, docs):
     assert a.schema.simpleString() == b.schema.simpleString()
 
 
+def test_ngram_pigeonhole_chunk_boundary(spark):
+    """r15 session 5: the kernel's counting scan walks the radix-sorted
+    pair buffer in 4 M-pair slices with small reused temporaries — this
+    pins the slice-boundary logic (a duplicate run or singleton whose
+    neighbours fall in the adjacent slice) on a planted family whose
+    SINGLE hot-shingle group exceeds one slice: 2 950 docs share a
+    4-word phrase (two 3-gram shingles, so every within-family pair has
+    multiplicity 2 and C(2950,2) ≈ 4.35 M pairs PER GROUP crosses the
+    boundary mid-group in both the enumerate fill and the counting
+    scan). Only the planted exact twins survive the τ prune at t=0.3,
+    so the verify and the result compare stay small; equality is
+    against the co-occurrence twin, the usual oracle."""
+    phrase = "shared boiler plate words"
+    fam = [(i, f"{phrase} u{i} v{i} w{i} x{i} y{i}") for i in range(2950)]
+    fam += [
+        (9000, "identical twin text aaa bbb ccc ddd"),
+        (9001, "identical twin text aaa bbb ccc ddd"),
+    ]
+    df = spark.createDataFrame(fam, "doc_id long, text string")
+
+    def rows(out):
+        return sorted((r.doc_a, r.doc_b, r.inter, r.jaccard) for r in out.collect())
+
+    want = rows(ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.3, method="cooccur"))
+    got = rows(
+        ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.3, method="pigeonhole", parts=1
+        )
+    )
+    assert (9000, 9001) in {(a, b) for a, b, _, _ in want}
+    assert got == want
+
+
 def test_minhash_recalls_true_near_dups(docs):
     """MinHash banding (64 hashes / 16 bands) must recall the clearly
     near-duplicate pairs the exact n-gram kernel finds at jaccard≥0.5."""
