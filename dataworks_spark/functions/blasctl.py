@@ -67,3 +67,44 @@ def limit_blas_threads(n: int | None = None) -> None:
                     break
     except Exception:  # noqa: BLE001 — best-effort on exotic platforms
         pass
+
+
+_arena_applied = False
+
+
+def retain_malloc_arena(
+    mmap_threshold: int = 1 << 29, trim_threshold: int = 1 << 29
+) -> None:
+    """Keep an Arrow kernel's large transient buffers in the worker's
+    malloc arena across tasks. glibc serves allocations over ~32 MB
+    with a private mmap and munmaps them on free, so a REUSED python
+    worker re-faults its whole working set on every task — and on
+    hypervisor-backed hosts that demand-fault newly-mapped pages
+    slowly (measured ~100 MB/s first-touch on this sandbox vs arena
+    reuse at memory speed, a reproducible ~10× first-pass tax on the
+    pigeonhole kernel) the allocation pattern, not the arithmetic,
+    dominates the task. Raising M_MMAP_THRESHOLD keeps big buffers in
+    the sbrk heap and M_TRIM_THRESHOLD stops free() returning them,
+    so the pages stay mapped for the worker's next task. The retained
+    arena is bounded by the kernel's own peak working set (every
+    kernel here documents one); per-worker, not cumulative.
+
+    Called once per worker process alongside ``limit_blas_threads`` at
+    the top of each Arrow kernel body; never on the driver. Deployment
+    override: ``SPARK_GRAFT_MALLOC_RETAIN=0`` leaves malloc alone.
+    Best-effort: non-glibc platforms silently keep their defaults.
+    """
+    global _arena_applied
+    if _arena_applied:
+        return
+    _arena_applied = True
+    if os.environ.get("SPARK_GRAFT_MALLOC_RETAIN", "1") == "0":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, int(mmap_threshold))  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, int(trim_threshold))  # M_TRIM_THRESHOLD
+    except Exception:  # noqa: BLE001 — best-effort on exotic platforms
+        pass

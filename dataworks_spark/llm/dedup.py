@@ -775,9 +775,13 @@ def _minhash_arrow(hashes: Column, n_hashes: int) -> Column:
 
     @pandas_udf("array<long>")
     def _sig(hs: pd.Series) -> pd.Series:
-        from dataworks_spark.functions.blasctl import limit_blas_threads
+        from dataworks_spark.functions.blasctl import (
+            limit_blas_threads,
+            retain_malloc_arena,
+        )
 
         limit_blas_threads()
+        retain_malloc_arena()
         n = len(hs)
         if n == 0:
             return pd.Series([], dtype=object)
@@ -1173,9 +1177,13 @@ def _simhash_arrow(hashes: Column) -> Column:
 
     @pandas_udf("long")
     def _fp(hs: pd.Series) -> pd.Series:
-        from dataworks_spark.functions.blasctl import limit_blas_threads
+        from dataworks_spark.functions.blasctl import (
+            limit_blas_threads,
+            retain_malloc_arena,
+        )
 
         limit_blas_threads()
+        retain_malloc_arena()
         n = len(hs)
         if n == 0:
             return pd.Series([], dtype=object)

@@ -636,9 +636,13 @@ def _ivf_assign_arrow(
 
     @pandas_udf("int")
     def _assign(batch: pd.Series) -> pd.Series:
-        from dataworks_spark.functions.blasctl import limit_blas_threads
+        from dataworks_spark.functions.blasctl import (
+            limit_blas_threads,
+            retain_malloc_arena,
+        )
 
         limit_blas_threads()  # once per worker: task slots ARE the parallelism
+        retain_malloc_arena()
         mat_t = payload.value if hasattr(payload, "value") else payload
         n = len(batch)
         out = np.zeros(n, dtype=np.int32)
@@ -1128,9 +1132,13 @@ def _gram_pair_scorer(
         import numpy as np
         import pandas as pd
 
-        from dataworks_spark.functions.blasctl import limit_blas_threads
+        from dataworks_spark.functions.blasctl import (
+            limit_blas_threads,
+            retain_malloc_arena,
+        )
 
         limit_blas_threads()
+        retain_malloc_arena()
         # canonical row order: BLAS's blocked matmul sums in a
         # position-dependent order, so the same pair's dot can differ
         # in the last ulp when rows ARRIVE differently — sorting by id

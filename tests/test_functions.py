@@ -201,3 +201,36 @@ def test_deterministic_uuid_null_propagates(spark):
     ).collect()}
     assert got[None] is None
     assert got["x"] and len(got["x"]) == 36
+
+
+def test_retain_malloc_arena_once_and_opt_out(monkeypatch):
+    """r15 session 5: the arena-retention tuner must apply AT MOST once
+    per process, and SPARK_GRAFT_MALLOC_RETAIN=0 must skip the libc
+    call entirely (the deployment kill switch). The mallopt effect
+    itself is host-dependent; what this pins is the control flow every
+    Arrow kernel now runs through."""
+    import ctypes
+
+    import dataworks_spark.functions.blasctl as B
+
+    calls = []
+
+    class FakeLibc:
+        def mallopt(self, *a):
+            calls.append(a)
+            return 1
+
+    monkeypatch.setattr(ctypes, "CDLL", lambda *a, **k: FakeLibc())
+    # opt-out path: no libc call, but the once-guard still latches
+    monkeypatch.setattr(B, "_arena_applied", False)
+    monkeypatch.setenv("SPARK_GRAFT_MALLOC_RETAIN", "0")
+    B.retain_malloc_arena()
+    assert calls == []
+    # applied path: exactly two mallopt calls (mmap + trim thresholds),
+    # and a second invocation is a no-op
+    monkeypatch.setattr(B, "_arena_applied", False)
+    monkeypatch.delenv("SPARK_GRAFT_MALLOC_RETAIN", raising=False)
+    B.retain_malloc_arena()
+    B.retain_malloc_arena()
+    assert len(calls) == 2
+    assert {c[0] for c in calls} == {-3, -1}
