@@ -1386,30 +1386,41 @@ def near_dup_clusters(
     canonical representative a dedup pipeline keeps.
 
     LOG-ROUNDS fixpoint: each round is min-label propagation over the
-    edges (label ← min over neighbors' labels) followed by POINTER
-    JUMPING (label ← label-of-label) — the standard path-halving
-    connected-components plan. Propagation alone needs O(diameter)
-    rounds; with the jump, the hop distance a node's label has
-    traveled roughly doubles per round, so a 64-node chain converges
-    in ~6 rounds instead of 63 (tested). Labels are monotone
+    edges (label ← min over neighbors' labels ∪ own label) followed by
+    POINTER JUMPING (label ← label-of-label) — the standard
+    path-halving connected-components plan. Propagation alone needs
+    O(diameter) rounds; with the jump, the hop distance a node's label
+    has traveled roughly doubles per round, so a 64-node chain
+    converges in ~6 rounds instead of 63 (tested). Labels are monotone
     non-increasing per node (label(x) ≤ x always, so label-of-label
     never increases), which makes the jump safe to apply every round.
     Each probe batch is ONE Spark job (non-eager localCheckpoints
     materialized by the convergence probe).
 
-    Convergence is a TYPE-AGNOSTIC signature: bit_xor of
-    xxhash64(src, label) — ids here are routinely strings
-    ('user/<name>'), for which a plain sum(label) silently nulls out
-    (Spark casts string→double) and would freeze the loop after one
-    round; xor (unlike an ANSI-mode sum) cannot overflow. The hash is
-    over the (node, label) PAIR, not the label alone: hashing only the
-    label lets even-multiplicity transitions cancel — two nodes making
-    the identical v→w move contribute h(v)⊕h(v)=0 before and
-    h(w)⊕h(w)=0 after, so a still-propagating symmetric subgraph (a
-    mirrored ladder, routine in near-dup graphs) reads as converged
-    and the loop returns SPLIT components (r9 review). Keyed per node,
-    every changed row changes its own hash and a false signature match
-    requires a genuine 2⁻⁶⁴-scale xor-sum collision of the delta.
+    FUSED round shape (r15): propagation is ONE join + ONE aggregate
+    against a static ``prop = sym ∪ (v, v)`` relation — the identity
+    edges deliver each node its own label through the same join, so
+    min(label) over the group IS least(own, neighbor-min) and the
+    former separate left-join merge step (an extra exchange AND a
+    second copy of the growing ``labels`` subtree in every analyzed
+    plan) disappears. Driver-side plan analysis, not the probe job,
+    dominates a fixture-scale round (measured ~5-7× the job), so the
+    smaller per-round tree is the win at toy scale and one fewer
+    exchange per round is the win at corpus scale.
+
+    Convergence is detected IN the batch that reaches it: the last
+    round of each batch carries each node's pre-round label out of the
+    propagation aggregate (min(label) where dst==src — the identity
+    row), and the probe counts rows whose label changed across that
+    round (count_if(label != __prev), type-agnostic: direct equality
+    on the native label type — ids here are routinely strings — with
+    no hash-collision escape hatch). A round that changes nothing is a
+    fixpoint (the round map is a deterministic function of the label
+    state), so the loop breaks without the trailing
+    confirm-no-change probe the previous xor-signature compare needed
+    — one driver barrier fewer on every call (r15: this was half the
+    probe jobs on the fixture graphs, which converge inside the first
+    2-round batch).
 
     ``rounds_per_probe`` batches that many prop+jump rounds into each
     materialized job: rounds past convergence are no-ops, so
@@ -1443,39 +1454,42 @@ def near_dup_clusters(
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )
-    sig = F.bit_xor(
-        F.xxhash64(F.col("src").cast("string"), F.col("label").cast("string"))
-    )
     labels = (
         sym.select("src")
         .dropDuplicates()
         .withColumn("label", F.col("src"))
         .localCheckpoint(eager=False)
     )
+    # static propagation relation: the symmetric edges plus one
+    # identity edge (v, v) per node, so the fused join below delivers
+    # each node its own label alongside its neighbors' — built once,
+    # checkpointed once, materialized by the first probe's job along
+    # with sym and the label seed
+    prop = sym.unionByName(
+        labels.select("src", F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
     if rounds_per_probe < 1:
         raise ValueError(f"rounds_per_probe must be ≥ 1: {rounds_per_probe}")
-    # No seed-signature probe: with ≥1 edge, round 1 ALWAYS changes a
-    # label (the larger endpoint of any edge adopts the smaller id), so
-    # comparing round 1 against the seed can never detect convergence —
-    # the probe was a pure driver-barrier job. prev=None makes the
-    # first comparison trivially "changed" for any non-empty graph
-    # (bit_xor over ≥1 non-null labels is non-null); an EMPTY graph's
-    # sig is NULL → None == None breaks on the first probe, which is
-    # the correct (empty) fixpoint.
-    prev = None
     for _ in range(0, max_iterations, rounds_per_probe):
         for _r in range(rounds_per_probe):
-            nbr_min = (
-                sym.join(labels.withColumnRenamed("src", "dst"), on="dst")
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
+            last = _r == rounds_per_probe - 1
+            # fused propagation: min over (own ∪ neighbor) labels in
+            # one aggregate; the identity row (dst == src) also carries
+            # the node's PRE-ROUND label out of the last round of the
+            # batch for the in-batch convergence probe
+            prev_agg = (
+                [
+                    F.min(
+                        F.when(F.col("dst") == F.col("src"), F.col("label"))
+                    ).alias("__prev")
+                ]
+                if last
+                else []
             )
-            labels = labels.join(nbr_min, on="src", how="left").select(
-                "src",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("label"),
+            labels = (
+                prop.join(labels.withColumnRenamed("src", "dst"), on="dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("label"), *prev_agg)
             )
             # pointer jump (path halving): label ← label-of-label. The
             # left join misses only when a node's label is already a
@@ -1493,13 +1507,22 @@ def near_dup_clusters(
                         F.col("label"),
                         F.coalesce(F.col("__lp"), F.col("label")),
                     ).alias("label"),
+                    *([F.col("__prev")] if last else []),
                 )
             )
         labels = labels.localCheckpoint(eager=False)
-        cur = labels.agg(sig).first()[0]
-        if cur == prev:
+        # changed-row count across the batch's LAST round: 0 ⇒ that
+        # round was a no-op ⇒ the label state is a fixpoint (the round
+        # map is deterministic). count_if is 0 on an empty relation,
+        # so an empty graph breaks here immediately — the correct
+        # (empty) fixpoint. Labels are never NULL (min over non-null
+        # seeds), so the ANSI equality is total.
+        changed = labels.agg(
+            F.count_if(F.col("label") != F.col("__prev")).alias("c")
+        ).first()[0]
+        labels = labels.drop("__prev")
+        if not changed:
             break
-        prev = cur
     else:
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iterations} rounds "
