@@ -19,16 +19,18 @@ from __future__ import annotations
 try:
     # pandas_udf return-type hints are resolved as STRINGS in this
     # module's globals (PEP 563 via `from __future__ import
-    # annotations`) — `pd` must be importable here. BOTH scientific
+    # annotations`) — `pd` must be importable here. ALL scientific
     # deps are import-guarded (numpy too, r11 review — an unguarded
     # numpy import broke module import on a numpy-less install even
     # though the pure-JVM kernels need neither) so every JVM code path
     # keeps working; the Arrow kernels check and raise with guidance.
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 except ImportError:  # pragma: no cover
     np = None  # type: ignore[assignment]
     pd = None  # type: ignore[assignment]
+    pa = None  # type: ignore[assignment]
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -178,8 +180,8 @@ def ngram_jaccard_pairs(
 
     Two equivalent executions (``method``):
 
-    ``"pigeonhole"`` (default when pandas is available and the id
-    column is integral) — a candidate/verify split in the
+    ``"pigeonhole"`` (default when numpy+pyarrow are available and the
+    id column is integral) — a candidate/verify split in the
     partition-signature family of Vernica et al. (SIGMOD 2010) /
     MASSJOIN (Deng et al., ICDE 2014). Shingles are hash-partitioned
     into ``parts`` disjoint parts; for a qualifying pair
@@ -202,9 +204,9 @@ def ngram_jaccard_pairs(
 
     ``"cooccur"`` — the original pure-JVM formulation (groupBy shingle
     → row-local C(k,2) pair explode → pair-count aggregate). No Python
-    boundary; the fallback for pandas-less installs and non-integral
-    ids, and the differential twin the pigeonhole path is pinned
-    against.
+    boundary; the fallback for numpy/pyarrow-less installs and
+    non-integral ids, and the differential twin the pigeonhole path is
+    pinned against.
 
     Choosing ``parts``: the prune threshold ⌈t·(na+nb)/((1+t)·parts)⌉
     weakens as parts grows (at τ=1 candidates degenerate to all
@@ -222,12 +224,12 @@ def ngram_jaccard_pairs(
     id_dtype = dict(df.dtypes)[id_col]
     integral = id_dtype in ("bigint", "int", "smallint", "tinyint")
     if method == "auto":
-        method = "pigeonhole" if (pd is not None and integral) else "cooccur"
+        method = "pigeonhole" if (np is not None and pa is not None and integral) else "cooccur"
     if method == "pigeonhole":
-        if pd is None:
+        if np is None or pa is None:
             raise RuntimeError(
-                "ngram_jaccard_pairs(method='pigeonhole') needs pandas "
-                "(Arrow batch transfer); install pandas or pass "
+                "ngram_jaccard_pairs(method='pigeonhole') needs numpy and "
+                "pyarrow (Arrow batch transfer); install them or pass "
                 "method='cooccur' for the pure-JVM kernel"
             )
         if not integral:
@@ -264,9 +266,20 @@ def _ngram_jaccard_pigeonhole(
 ) -> DataFrame:
     """Pigeonhole candidate generation + exact JVM verify (see
     :func:`ngram_jaccard_pairs`). The kernel is fully self-contained
-    (numpy/pandas only — cloudpickle ships the nested function by
+    (numpy/pyarrow only — cloudpickle ships the nested function by
     value, so no package zip is needed on the workers) and does no
     BLAS, so the blasctl thread clamp does not apply.
+
+    The kernel is Arrow-native (``applyInArrow``): each part arrives
+    as a pyarrow Table and the three input columns concatenate
+    straight into numpy arrays — ONE copy per column. The previous
+    pandas form paid the block-manager consolidation (all int64
+    columns re-copied into a 2D block) plus a per-column slice copy in
+    ``.to_numpy()`` on top of the same Arrow buffers — on a part of S
+    input bytes that was ~3S freshly-touched bytes per task against
+    Arrow's ~2S, and on hosts that demand-fault new pages slowly (the
+    ~100 MB/s first-touch regime this kernel's other mitigations
+    target) the saved copy is saved fault time on every cold worker.
 
     Kernel memory is bounded: pair enumeration runs in ≤4 M-pair
     chunks (~200 MB transient), and the accumulated per-part packed
@@ -279,7 +292,7 @@ def _ngram_jaccard_pigeonhole(
     t = float(threshold)
     n_parts = int(parts)
 
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _kernel(tbl: "pa.Table") -> "pa.Table":
         # Keep the kernel's large transient buffers in the malloc arena
         # instead of per-allocation mmap/munmap: glibc mmaps blocks over
         # ~32 MB and returns them to the OS on free, so a REUSED python
@@ -299,17 +312,22 @@ def _ngram_jaccard_pigeonhole(
             _libc.mallopt(-1, 1 << 29)
         except Exception:
             pass
-        empty = pd.DataFrame(
+        import pyarrow as _pa
+
+        empty = _pa.table(
             {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
+                "doc_a": _pa.array([], type=_pa.int64()),
+                "doc_b": _pa.array([], type=_pa.int64()),
             }
         )
-        if len(pdf) == 0:
+        if tbl.num_rows == 0:
             return empty
-        doc = pdf["doc"].to_numpy(np.int64)
-        nsh = pdf["n_sh"].to_numpy(np.int64)
-        sh = pdf["shingle"].to_numpy(np.int64)
+        # chunked-column → numpy concatenation: one copy per column,
+        # straight off the Arrow IPC buffers (columns are non-null by
+        # construction: cast long ids, F.size counts, exploded hashes)
+        doc = tbl.column("doc").to_numpy(zero_copy_only=False)
+        nsh = tbl.column("n_sh").to_numpy(zero_copy_only=False)  # int32
+        sh = tbl.column("shingle").to_numpy(zero_copy_only=False)
         # part-local integer codes, ascending by id → code order = id
         # order, so (min code, max code) is (doc_a, doc_b) by value
         ids_u, first_idx, codes = np.unique(
@@ -405,7 +423,7 @@ def _ngram_jaccard_pigeonhole(
         # need(ssum) could be 1. Candidate set is bit-identical to the
         # per-pair form.
         n_pk = packed.size
-        smax = int(2 * n_u.max())
+        smax = 2 * int(n_u.max())
         need_tab = np.maximum(
             np.ceil(
                 t * np.arange(smax + 1, dtype=np.float64) / ((1.0 + t) * n_parts)
@@ -413,7 +431,7 @@ def _ngram_jaccard_pigeonhole(
             ),
             1.0,
         )
-        n32 = n_u.astype(np.int32)
+        n32 = np.asarray(n_u, dtype=np.int32)  # already int32 off Arrow
         s1 = int(np.searchsorted(need_tab, 1.5) - 1)  # largest ssum with need==1
         tiny = n32 <= s1
         lo32 = np.uint64(0xFFFFFFFF)
@@ -469,7 +487,7 @@ def _ngram_jaccard_pigeonhole(
             kept = np.empty(0, dtype=np.uint64)
         a32 = (kept >> np.uint64(32)).astype(np.int64)
         b32 = (kept & lo32).astype(np.int64)
-        return pd.DataFrame(
+        return _pa.table(
             {
                 "doc_a": ids_u[a32],
                 "doc_b": ids_u[b32],
@@ -505,7 +523,7 @@ def _ngram_jaccard_pigeonhole(
     # Holding this checkpoint puts the query in bench._REBUILD_EACH_PASS.
     cand = (
         sh.groupBy("part")
-        .applyInPandas(_kernel, "doc_a long, doc_b long")
+        .applyInArrow(_kernel, "doc_a long, doc_b long")
         .dropDuplicates(["doc_a", "doc_b"])
         .localCheckpoint(eager=False)
     )
