@@ -515,7 +515,15 @@ def _ngram_jaccard_pigeonhole(
     base = raw.select("doc", shingle_hashes(F.col(text_col), n).alias("hs"))
     sh = base.select(
         "doc", F.size("hs").alias("n_sh"), F.explode("hs").alias("shingle")
-    ).withColumn("part", F.pmod(F.xxhash64("shingle"), F.lit(n_parts)))
+    ).withColumn(
+        # int32 part key: the grouping column rides every exploded
+        # shingle row through the part shuffle AND into the Arrow
+        # batch the kernel receives — 4 bytes beats bigint's 8 on the
+        # widest relation this query ships (parts is ≤ a few thousand
+        # in any sane deployment; the cast is exact)
+        "part",
+        F.pmod(F.xxhash64("shingle"), F.lit(n_parts)).cast("int"),
+    )
     # One-shot checkpoint on the (small, bounded) candidate relation:
     # it feeds BOTH the touched-id broadcast and the verify stream, and
     # shared subplans re-execute per side (the r13 self-join note) —
