@@ -27,7 +27,7 @@ HEADLINE = [
     ("q_window_functions", "Window family: single exchange on user_id reused by the rank/lag/frame specs (unique-ordered row_number/ntile/lag + value-ordered dense_rank + RANGE frame)."),
     ("q_cosine_knn", "Exact similarity: brute-force cosine: broadcast 1-row query vector, JVM-side higher-order dot product, TakeOrderedAndProject."),
     ("q_dedup_sketch", "MinHash LSH: shingle hashes materialized once (checkpoint barrier - also keeps the pandas-UDF argument a plain attribute), Arrow-batched numpy signature kernel (r11), banded explode, then (r15 s3) ONE bucket groupBy with row-local C(k,2) pair emission over the sorted doc list - no bucket self-join, signatures attached to the deduped candidates by two narrow joins; candidate space is collisions, never O(n^2). The minhash_capped branch (r13) runs the 100 TB hot-bucket guard plan: left-semi prune against the minhash_band_survivors asset BEFORE the bucket groupBy (r15 s2: the bucket-size fold lives in the fingerprint-keyed memo, like the winnow postings - the query plan holds no one-shot state)."),
-    ("q_dedup_ngram", "Exact n-gram Jaccard (r15 s3 pigeonhole shape): shingles hash-partitioned into disjoint parts (Exchange on part), per-part Arrow kernel (FlatMapGroupsInPandas) emits only candidates passing the pigeonhole local-count bound, candidates deduped then verified exactly via array_intersect after two joins attach the shingle-hash arrays - the quadratic pair space never exists as Spark rows (126M pair rows -> ~300k candidate rows at the sf1.0 proxy; values bit-identical to the co-occurrence twin)."),
+    ("q_dedup_ngram", "Exact n-gram Jaccard (r15 s3 pigeonhole shape; s6 Arrow-native): shingles hash-partitioned into disjoint parts (Exchange on an int32 part key), per-part Arrow kernel (FlatMapGroupsInArrow - the batch reaches numpy without the pandas block-manager copy) emits only candidates passing the pigeonhole local-count bound; candidates are one-shot checkpointed (they feed both the touched-id broadcast and the verify stream), so THIS plan truncates at Scan ExistingRDD - the kernel stage's own plan is committed at plans/r15/q_dedup_ngram_kernel_stage_after.txt. Verify attaches the shingle-hash arrays by two broadcast joins and re-computes jaccard exactly via array_intersect - the quadratic pair space never exists as Spark rows (126M pair rows -> ~300k candidate rows at the sf1.0 proxy; values bit-identical to the co-occurrence twin)."),
     ("q_events_windows", "Event-time tumbling/sliding/session windows over the nanos-normalized events table: window projection then partial-agg -> exchange -> final agg."),
     ("q_embed_ann", "ANN paths (LSH/IVF top-k, LSH-probed batch kNN): broadcast query vectors; partial WindowGroupLimit prunes to k rows per (query, scan-partition) BEFORE each exchange; only the (qid, cid, cos) triple shuffles - vectors die at the scan."),
     ("q_text_retrieval", "BM25 + TF-IDF retrieval: one-row stats aggregate broadcast into the scoring scan (BroadcastNestedLoopJoin over 1 row), per-term tf built in the scan projection, TakeOrderedAndProject top-k - zero exchanges."),
