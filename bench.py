@@ -321,6 +321,19 @@ def main() -> None:
     # driver contract.
     full = dict(out)
     full["queries_cold"] = cold
+    # decompose the cold pass (r15 VERDICT #2): how much of the cold
+    # total was fingerprint-keyed ASSET builds (paid once per corpus,
+    # inside whichever query's cold pass first needed each asset) vs
+    # first-execution cost of the queries themselves. Asset seconds are
+    # recorded by queries._ann_cached around each build() call.
+    from dataworks_spark.queries import ASSET_BUILD_SECONDS
+
+    if ASSET_BUILD_SECONDS:
+        full["cold_decomposition"] = {
+            "asset_build_sec": dict(sorted(ASSET_BUILD_SECONDS.items())),
+            "asset_build_total": round(sum(ASSET_BUILD_SECONDS.values()), 4),
+            "cold_total": round(sum(cold.values()), 4),
+        }
     if duck:
         full["duckdb"] = duck
     if errors:

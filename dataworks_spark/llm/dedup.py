@@ -1111,11 +1111,13 @@ def minhash_pairs_from_signatures(
     (:func:`minhash_signatures` checkpoints; a persisted table
     qualifies by construction) — both self-join sides read it.
 
-    Hot-bucket guard, two forms: ``max_bucket`` filters bucket sizes
-    inline — since r15 as a ``size(ds) <= cap`` predicate on the same
-    bucket groupBy the pair emission reads, so it no longer runs a
-    separate checkpointed size fold; ``survivors`` semi-joins a
-    prebuilt :func:`minhash_band_survivors` relation instead. NEITHER
+    Hot-bucket guard, two forms: ``max_bucket`` pre-counts bucket
+    sizes off the banded relation and semi-joins the surviving keys
+    BEFORE the doc lists are collected (r16 — the r15 inline
+    ``size(ds) <= cap`` post-collect filter still built the hot
+    bucket's full array row first, the one shape no downstream split
+    can fix); ``survivors`` semi-joins a prebuilt
+    :func:`minhash_band_survivors` relation instead. NEITHER
     form holds per-call one-shot state anymore, so a caller may
     legitimately reuse the returned frame (bench rebuild-set rule,
     r15). The two forms produce identical pairs when the survivor
@@ -1139,12 +1141,27 @@ def minhash_pairs_from_signatures(
     banded = _minhash_banded(sig, n_hashes, bands).drop("sig")
     if survivors is not None:
         banded = banded.join(survivors, ["band", "bhash"], "left_semi")
+    elif max_bucket is not None:
+        # r16 (r15 VERDICT #5): pre-aggregate bucket sizes and
+        # semi-join BEFORE the collect_list so a degenerate hot bucket
+        # never materializes its full doc array in one aggregation
+        # buffer (guide §2.2/§2.5 — a single enormous key cannot be
+        # split downstream; it must be dropped before collection).
+        # Size-1 buckets are dropped here too — they emit no pairs —
+        # so the final pair set is identical to the post-collect
+        # ``size(ds) <= max_bucket`` filter this replaces (pinned in
+        # test_llm's capped-vs-survivors equality).
+        surv = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket))
+            .drop("__bn")
+        )
+        banded = banded.join(surv, ["band", "bhash"], "left_semi")
     grouped = banded.groupBy("band", "bhash").agg(
         F.array_sort(F.collect_list("doc")).alias("ds")
     )
     keep = F.size("ds") > 1
-    if survivors is None and max_bucket is not None:
-        keep = keep & (F.size("ds") <= max_bucket)
     cand = (
         grouped.filter(keep)
         .select(
@@ -1632,7 +1649,7 @@ def winnow_fingerprint_relation(
     )
 
 
-def winnow_postings(fps: DataFrame) -> DataFrame:
+def winnow_postings(fps: DataFrame, max_keep_df: int | None = None) -> DataFrame:
     """(doc, fp) → the POSTINGS relation ``(fp, ds)`` with ``ds`` the
     sorted doc-id list per fingerprint — the materialized form of the
     pair kernel's FIRST shuffle (groupBy fp), factored out so it is
@@ -1647,8 +1664,49 @@ def winnow_postings(fps: DataFrame) -> DataFrame:
     This is the durable sibling of the MinHash signature checkpoint:
     at 100 TB the deployment stores ``(fp, ds)`` at ingest
     (:func:`save_winnow_postings`) and every contamination/overlap run
-    pays only the pair-side shuffle, which ``max_df`` bounds."""
-    return fps.groupBy("fp").agg(F.array_sort(F.collect_list("doc")).alias("ds"))
+    pays only the pair-side shuffle, which ``max_df`` bounds.
+
+    ``max_keep_df`` (r16, r15 VERDICT #5): bound the collected doc
+    list. The plain groupBy builds every posting's full array in one
+    aggregation buffer — at corpus scale one boilerplate fingerprint
+    with df in the millions materializes a single multi-million-element
+    array row during the asset build (guide §2.2: a single enormous
+    key no mitigation can split). With ``max_keep_df`` set, df is
+    pre-counted per fingerprint and hot fingerprints are dropped from
+    the collect by an anti-join BEFORE aggregation; the output gains an
+    exact ``df`` column (long) and hot rows are kept as
+    ``(fp, ds=NULL, df)`` so the stored asset still serves df
+    statistics. Any policy with ``max_df ≤ max_keep_df`` reads
+    identical pairs; :func:`winnow_pairs_from_postings` refuses loudly
+    (row-level raise) if asked to band past the cap. Default ``None``
+    preserves the legacy ``(fp, ds)`` schema and single-shuffle build."""
+    if max_keep_df is None:
+        return fps.groupBy("fp").agg(
+            F.array_sort(F.collect_list("doc")).alias("ds")
+        )
+    if max_keep_df < 1:
+        raise ValueError(f"max_keep_df must be >= 1, got {max_keep_df}")
+    # one materialization of the corpus-sized (doc, fp) relation feeds
+    # both the df fold and the capped collect (the r13 shared-subplan
+    # note: without it the winnow projection re-executes per subtree)
+    base = fps.localCheckpoint(eager=False)
+    dfc = base.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    hot = dfc.filter(F.col("df") > max_keep_df)
+    small = (
+        base.join(hot.select("fp"), "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.array_sort(F.collect_list("doc")).alias("ds"),
+            F.count(F.lit(1)).alias("df"),
+        )
+    )
+    return small.unionByName(
+        hot.select(
+            "fp",
+            F.lit(None).cast(small.schema["ds"].dataType).alias("ds"),
+            "df",
+        )
+    )
 
 
 def winnow_pairs_from_postings(
@@ -1658,10 +1716,35 @@ def winnow_pairs_from_postings(
     no shuffle), C(k,2) pair emission with row-local array
     combinatorics, one pair-keyed shuffle to count shared
     fingerprints. Output identical to :func:`winnow_overlap_pairs`
-    (equivalence pinned in tests)."""
+    (equivalence pinned in tests).
+
+    Accepts both postings schemas: the legacy ``(fp, ds)`` and the
+    df-capped ``(fp, ds, df)`` (:func:`winnow_postings` with
+    ``max_keep_df``). On the capped schema the df filter uses the exact
+    stored count, and a surviving row whose ``ds`` was truncated away
+    (``max_df`` exceeds the build's ``max_keep_df``) raises at
+    execution rather than silently dropping its pairs."""
     pair = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
+    if "df" in postings.columns:
+        kept = postings.filter(
+            (F.col("df") > 1) & (F.col("df") <= max_df)
+        ).withColumn(
+            "ds",
+            F.when(
+                F.col("ds").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "winnow_pairs_from_postings: max_df exceeds the "
+                        "postings' max_keep_df — rebuild the postings with "
+                        "a larger cap"
+                    )
+                ).cast(postings.schema["ds"].dataType),
+            ).otherwise(F.col("ds")),
+        )
+    else:
+        kept = postings.filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
     return (
-        postings.filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
+        kept
         .select(
             F.explode(
                 F.flatten(

@@ -17,6 +17,8 @@ order-insensitive value-hash comparable across engines:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +67,17 @@ def _table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
 #: fixtures, not an artifact that outlives the data it was built from.)
 _ANN_INDEX_CACHE: dict[tuple[str, str, str, str], object] = {}
 
+#: wall-clock seconds each fingerprint-keyed asset build cost THIS
+#: process (kind → cumulative seconds across rebuilds). Written by
+#: :func:`_ann_cached` around its ``build()`` call; bench.py reads it
+#: after the run to decompose the COLD pass into asset-build time vs
+#: first-query time (r15 VERDICT #2: the cold headline is otherwise
+#: unattributable when the builds move between rounds). Eager builds
+#: (persist+count, ivf_train) are fully counted; lazy index builds
+#: (LshIndex plan construction) count only their driver-side cost —
+#: their materialization lands in the owning query's first pass.
+ASSET_BUILD_SECONDS: dict[str, float] = {}
+
 def _release(val) -> None:
     """Best-effort unpersist of a cache value: DataFrames directly,
     index objects (LshIndex/IvfIndex) via their cached .df; plain
@@ -96,7 +109,11 @@ def _ann_cached(spark: SparkSession, sf_dir: str, kind: str, build,
     if idx is None:
         for stale in [k for k in _ANN_INDEX_CACHE if k[:3] == key[:3] and k != key]:
             _release(_ANN_INDEX_CACHE.pop(stale))
+        t0 = time.perf_counter()
         idx = build()
+        ASSET_BUILD_SECONDS[kind] = round(
+            ASSET_BUILD_SECONDS.get(kind, 0.0) + time.perf_counter() - t0, 4
+        )
         _ANN_INDEX_CACHE[key] = idx
     return idx
 
@@ -1548,18 +1565,32 @@ def q_dedup_sketch(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    _simhash_rel = lambda: d.filter(F.col("doc_id") < 500).select(  # noqa: E731
+        F.col("doc_id").alias("doc"), simhash(F.col("text")).alias("fp")
+    )
+    pending: dict[str, DataFrame] = {}
 
     def _build_minhash_sigs():
         rel = minhash_signatures(d, "doc_id", "text", n_hashes=64).persist()
-        rel.count()  # eager: the memo holds the materialized asset
+        fpr = _simhash_rel().persist()
+        # ONE action materializes BOTH persisted sketch relations
+        # (r16, r15 VERDICT #2: fuse cold asset builds that share the
+        # documents scan): the union's single count schedules the
+        # minhash and simhash cache partitions in one stage, so the
+        # simhash tasks back-fill the minhash stage's tail instead of
+        # running as a second serial job with its own action floor.
+        # The fused job's wall-clock is attributed to minhash-sigs in
+        # ASSET_BUILD_SECONDS; simhash-fps then registers at ~0.
+        one = F.lit(1).alias("one")
+        rel.select(one).unionAll(fpr.select(one)).count()
+        pending["simhash-fps"] = fpr
         return rel
 
     def _build_simhash_fps():
-        rel = (
-            d.filter(F.col("doc_id") < 500)
-            .select(F.col("doc_id").alias("doc"), simhash(F.col("text")).alias("fp"))
-            .persist()
-        )
+        fpr = pending.pop("simhash-fps", None)
+        if fpr is not None:  # materialized by the fused build above
+            return fpr
+        rel = _simhash_rel().persist()  # standalone rebuild path
         rel.count()
         return rel
 
@@ -1567,6 +1598,10 @@ def q_dedup_sketch(spark, sf_dir):
                       table="documents")
     sfp = _ann_cached(spark, sf_dir, "simhash-fps", _build_simhash_fps,
                       table="documents")
+    if "simhash-fps" in pending:  # fused build ran but the fps memo was
+        # already warm (can't happen under one fingerprint key, but a
+        # leaked persisted twin must not outlive this call)
+        pending.pop("simhash-fps").unpersist()
 
     def _build_capped_survivors():
         # derived from the signature memo — memo-on-memo, like the
@@ -1931,7 +1966,16 @@ def q_contamination_report(spark, sf_dir):
         F.col("contamination").cast("double").alias("frac"),
     )
     def _build_postings():
-        rel = winnow_postings(winnow_fingerprint_relation(d)).persist()
+        # max_keep_df=64 (r16, r15 VERDICT #5): covers every declared
+        # policy (max_df 50 and 2 — a policy past the cap raises at
+        # execution, never silently drops pairs) while bounding the
+        # collected doc list, so a boilerplate fingerprint with df in
+        # the millions can never build a single giant array row during
+        # the asset build. Pair outputs are unchanged for max_df ≤ 64
+        # (pinned in test_llm's capped-postings equality).
+        rel = winnow_postings(
+            winnow_fingerprint_relation(d), max_keep_df=64
+        ).persist()
         rel.count()  # eager: the memo holds the materialized ASSET,
         # not a lazy plan — both policy branches (and both bench
         # passes) band in-memory POSTINGS (r15 split: the groupBy-fp

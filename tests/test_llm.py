@@ -3699,6 +3699,102 @@ def test_winnow_postings_split_and_sidecar(spark, sf_dir, tmp_path):
         load_winnow_postings(spark, p, expect_fingerprint=corpus_fp)
 
 
+def test_winnow_postings_max_keep_df_hot_key(spark):
+    """r16 (r15 VERDICT #5): ``max_keep_df`` bounds the collected doc
+    list under a planted hot fingerprint — the hot fp survives as
+    (fp, ds=NULL, exact df) so the stored asset still serves df
+    statistics, pair outputs are unchanged for every policy within the
+    cap, and banding PAST the cap raises instead of silently dropping
+    pairs. Plan check: the capped build's collect aggregate sits above
+    the df-fold anti-join, so the hot fp's doc list never enters an
+    aggregation buffer."""
+    import pytest
+
+    from dataworks_spark.llm.dedup import (
+        winnow_fingerprint_relation,
+        winnow_pairs_from_postings,
+        winnow_postings,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, boiler) for i in range(30)] + [
+        (200, "red green blue cyan shared pair one two"),
+        (201, "red green blue cyan shared pair one two"),
+        (202, "red green blue cyan shared pair one two three"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprint_relation(d)
+    legacy = winnow_postings(fps)
+    capped = winnow_postings(fps, max_keep_df=10)
+    assert capped.schema.simpleString() == (
+        "struct<fp:string,ds:array<bigint>,df:bigint>"
+    )
+
+    def key(df):
+        return sorted((r.doc_a, r.doc_b, r.n_shared) for r in df.collect())
+
+    for max_df in (10, 5, 2):
+        a = key(winnow_pairs_from_postings(legacy, max_df=max_df))
+        assert key(winnow_pairs_from_postings(capped, max_df=max_df)) == a
+        if max_df >= 5:
+            assert a  # the planted near-dup family must actually pair
+    hot = capped.filter(F.col("ds").isNull()).collect()
+    assert hot and all(r.df > 10 for r in hot)  # exact df, bounded ds
+    # every kept row's list is complete and within the cap
+    kept = capped.filter(F.col("ds").isNotNull())
+    assert kept.filter(
+        (F.size("ds") != F.col("df")) | (F.col("df") > 10)
+    ).count() == 0
+    # a policy past the build cap must refuse loudly at execution
+    # (max_df=30 keeps the hot fp — df=30 — whose ds was truncated)
+    with pytest.raises(Exception, match="max_keep_df"):
+        winnow_pairs_from_postings(capped, max_df=30).count()
+    with pytest.raises(ValueError, match="max_keep_df"):
+        winnow_postings(fps, max_keep_df=0)
+    # plan: the collect_list aggregate reads the anti-joined (capped)
+    # relation — the join sits BELOW the object aggregate
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("collect_list")
+    join_pos = plan.find("Join")
+    assert 0 <= agg_pos < join_pos, plan[:2000]
+
+
+def test_minhash_inline_cap_filters_before_collect(spark):
+    """r16 (r15 VERDICT #5): the inline ``max_bucket`` guard semi-joins
+    surviving bucket keys BEFORE the doc lists are collected — a
+    planted hot bucket (40 identical docs) never materializes its
+    40-element array in the aggregation buffer. Pair parity with the
+    survivors-asset form is pinned by
+    test_prebuilt_survivors_and_checkpoint_free_parity; this pins the
+    PLAN: the collect aggregate's child contains the semi-join."""
+    from dataworks_spark.llm.dedup import (
+        minhash_pairs_from_signatures,
+        minhash_signatures,
+    )
+
+    family = "license header boilerplate text repeated verbatim on every page"
+    rows = [(i, family) for i in range(40)] + [
+        (100, "the quick brown fox jumps over the lazy dog again today"),
+        (101, "the quick brown fox jumps over the lazy dog again tomorrow"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df, "doc_id", "text", n_hashes=64).persist()
+    sig.count()
+    try:
+        pairs = minhash_pairs_from_signatures(
+            sig, 64, 16, threshold=0.3, max_bucket=10
+        )
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        assert (100, 101) in got
+        assert not any(x < 100 and y < 100 for x, y in got)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        agg_pos = plan.find("collect_list")
+        semi_pos = plan.find("LeftSemi")
+        assert 0 <= agg_pos < semi_pos, plan[:2000]
+    finally:
+        sig.unpersist()
+
+
 def test_incremental_corpus_refuses_tampered_dir(spark, tmp_path):
     """r15: the incremental corpus stamps its fingerprint after every
     append — a torn append (crash mid-write) or out-of-band edit
