@@ -255,6 +255,15 @@ def ngram_jaccard_pairs(
     )
 
 
+#: above this many candidate pairs the pigeonhole verify joins switch
+#: from F.broadcast to plain (shuffle) joins: the broadcast relations
+#: carry the touched docs' full shingle arrays — at ~1 KB+/doc, 100k
+#: candidates (≤200k docs) is already ~hundreds of MB per executor
+#: copy, and candidate count grows with the corpus's duplicate mass
+#: (r15 VERDICT #4). Module-level so tests can force the shuffle arm.
+PIGEONHOLE_VERIFY_BROADCAST_MAX = 100_000
+
+
 def _ngram_jaccard_pigeonhole(
     df: DataFrame,
     id_col: str,
@@ -535,6 +544,19 @@ def _ngram_jaccard_pigeonhole(
         .dropDuplicates(["doc_a", "doc_b"])
         .localCheckpoint(eager=False)
     )
+    # r16 (r15 VERDICT #4): the candidate count BOUNDS the verify-side
+    # broadcasts. Candidates grow with the corpus's true duplicate
+    # mass, and the broadcast relations below carry the touched docs'
+    # FULL shingle arrays — a dup-heavy 100 TB corpus would push them
+    # past the 8 GB broadcast ceiling (driver/executor OOM). Counting
+    # the checkpoint here is the materialization the first action had
+    # to pay anyway; past the threshold every verify join goes through
+    # a plain shuffle join, bounded by the candidates either way.
+    n_cand = cand.count()
+    bcast = (
+        F.broadcast if n_cand <= PIGEONHOLE_VERIFY_BROADCAST_MAX
+        else (lambda rel: rel)
+    )
     # Verify needs full shingle sets only for docs that APPEAR in a
     # candidate — semi-join-prune the corpus by the touched ids BEFORE
     # computing shingles (guide: pre-filter the big side when
@@ -546,14 +568,14 @@ def _ngram_jaccard_pigeonhole(
     ).dropDuplicates()
     vbase = (
         df.select(F.col(id_col).cast("long").alias("doc"), F.col(text_col))
-        .join(F.broadcast(touched), "doc")
+        .join(bcast(touched), "doc")
         .select("doc", shingle_hashes(F.col(text_col), n).alias("hs"))
     )
     left = vbase.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
     right = vbase.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     out = (
-        cand.join(F.broadcast(left), "doc_a")
-        .join(F.broadcast(right), "doc_b")
+        cand.join(bcast(left), "doc_a")
+        .join(bcast(right), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -109,28 +109,41 @@ def _build_store(spark, ops):
             ids = spark.createDataFrame([(doc_id,)], "id string")
             store = store.delete(ids)
         brute.apply(kind, doc_id, body, vt_off, tx)
+        # r16 suite-wallclock fix (r15 VERDICT #1): every _apply_write
+        # references the prior version relation in THREE subtrees
+        # (retired / corrected / next_vf), so a 6-op lazy chain grows
+        # the plan ~3^6 and Catalyst ANALYSIS — not the data — was
+        # ~50 s per hypothesis example. Compacting (localCheckpoint,
+        # the store's own lineage-truncation API) every other op keeps
+        # the asserted semantics bit-identical — compaction never
+        # changes the version relation's ROWS — while the plan stays
+        # two ops deep; odd steps still exercise the uncompacted
+        # lazy-chain path.
+        if i % 2 == 1:
+            store = store.compact()
     return store.compact(), brute
 
 
 @settings(max_examples=8, **_SETTINGS)
-@given(ops=ops_st, probe_day=st.integers(min_value=0, max_value=40))
-def test_asof_matches_bruteforce(spark_global, ops, probe_day):
+@given(
+    ops=ops_st,
+    probe_day=st.integers(min_value=0, max_value=40),
+    tx_day=st.integers(min_value=0, max_value=10),
+)
+def test_asof_matches_bruteforce(spark_global, ops, probe_day, tx_day):
+    """Valid-time and bitemporal as-of probes against the brute-force
+    interpreter on ONE store build per example (r16: the former
+    separate bitemporal test re-built the store for 5 more examples to
+    probe the same relation — merged, keeping BOTH assertions on every
+    example, 8 bitemporal probes where there were 5)."""
     spark = spark_global
     store, brute = _build_store(spark, ops)
     vt = BASE + dt.timedelta(days=probe_day, hours=12)
     got = {r.id: r.body for r in store.as_of(vt).collect()}
     assert got == brute.as_of(vt)
-
-
-@settings(max_examples=5, **_SETTINGS)
-@given(ops=ops_st, probe_day=st.integers(min_value=0, max_value=40), tx_day=st.integers(min_value=0, max_value=10))
-def test_bitemporal_asof_matches_bruteforce(spark_global, ops, probe_day, tx_day):
-    spark = spark_global
-    store, brute = _build_store(spark, ops)
-    vt = BASE + dt.timedelta(days=probe_day, hours=12)
     tt = BASE + dt.timedelta(days=tx_day, hours=12)
-    got = {r.id: r.body for r in store.as_of(vt, tx_time=tt).collect()}
-    assert got == brute.as_of(vt, tt)
+    got_tt = {r.id: r.body for r in store.as_of(vt, tx_time=tt).collect()}
+    assert got_tt == brute.as_of(vt, tt)
 
 
 # hypothesis needs a non-function-scoped fixture workaround: reuse the

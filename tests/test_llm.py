@@ -128,6 +128,43 @@ def test_ngram_pigeonhole_chunk_boundary(spark):
     assert got == want
 
 
+def test_ngram_pigeonhole_verify_shuffle_arm(spark, docs, monkeypatch):
+    """r16 (r15 VERDICT #4): above PIGEONHOLE_VERIFY_BROADCAST_MAX
+    candidates the verify joins must run WITHOUT the F.broadcast HINT —
+    the broadcast relations carry full shingle arrays, which a
+    dup-heavy corpus grows past the 8 GB broadcast ceiling. Forcing the
+    threshold to 0 exercises the shuffle arm: pair output stays
+    bit-identical to the broadcast arm and to the cooccur twin, and the
+    ANALYZED plan carries no broadcast ResolvedHint — the strategy is
+    left to the planner's SIZE-based choice (at fixture scale AQE
+    legitimately re-broadcasts the actually-tiny sides; at 100 TB the
+    same size logic keeps them shuffled, which is the point: the hint
+    was the unbounded part, not the join)."""
+    from dataworks_spark.llm import dedup as D
+
+    def rows(out):
+        return sorted((r.doc_a, r.doc_b, r.inter, r.jaccard) for r in out.collect())
+
+    want = rows(
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3, method="cooccur")
+    )
+    assert want
+    monkeypatch.setattr(D, "PIGEONHOLE_VERIFY_BROADCAST_MAX", 0)
+    shuffled = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.3, method="pigeonhole", parts=4
+    )
+    assert rows(shuffled) == want
+    plan = shuffled._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, plan[:2000]
+    monkeypatch.setattr(D, "PIGEONHOLE_VERIFY_BROADCAST_MAX", 100_000)
+    bcast = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.3, method="pigeonhole", parts=4
+    )
+    assert rows(bcast) == want
+    plan_b = bcast._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan_b, plan_b[:2000]
+
+
 def test_minhash_recalls_true_near_dups(docs):
     """MinHash banding (64 hashes / 16 bands) must recall the clearly
     near-duplicate pairs the exact n-gram kernel finds at jaccard≥0.5."""
@@ -2394,7 +2431,11 @@ def test_train_classifier_separates_planted_classes(spark):
         toks = [vocab[(i + j) % 4] for j in range(8)]
         rows.append((i, " ".join(toks), 1 if good else 0))
     df = spark.createDataFrame(rows, "doc_id long, text string, label int")
-    w, b = train_classifier(df, "label", rounds=12, lr=4.0)
+    # rounds=6 (r16 suite-wallclock, r15 VERDICT #1): disjoint vocab
+    # separates fully by round 4 (measured acc=1.0) — every assertion
+    # below is unchanged; each GD round is one Spark job, and the
+    # former 12+12 rounds were ~2 min of pure job floor on this test
+    w, b = train_classifier(df, "label", rounds=6, lr=4.0)
     scored = df.select(
         "label",
         classifier_score_expr(F.col("text"), w, bias=b).alias("s"),
@@ -2403,7 +2444,7 @@ def test_train_classifier_separates_planted_classes(spark):
     assert acc >= 0.95
     # layout-independence up to float-sum reassociation (full-batch
     # GD: no SGD order-dependence; the gradient SUM may reassociate)
-    w2, b2 = train_classifier(df.repartition(7), "label", rounds=12, lr=4.0)
+    w2, b2 = train_classifier(df.repartition(7), "label", rounds=6, lr=4.0)
     assert abs(b - b2) < 1e-9
     assert max(abs(a - c) for a, c in zip(w, w2)) < 1e-9
 
