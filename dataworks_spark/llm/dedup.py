@@ -171,6 +171,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     method: str = "auto",
     parts: int = 8,
+    stream_pairs_min: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: distinct shingles per doc,
     |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold, with A/B the xxhash64'd
@@ -216,6 +217,12 @@ def ngram_jaccard_pairs(
     τ decay, or keeps τ ≥ 2-3 and lets each part run longer. The
     default 8 keeps τ=3 for ~100-shingle documents at t=0.3.
 
+    ``stream_pairs_min`` (r16): part-local pair count past which the
+    kernel switches from the full-buffer radix count to the streaming
+    two-pass count whose memory is CHUNK-bounded regardless of part
+    size (default :data:`PIGEONHOLE_STREAM_PAIRS_MIN`; both arms emit
+    bit-identical candidates — pinned in tests).
+
     Scale note: exact pairwise Jaccard is only run on candidate sets
     (or bounded subsets); at 100 TB the candidate generation is
     :func:`minhash_near_dup_pairs` and this is the verify kernel."""
@@ -239,7 +246,8 @@ def ngram_jaccard_pairs(
                 "use method='cooccur'"
             )
         return _ngram_jaccard_pigeonhole(
-            df, id_col, text_col, n, threshold, parts, id_dtype
+            df, id_col, text_col, n, threshold, parts, id_dtype,
+            stream_pairs_min=stream_pairs_min,
         )
     hs = shingle_hashes(F.col(text_col), n)
     sh = df.select(F.col(id_col).alias("doc"), hs.alias("hs")).select(
@@ -254,6 +262,15 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 
+
+#: above this many PART-LOCAL pairs the pigeonhole kernel switches from
+#: the full-buffer radix count (fastest warm — one in-place sort) to
+#: the streaming two-pass count whose working set is CHUNK-bounded
+#: regardless of part size (r15 VERDICT #3): at 64 M pairs the full
+#: buffer + radix workspace is ~1 GB of per-worker fresh-touch, the
+#: regime where allocation, not arithmetic, dominates on slow-fault
+#: hosts — and past the threshold it keeps growing as Σk²/(2·parts).
+PIGEONHOLE_STREAM_PAIRS_MIN = 64_000_000
 
 #: above this many candidate pairs the pigeonhole verify joins switch
 #: from F.broadcast to plain (shuffle) joins: the broadcast relations
@@ -272,6 +289,7 @@ def _ngram_jaccard_pigeonhole(
     threshold: float,
     parts: int,
     id_dtype: str,
+    stream_pairs_min: int | None = None,
 ) -> DataFrame:
     """Pigeonhole candidate generation + exact JVM verify (see
     :func:`ngram_jaccard_pairs`). The kernel is fully self-contained
@@ -300,6 +318,11 @@ def _ngram_jaccard_pigeonhole(
         raise ValueError(f"parts must be ≥ 1: {parts}")
     t = float(threshold)
     n_parts = int(parts)
+    # captured at plan-build time so tests can pin the streaming arm
+    s_min = int(
+        PIGEONHOLE_STREAM_PAIRS_MIN if stream_pairs_min is None
+        else stream_pairs_min
+    )
 
     def _kernel(tbl: "pa.Table") -> "pa.Table":
         # Keep the kernel's large transient buffers in the malloc arena
@@ -367,71 +390,62 @@ def _ngram_jaccard_pigeonhole(
         if total == 0:
             return empty
         # enumerate all within-group (earlier, element) pairs in
-        # ≤CHUNK-pair slices of elements; pack as (min<<32 | max).
-        # The output buffer is PREALLOCATED once and filled in place:
-        # per-chunk arrays + a final concatenate doubled the kernel's
-        # fresh-touch footprint, and on hosts where newly-mapped pages
-        # demand-fault slowly (hypervisor-backed VMs — measured ~100
-        # MB/s first-touch here vs arena-reuse at memory speed) the
-        # allocation pattern, not the arithmetic, dominates the task.
+        # ≤CHUNK-pair slices of elements; pack as (min<<W | max).
         CHUNK = 4_000_000
         bounds = np.searchsorted(cum, np.arange(CHUNK, total + CHUNK, CHUNK))
-        # Worker-local scratch buffer for the pair space, cached across
-        # tasks (python workers run ONE task at a time, and a reused
-        # worker's next part rarely matches this part's size — without
-        # the cache each task grows the arena afresh and pays the
-        # first-touch fault tax all over again). builtins is the one
-        # namespace that survives task boundaries in a reused worker
-        # for a cloudpickle-self-contained kernel; the retained buffer
-        # is the kernel's own documented per-part bound (Σk²/(2·parts)
-        # × 8 B), one per worker that ran this kernel.
+        # Worker-local scratch, cached across tasks (python workers run
+        # ONE task at a time; builtins is the namespace that survives
+        # task boundaries in a reused worker for a cloudpickle-self-
+        # contained kernel) — without the cache each task grows the
+        # arena afresh and re-pays the first-touch fault tax.
         import builtins
 
-        buf = getattr(builtins, "_dataworks_pigeonhole_scratch", None)
-        if buf is None or buf.size < total:
-            buf = np.empty(total + (total >> 3), dtype=np.uint64)
-            builtins._dataworks_pigeonhole_scratch = buf
-        packed = buf[:total]
-        lo = 0
-        w = 0
-        for hi in bounds + 1:
-            hi = min(int(hi), g.size)
-            if hi <= lo:
+        def _scratch(n_u64):
+            b = getattr(builtins, "_dataworks_pigeonhole_scratch", None)
+            if b is None or b.size < n_u64:
+                b = np.empty(n_u64 + (n_u64 >> 3), dtype=np.uint64)
+                builtins._dataworks_pigeonhole_scratch = b
+            return b
+
+        # element ranges whose pair counts fit roughly one CHUNK slice
+        # (a slice may overshoot CHUNK by at most the boundary
+        # element's group position: the +1 progress rule never splits
+        # one element's pairs)
+        ranges = []
+        lo_el = 0
+        for hi_el in bounds + 1:
+            hi_el = min(int(hi_el), g.size)
+            if hi_el <= lo_el:
                 continue
+            ranges.append((lo_el, hi_el))
+            lo_el = hi_el
+
+        def _fill(lo, hi, out, cc, w_bits):
+            """Pack the within-group (earlier, element) pairs of
+            elements [lo, hi) into ``out`` (or the worker scratch when
+            None) and return the filled view (None when the slice holds
+            no pairs). Codes ascend within a group (lexsort above), so
+            the earlier occurrence IS the smaller code and pairs pack
+            as a<<W|b with no per-pair min/max."""
             cnt = pos[lo:hi]
             T = int(cnt.sum())
-            if T:
-                run0 = np.cumsum(cnt) - cnt
-                offs = np.arange(T, dtype=np.int64) - np.repeat(run0, cnt)
-                first = np.repeat(np.arange(lo, hi, dtype=np.int64) - cnt, cnt) + offs
-                # codes ascend within a group (lexsort above): the
-                # earlier occurrence IS the smaller code
-                packed[w : w + T] = (c[first] << np.uint64(32)) | np.repeat(
-                    c[lo:hi], cnt
-                )
-                w += T
-            lo = hi
-        # count pair multiplicities with an in-place RADIX sort +
-        # run-length boundaries. np.unique's comparison sort was the
-        # kernel's measured hot spot (9.5 s vs 0.8 s on a 15.6 M-pair
-        # part at sf1.0 — the packed array is ~99% singletons, the
-        # worst case for introsort's branchy partitioning); numpy's
-        # kind="stable" on integer dtypes is an LSB radix sort.
-        packed.sort(kind="stable")
+            if not T:
+                return None
+            if out is None:
+                out = _scratch(T).view(cc.dtype)
+            o = out[:T]
+            run0 = np.cumsum(cnt) - cnt
+            offs = np.arange(T, dtype=np.int64) - np.repeat(run0, cnt)
+            first = np.repeat(np.arange(lo, hi, dtype=np.int64) - cnt, cnt) + offs
+            o[:] = (cc[first] << w_bits) | np.repeat(cc[lo:hi], cnt)
+            return o
+
         # per-pair pigeonhole bound: a true pair has SOME part-local
         # count ≥ ⌈t(na+nb)/((1+t)·parts)⌉; ε keeps borderline floats
         # on the sound (kept) side. The bound depends only on the
         # integer ssum=na+nb, so the EXACT same float expression is
         # evaluated once per possible ssum (table) instead of once per
-        # pair. The scan below never materializes full-width index /
-        # count / unique-value arrays (they were 3× the pair buffer in
-        # fresh-touch bytes): it walks the sorted buffer in slices with
-        # small reused temporaries, extracting (a) the RARE duplicate
-        # runs (multiplicity ≥ 2 — the singleton ratio above) exactly,
-        # and (b) singleton pairs whose both docs are small enough that
-        # need(ssum) could be 1. Candidate set is bit-identical to the
-        # per-pair form.
-        n_pk = packed.size
+        # pair.
         smax = 2 * int(n_u.max())
         need_tab = np.maximum(
             np.ceil(
@@ -443,59 +457,178 @@ def _ngram_jaccard_pigeonhole(
         n32 = np.asarray(n_u, dtype=np.int32)  # already int32 off Arrow
         s1 = int(np.searchsorted(need_tab, 1.5) - 1)  # largest ssum with need==1
         tiny = n32 <= s1
-        lo32 = np.uint64(0xFFFFFFFF)
-        kept_vals = []
-        # duplicate-adjacent positions (i with packed[i]==packed[i-1]),
-        # collected chunkwise — output is ~1% of n_pk by construction
-        dup_chunks = []
-        for sl in range(1, n_pk, CHUNK):
-            sh_hi = min(sl + CHUNK, n_pk)
-            dp = np.flatnonzero(packed[sl:sh_hi] == packed[sl - 1 : sh_hi - 1])
-            if dp.size:
-                dup_chunks.append(dp + sl)
-        if dup_chunks:
-            dup_pos = np.concatenate(dup_chunks)
-            del dup_chunks
-            # consecutive dup positions belong to one run: a run of
-            # multiplicity m contributes m-1 consecutive indices
-            brk = np.flatnonzero(np.diff(dup_pos) > 1)
-            rs = np.concatenate(([0], brk + 1))
-            re_ = np.concatenate((brk, [dup_pos.size - 1]))
-            run_start = dup_pos[rs] - 1
-            run_cnt = dup_pos[re_] - run_start + 1
-            vals = packed[run_start]
-            a_m = (vals >> np.uint64(32)).astype(np.int64)
-            b_m = (vals & lo32).astype(np.int64)
-            ssum = n32[a_m].astype(np.int64) + n32[b_m]
-            kept_vals.append(vals[run_cnt >= need_tab[ssum]])
-        # singleton pairs: positions whose value differs from BOTH
-        # neighbours; keep iff need(ssum) == 1, prefiltered by the
-        # tiny-doc test so the exact gather touches few rows
-        for sl in range(0, n_pk, CHUNK):
-            sh_hi = min(sl + CHUNK, n_pk)
-            seg = packed[sl:sh_hi]
-            m = seg.size
-            left = np.empty(m, dtype=bool)
-            left[0] = sl == 0 or packed[sl] != packed[sl - 1]
-            np.not_equal(seg[1:], seg[:-1], out=left[1:])
-            right = np.empty(m, dtype=bool)
-            right[-1] = sh_hi == n_pk or packed[sh_hi - 1] != packed[sh_hi]
-            np.not_equal(seg[:-1], seg[1:], out=right[:-1])
-            left &= right  # singleton mask, reusing the buffer
-            a_s = (seg >> np.uint64(32)).astype(np.int64)
-            left &= tiny[a_s]
-            b_s = (seg & lo32).astype(np.int64)
-            left &= tiny[b_s]
-            idx = np.flatnonzero(left)
-            if idx.size:
-                ssum = n32[a_s[idx]].astype(np.int64) + n32[b_s[idx]]
-                kept_vals.append(seg[idx[need_tab[ssum] <= 1.0]])
-        if kept_vals:
-            kept = np.concatenate(kept_vals)
+        if total < s_min:
+            # FULL-BUFFER path (the r15 shape, the fastest warm form):
+            # materialize the part's pair space once, ONE in-place
+            # radix sort (numpy kind="stable" on ints — np.unique's
+            # comparison sort was the measured 9.5 s vs 0.8 s hot spot
+            # at sf1.0), then a slice-walking scan with small reused
+            # temporaries. r16: when the part's code space fits 16
+            # bits (≤65536 distinct docs — every bench fixture and any
+            # sanely-parted corpus shard), pairs pack as uint32 —
+            # HALVING the buffer and the radix workspace, the two
+            # dominant fresh-touch surfaces of a cold worker (guide
+            # §5; this host demand-faults new pages at ~10-100 MB/s).
+            if ids_u.size <= 0x10000:
+                cc = c.astype(np.uint32)
+                w_bits = np.uint32(16)
+                mask = np.uint32(0xFFFF)
+                packed = _scratch((total + 1) // 2 + 1).view(np.uint32)[:total]
+            else:
+                cc = c
+                w_bits = np.uint64(32)
+                mask = np.uint64(0xFFFFFFFF)
+                packed = _scratch(total)[:total]
+            w = 0
+            for lo_el, hi_el in ranges:
+                seg = _fill(lo_el, hi_el, packed[w:], cc, w_bits)
+                if seg is not None:
+                    w += seg.size
+            packed.sort(kind="stable")
+            n_pk = packed.size
+            kept_vals = []
+            # duplicate-adjacent positions (i with packed[i]==
+            # packed[i-1]), collected chunkwise — ~1% of n_pk
+            dup_chunks = []
+            for sl in range(1, n_pk, CHUNK):
+                sh_hi = min(sl + CHUNK, n_pk)
+                dp = np.flatnonzero(
+                    packed[sl:sh_hi] == packed[sl - 1 : sh_hi - 1]
+                )
+                if dp.size:
+                    dup_chunks.append(dp + sl)
+            if dup_chunks:
+                dup_pos = np.concatenate(dup_chunks)
+                del dup_chunks
+                # consecutive dup positions belong to one run: a run
+                # of multiplicity m contributes m-1 consecutive indices
+                brk = np.flatnonzero(np.diff(dup_pos) > 1)
+                rs = np.concatenate(([0], brk + 1))
+                re_ = np.concatenate((brk, [dup_pos.size - 1]))
+                run_start = dup_pos[rs] - 1
+                run_cnt = dup_pos[re_] - run_start + 1
+                vals = packed[run_start]
+                a_m = (vals >> w_bits).astype(np.int64)
+                b_m = (vals & mask).astype(np.int64)
+                ssum = n32[a_m].astype(np.int64) + n32[b_m]
+                kept_vals.append(vals[run_cnt >= need_tab[ssum]])
+            # singleton pairs: positions whose value differs from BOTH
+            # neighbours; keep iff need(ssum) == 1, prefiltered by the
+            # tiny-doc test so the exact gather touches few rows
+            for sl in range(0, n_pk, CHUNK):
+                sh_hi = min(sl + CHUNK, n_pk)
+                seg = packed[sl:sh_hi]
+                m = seg.size
+                left = np.empty(m, dtype=bool)
+                left[0] = sl == 0 or packed[sl] != packed[sl - 1]
+                np.not_equal(seg[1:], seg[:-1], out=left[1:])
+                right = np.empty(m, dtype=bool)
+                right[-1] = sh_hi == n_pk or packed[sh_hi - 1] != packed[sh_hi]
+                np.not_equal(seg[:-1], seg[1:], out=right[:-1])
+                left &= right  # singleton mask, reusing the buffer
+                a_s = (seg >> w_bits).astype(np.int64)
+                left &= tiny[a_s]
+                b_s = (seg & mask).astype(np.int64)
+                left &= tiny[b_s]
+                idx = np.flatnonzero(left)
+                if idx.size:
+                    ssum = n32[a_s[idx]].astype(np.int64) + n32[b_s[idx]]
+                    kept_vals.append(seg[idx[need_tab[ssum] <= 1.0]])
+            if kept_vals:
+                kept = np.concatenate(kept_vals)
+            else:
+                kept = np.empty(0, dtype=cc.dtype)
         else:
-            kept = np.empty(0, dtype=np.uint64)
-        a32 = (kept >> np.uint64(32)).astype(np.int64)
-        b32 = (kept & lo32).astype(np.int64)
+            # STREAMING path (r16, r15 VERDICT #3): past ``s_min``
+            # pairs the full buffer + radix workspace would be GBs of
+            # per-worker fresh-touch (it grows as Σk²/(2·parts)) — here
+            # the pair space is never materialized. Pass A enumerates
+            # ≤CHUNK slices into the reused scratch, sorts each slice
+            # in place, collects intra-slice repeats by adjacency,
+            # emits tiny-tiny need==1 values exactly, and tracks
+            # cross-slice repeats with a worker-cached BITMAP
+            # (test-then-set; a false positive only adds an
+            # exactly-counted candidate, never a wrong pair). Pass B
+            # re-enumerates and counts ONLY the candidates. Kept set is
+            # bit-identical to the full-buffer scan: multiplicity-≥2
+            # values are caught by adjacency (same slice) or the
+            # bitmap (a later slice sees the bit set); need==1
+            # singletons force both docs tiny. Measured 2-2.5× slower
+            # warm than the full buffer at the sf1.0 proxy — which is
+            # why it is the past-s_min guard, not the default.
+            w_bits = np.uint64(32)
+            mask = np.uint64(0xFFFFFFFF)
+            dup_vals: list = []
+            tiny_vals: list = []
+            nbits = 1 << max(23, min(28, (int(total) * 8 - 1).bit_length()))
+            words = nbits >> 6
+            mix = np.uint64(0x9E3779B97F4A7C15)
+            shift = np.uint64(64 - (nbits.bit_length() - 1))
+            bm = getattr(builtins, "_dataworks_pigeonhole_bitmap", None)
+            if bm is None or bm.size < words:
+                bm = np.zeros(words, dtype=np.uint64)
+                builtins._dataworks_pigeonhole_bitmap = bm
+            else:
+                bm[:words].fill(0)
+            for lo_el, hi_el in ranges:
+                seg = _fill(lo_el, hi_el, None, c, w_bits)
+                if seg is None:
+                    continue
+                seg.sort(kind="stable")
+                rep = np.empty(seg.size, dtype=bool)
+                rep[0] = False
+                np.equal(seg[1:], seg[:-1], out=rep[1:])
+                if rep.any():
+                    dup_vals.append(np.unique(seg[rep]))
+                np.logical_not(rep, out=rep)
+                u = seg[rep]  # slice-unique values, sorted
+                a_s = (u >> w_bits).astype(np.int64)
+                b_s = (u & mask).astype(np.int64)
+                tmask = tiny[a_s] & tiny[b_s]
+                if tmask.any():
+                    ssum = n32[a_s[tmask]].astype(np.int64) + n32[b_s[tmask]]
+                    tv = u[tmask][need_tab[ssum] <= 1.0]
+                    if tv.size:
+                        tiny_vals.append(tv)
+                idx = ((u * mix) >> shift).astype(np.int64)
+                hit = (
+                    bm[idx >> 6] >> (idx.astype(np.uint64) & np.uint64(63))
+                ) & np.uint64(1)
+                hv = u[hit.astype(bool)]
+                if hv.size:
+                    dup_vals.append(hv)
+                # set the slice's bits: one vectorized OR per word
+                idx.sort(kind="stable")
+                wds = idx >> 6
+                bits = np.uint64(1) << (idx.astype(np.uint64) & np.uint64(63))
+                starts_w = np.flatnonzero(
+                    np.concatenate(([True], wds[1:] != wds[:-1]))
+                )
+                bm[wds[starts_w]] |= np.bitwise_or.reduceat(bits, starts_w)
+            kept_list = list(tiny_vals)
+            if dup_vals:
+                cand = np.unique(np.concatenate(dup_vals))
+                counts = np.zeros(cand.size, dtype=np.int64)
+                for lo_el, hi_el in ranges:
+                    seg = _fill(lo_el, hi_el, None, c, w_bits)
+                    if seg is None:
+                        continue
+                    seg.sort(kind="stable")  # monotone queries below
+                    pidx = np.searchsorted(cand, seg)
+                    np.clip(pidx, 0, cand.size - 1, out=pidx)
+                    m = cand[pidx] == seg
+                    if m.any():
+                        np.add.at(counts, pidx[m], 1)
+                a_m = (cand >> w_bits).astype(np.int64)
+                b_m = (cand & mask).astype(np.int64)
+                ssum = n32[a_m].astype(np.int64) + n32[b_m]
+                kept_list.append(cand[counts >= need_tab[ssum]])
+            if kept_list:
+                kept = np.unique(np.concatenate(kept_list))
+            else:
+                kept = np.empty(0, dtype=np.uint64)
+        a32 = (kept >> w_bits).astype(np.int64)
+        b32 = (kept & mask).astype(np.int64)
         return _pa.table(
             {
                 "doc_a": ids_u[a32],

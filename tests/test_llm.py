@@ -86,6 +86,18 @@ def test_ngram_pigeonhole_matches_cooccurrence(spark, docs):
                 )
             )
             assert got == want, f"threshold={th} parts={parts}"
+    # r16: the STREAMING counting arm (past stream_pairs_min the kernel
+    # never materializes the full pair buffer) must emit the same
+    # candidates — force it for every part shape on the planted skew
+    for parts in (1, 4):
+        got = rows(
+            ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.2, method="pigeonhole",
+                parts=parts, stream_pairs_min=0,
+            )
+        )
+        want = rows(ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.2, method="cooccur"))
+        assert got == want, f"streaming arm parts={parts}"
     # schema parity (inter must stay long; ids keep the input dtype) —
     # simpleString level: nullability metadata legitimately differs
     # (count() is non-nullable, the verify-join size() is not), and the
@@ -126,6 +138,15 @@ def test_ngram_pigeonhole_chunk_boundary(spark):
     )
     assert (9000, 9001) in {(a, b) for a, b, _, _ in want}
     assert got == want
+    # r16: same multi-slice family through the STREAMING counting arm —
+    # its cross-slice bitmap + exact recount must agree bit-for-bit
+    got_stream = rows(
+        ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.3, method="pigeonhole", parts=1,
+            stream_pairs_min=0,
+        )
+    )
+    assert got_stream == want
 
 
 def test_ngram_pigeonhole_verify_shuffle_arm(spark, docs, monkeypatch):
