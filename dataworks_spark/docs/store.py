@@ -264,9 +264,37 @@ class DocumentStore:
     no-op: Spark writes are synchronous.
     """
 
-    def __init__(self, versions: DataFrame, now_fn=None):
+    #: logical-plan growth bound for the in-process write chain (r16):
+    #: every _apply_write / put_log references ``self.versions`` in ~3
+    #: subtrees (retire, correct, next-version lookup), so an n-write
+    #: chain re-analyzes ~3^n copies of the base plan at EVERY later
+    #: action — Catalyst analysis, not job work (measured: a 4-write
+    #: chain's four as_of probes cost 80 s in the r16 suite; the r15
+    #: bitemporal property file hit 826 s the same way). After this many
+    #: consecutive writes the new version log is marked
+    #: localCheckpoint(eager=False): the ≤3^k-copy tree is planned once,
+    #: the checkpoint materializes with the caller's next action (no
+    #: extra job), and later writes/reads plan against a single leaf.
+    #: A parquet-backed store keeps scan pushdown for the first k
+    #: writes; past that the tree is unions-of-joins and pushdown was
+    #: already gone — periodic compaction is this store's documented
+    #: contract, this automates the in-process form of it.
+    _TRUNCATE_EVERY = 2
+
+    def __init__(self, versions: DataFrame, now_fn=None, _writes: int = 0):
         self.versions = versions
         self._now = now_fn or _dt.datetime.utcnow
+        self._writes = _writes
+
+    def _evolved(self, versions: DataFrame) -> "DocumentStore":
+        """Successor store after one write, with depth-bounded lineage
+        (see _TRUNCATE_EVERY)."""
+        n = self._writes + 1
+        if n >= self._TRUNCATE_EVERY:
+            return DocumentStore(
+                versions.localCheckpoint(eager=False), self._now
+            )
+        return DocumentStore(versions, self._now, _writes=n)
 
     # -- reads ---------------------------------------------------------
     def as_of(self, valid_time, tx_time=None) -> DataFrame:
@@ -432,9 +460,9 @@ class DocumentStore:
             # carry the stale schema's columns as all-NULL. The cheap
             # schema comparisons run first so the isEmpty job is only
             # paid when a difference exists.
-            return DocumentStore(new, self._now)
+            return self._evolved(new)
         merged = _widen_union(self.versions, retired, corrected, new)
-        return DocumentStore(merged, self._now)
+        return self._evolved(merged)
 
     def put_log(self, df: DataFrame, ts_col: str = "ts") -> "DocumentStore":
         """Bulk-append an event-log batch: one version per row at its
@@ -468,7 +496,7 @@ class DocumentStore:
             # a non-empty store widens at the union below instead. The
             # cheap schema checks run first so the isEmpty job is paid
             # only when a difference exists (mirrors _apply_write).
-            return DocumentStore(new, self._now)
+            return self._evolved(new)
         # Set-based equivalent of applying put() SEQUENTIALLY per batch
         # event (all at this one tx time). The previous formulation only
         # corrected the version covering the batch's FIRST timestamp and
@@ -543,7 +571,7 @@ class DocumentStore:
             .drop("__cap")
         )
         merged = _widen_union(self.versions, retired, corrected, new)
-        return DocumentStore(merged, self._now)
+        return self._evolved(merged)
 
     def compact(self, path: str | None = None, spark=None) -> "DocumentStore":
         """Rewrite the accumulated version log (the periodic MERGE/
